@@ -1,0 +1,79 @@
+"""Engine-wide configuration.
+
+Constants mirror the reference engine's indexer/search knobs
+(`/root/reference/src/cis5550/jobs/Indexer.java:33-38`,
+`/root/reference/src/cis5550/jobs/Search.java:24-55`); everything else
+is Ray-Data-specific physical tuning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+# Reference constants (Indexer.java:33)
+MAX_TEXT_LEN = 10_000  # MAX_PAGE_LEN: text truncated to this many chars
+MAX_WORD_LEN = 20      # MAX_WORD_LEN: longer tokens are not indexed
+
+# Index-time skip list (Indexer.java:36-38)
+SKIP_WORDS = frozenset(
+    ["http", "https", "com", "net", "edu", "org", "gov", "www", "xml", "ttl", "xmlj", "rdf"]
+)
+
+# Query-time stopword list (Search.java:38-55, 150 words)
+STOPWORDS = frozenset(
+    """a an the and but or for nor so yet at by in of on to up as it is
+    be am are was were been do does did has have had can could may might
+    must shall should will would ought about above across after against
+    along among around before behind below beneath beside between beyond
+    concerning considering despite during except following inside into
+    like near next off onto outside over past regarding round since
+    through throughout toward under underneath unlike until upon with
+    within without according alongside also any anybody anyone anything
+    both each either everybody everyone everything few he her hers
+    herself him himself his i it's its itself many me mine more most my
+    myself neither no nobody none nothing one other others our ours
+    ourselves several she some somebody someone something theirs them
+    themselves these they this those us we what whatever which whichever
+    who whoever whom whomever whose you your yours yourself yourselves""".split()
+)
+
+# BM25 parameters (SURVEY.md §7.0 normative scoring)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Reference default result cutoff (Search.java:25 n_results)
+DEFAULT_TOP_K = 200
+
+# Stopword-only queries re-enable stopwords with a score penalty
+# (Search.java:24 stopword_penalty, :209-214)
+STOPWORD_PENALTY = 0.05
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Logical + physical knobs for an index build.
+
+    ``doc_bucket_size`` is the salting / segmentation unit: posting
+    lists are segmented by ``doc_id // doc_bucket_size`` and the merge
+    shuffle groups on ``(term, bucket)``, so no merge group ever sees
+    more than ``doc_bucket_size / batch_size`` partials regardless of a
+    term's document frequency — this is the explicit skew handling for
+    stopword-like hot terms (SURVEY.md §7.4).
+    """
+
+    max_text_len: int = MAX_TEXT_LEN
+    max_word_len: int = MAX_WORD_LEN
+    stemming: bool = True          # index raw + Porter-stemmed terms (Indexer.java:256-283)
+    positions: bool = True         # store varbyte position blocks (split_page_locs capability)
+    index_role_tool: bool = False  # prepend role/tool tokens (analog of URL-token indexing, Indexer.java:236-238)
+    doc_bucket_size: int = 1 << 17
+    batch_size: int = 4096
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexConfig":
+        return IndexConfig(**d)

@@ -1,0 +1,154 @@
+"""Text analysis: tokenization and query analysis.
+
+Normative semantics (SURVEY.md §7.0), mirroring the reference's
+``split_page_locs`` (`/root/reference/src/cis5550/jobs/Indexer.java:129-169`):
+
+- truncate text to ``max_text_len`` chars (Indexer.java:135), lowercase,
+  split on runs of non-alphanumerics (``[^0-9a-z]+`` after lowering —
+  Java's ``\\P{Alnum}`` is the ASCII POSIX class);
+- positions are a 1-based counter over ALL non-empty tokens of the doc
+  (Indexer.java:146-160) — the skip-list / length filters do NOT affect
+  positions;
+- ``doclen`` = total count of non-empty tokens (= max position);
+- tokens longer than ``max_word_len`` (20) and the 12-word skip list are
+  not indexed (Indexer.java:249);
+- every surviving token is indexed raw AND Porter-stemmed
+  (Indexer.java:256-283); when the stem equals the raw token only one
+  posting is emitted (the reference's second KVS put overwrites the
+  first with identical content).
+
+The batch path is vectorized: pyarrow.compute for lower/slice/split,
+numpy for the position arithmetic; the only per-string Python work is
+stemming the (small, memoized) set of unique tokens per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
+from .stemmer import CachingStemmer
+
+_SPLIT_PATTERN = "[^0-9a-z]+"
+
+
+class TokenizedBatch:
+    """Exploded token arrays for one batch of documents.
+
+    Attributes (all aligned on the token axis unless noted):
+      doc_idx:   int64 — local row index of the owning document
+      terms:     object ndarray of str — the indexable term (raw or stem)
+      positions: int32 — 1-based position in the doc (stem rows share
+                 the raw token's position)
+      doclens:   int32, one per input row — non-empty token count
+    """
+
+    __slots__ = ("doc_idx", "terms", "positions", "doclens")
+
+    def __init__(self, doc_idx, terms, positions, doclens):
+        self.doc_idx = doc_idx
+        self.terms = terms
+        self.positions = positions
+        self.doclens = doclens
+
+
+def split_tokens(texts: pa.Array, cfg: IndexConfig):
+    """Vectorized lowercase/truncate/split.
+
+    Returns ``(doc_idx, tokens, positions, doclens)`` for all non-empty
+    tokens (pre skip/length filtering, so positions and doclens match
+    the reference's global counter semantics).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    clipped = pc.utf8_slice_codeunits(texts, 0, cfg.max_text_len)
+    lowered = pc.utf8_lower(clipped)
+    token_lists = pc.split_pattern_regex(lowered, _SPLIT_PATTERN)
+
+    flat = token_lists.flatten()
+    parents = pc.list_parent_indices(token_lists).to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)  # object ndarray of str
+
+    # drop empty tokens (split artifacts at string boundaries)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nonempty = lens > 0
+    parents = parents[nonempty]
+    tok = tok[nonempty]
+    lens = lens[nonempty]
+
+    # 1-based position within each doc over the non-empty tokens.
+    # parents is non-decreasing (list flatten order).
+    n_docs = len(texts)
+    doclens = np.bincount(parents, minlength=n_docs).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(doclens[:-1], dtype=np.int64)])
+    positions = (np.arange(len(tok), dtype=np.int64) - np.repeat(starts, doclens) + 1).astype(
+        np.int32
+    )
+    return parents.astype(np.int64), tok, positions, lens, doclens
+
+
+def tokenize_batch(
+    texts: pa.Array, cfg: IndexConfig, stemmer: CachingStemmer | None = None
+) -> TokenizedBatch:
+    """Full index-time tokenization of a batch of document texts."""
+    doc_idx, tok, positions, lens, doclens = split_tokens(texts, cfg)
+
+    # posting filters: length cap + skip list (positions unaffected)
+    keep = lens <= cfg.max_word_len
+    if SKIP_WORDS:
+        skip_mask = np.isin(tok, _SKIP_ARR)
+        keep &= ~skip_mask
+    doc_idx = doc_idx[keep]
+    tok = tok[keep]
+    positions = positions[keep]
+
+    if not cfg.stemming:
+        return TokenizedBatch(doc_idx, tok, positions, doclens)
+
+    stemmer = stemmer or CachingStemmer()
+    uniq, inv = np.unique(tok, return_inverse=True)
+    stems = np.array(stemmer.stem_many(list(uniq)), dtype=object)
+    stemmed = stems[inv]
+    differs = stemmed != tok
+
+    # emit raw rows for all tokens + stem rows only where stem != raw
+    out_doc = np.concatenate([doc_idx, doc_idx[differs]])
+    out_term = np.concatenate([tok, stemmed[differs]])
+    out_pos = np.concatenate([positions, positions[differs]])
+    return TokenizedBatch(out_doc, out_term, out_pos, doclens)
+
+
+_SKIP_ARR = np.array(sorted(SKIP_WORDS), dtype=object)
+
+
+def analyze_query(query: str, cfg: IndexConfig | None = None) -> tuple[list[str], bool]:
+    """Query-side analyzer (``split_stem``, Search.java:59-74 + stopword
+    logic Search.java:209-214).
+
+    Lowercase, split on non-alphanumerics, drop empties, Porter-stem
+    each term, then remove stopwords (stopword membership tested on the
+    RAW token, pre-stem, as the reference checks words before indexing
+    lookups). If every term is a stopword the stopwords are kept
+    (reference re-enables them with a score penalty).
+
+    Returns ``(terms, stopword_only)``. Terms preserve query order with
+    duplicates removed (first occurrence wins).
+    """
+    cfg = cfg or IndexConfig()
+    import re
+
+    raw = [t for t in re.split(_SPLIT_PATTERN, query.lower()) if t]
+    raw = [t for t in raw if len(t) <= cfg.max_word_len and t not in SKIP_WORDS]
+    kept = [t for t in raw if t not in STOPWORDS]
+    stopword_only = not kept and bool(raw)
+    use = raw if stopword_only else kept
+    stemmer = CachingStemmer()
+    seen: dict[str, None] = {}
+    for t in use:
+        s = stemmer.stem(t) if (cfg.stemming) else t
+        if s not in seen:
+            seen[s] = None
+    return list(seen.keys()), stopword_only
