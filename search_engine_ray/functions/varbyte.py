@@ -60,6 +60,64 @@ def encode_concat(arrays: list[np.ndarray]) -> list[bytes]:
     return res
 
 
+def encode_offsets(values: np.ndarray, offsets: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode ``values`` once; return (blob, byte_offsets) where
+    ``blob[byte_offsets[i]:byte_offsets[i+1]]`` is the encoding of
+    ``values[offsets[i]:offsets[i+1]]``. ``offsets`` must start at 0 and
+    end at ``len(values)``. Fully vectorized except the final slicing
+    done by the caller."""
+    if len(values) == 0:
+        return b"", np.zeros(len(offsets), dtype=np.int64)
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for i in range(1, 10):
+        over = v >= np.uint64(1 << (7 * i))
+        if not over.any():
+            break
+        nbytes[over] += 1
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    for i in range(int(nbytes.max())):
+        mask = nbytes > i
+        shift = ((nbytes[mask] - 1 - i) * 7).astype(np.uint64)
+        digit = ((v[mask] >> shift) & np.uint64(0x7F)).astype(np.uint8)
+        digit[nbytes[mask] - 1 == i] |= 0x80
+        out[starts[mask] + i] = digit
+    cum = np.concatenate([[0], ends])
+    byte_offsets = cum[np.asarray(offsets, dtype=np.int64)]
+    return out.tobytes(), byte_offsets
+
+
+def encode_single(value: int) -> bytes:
+    return encode(np.array([value], dtype=np.uint64))
+
+
+def first_varint_len(blob: bytes) -> int:
+    """Byte length of the first encoded value (terminator = high bit)."""
+    for i, byte in enumerate(blob[:10]):
+        if byte & 0x80:
+            return i + 1
+    raise ValueError("malformed varbyte blob")
+
+
+def first_varint(blob: bytes) -> int:
+    out = 0
+    for byte in blob[:10]:
+        out = (out << 7) | (byte & 0x7F)
+        if byte & 0x80:
+            return out
+    raise ValueError("malformed varbyte blob")
+
+
+def rebase_first(blob: bytes, new_first: int) -> bytes:
+    """Replace the first encoded value of ``blob`` with ``new_first`` —
+    used when concatenating doc-gap streams (the first value of each
+    partial is absolute; on concat it becomes a gap)."""
+    return encode_single(new_first) + blob[first_varint_len(blob):]
+
+
 def _spans(lens):
     pos = 0
     for n in lens:

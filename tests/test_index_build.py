@@ -1,0 +1,119 @@
+"""End-to-end: Ray build vs single-process oracle (SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.corpus import make_transcripts, make_queries, write_transcripts
+from search_engine_ray.oracle import build_oracle_index, oracle_search
+from search_engine_ray.pipelines.build_index import build_index
+from search_engine_ray.stages.query import LocalIndex, load_logical_postings
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    src = str(root / "transcripts")
+    # shuffled file order: exercises the doc-id sort path
+    write_transcripts(src, n_convs=120, turns_per_conv=5, seed=42, n_files=6, shuffle_files=True)
+    # small bucket so multi-bucket segmentation is exercised
+    cfg = IndexConfig(doc_bucket_size=128)
+    index_dir = str(root / "index")
+    meta = build_index(src, index_dir, cfg, n_partitions=3)
+    table = pq.read_table(f"{src}")
+    oracle = build_oracle_index(table.to_pandas(), cfg)
+    return index_dir, meta, oracle, cfg
+
+
+def test_doc_stats_match(built):
+    index_dir, meta, oracle, _ = built
+    assert meta["N"] == oracle.N
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-9
+    import glob
+
+    got = (
+        pq.read_table(sorted(glob.glob(f"{index_dir}/docs/*.parquet")))
+        .select(["doc_id", "conv_id", "turn_idx", "doclen"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.doc_stats
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["doclen"].tolist() == want["doclen"].tolist()
+
+
+def test_text_round_trip(built):
+    """Per-turn text byte-equality under stable (conv_id, turn_idx)
+    order — the input_hint invariant."""
+    index_dir, _, oracle, _ = built
+    import glob
+
+    docs = (
+        pq.read_table(sorted(glob.glob(f"{index_dir}/docs/*.parquet")))
+        .select(["doc_id", "conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc order must equal ascending (conv_id, turn_idx)
+    key = list(zip(docs["conv_id"], docs["turn_idx"]))
+    assert key == sorted(key)
+
+
+def test_postings_match_oracle(built):
+    index_dir, _, oracle, _ = built
+    got = load_logical_postings(index_dir)
+    assert set(got) == set(oracle.postings)
+    for term, (ids, tfs, positions) in got.items():
+        want = oracle.postings[term]
+        want_ids = [d for d, _, _ in want]
+        want_tfs = [tf for _, tf, _ in want]
+        want_pos = [p for _, _, p in want]
+        assert ids.tolist() == want_ids, term
+        assert tfs.tolist() == want_tfs, term
+        assert positions == want_pos, term
+
+
+def test_dictionary_df(built):
+    index_dir, _, oracle, _ = built
+    import glob
+
+    d = pq.read_table(sorted(glob.glob(f"{index_dir}/dictionary/*.parquet"))).to_pandas()
+    got = dict(zip(d["term"], d["df"]))
+    want = {t: len(p) for t, p in oracle.postings.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["AND", "OR"])
+def test_topk_rank_identical(built, mode):
+    index_dir, _, oracle, cfg = built
+    idx = LocalIndex(index_dir)
+    queries = make_queries(30)
+    for _, row in queries.iterrows():
+        got_ids, got_scores = idx.search(row["query"], int(row["k"]), mode=mode)
+        want = oracle_search(oracle, row["query"], int(row["k"]), mode=mode)
+        assert got_ids.tolist() == want["doc_id"].tolist(), row["query"]
+        np.testing.assert_allclose(got_scores, want["score"].to_numpy(), atol=1e-9)
+
+
+def test_salting_equivalence(ray_session, tmp_path, built):
+    """Different doc_bucket_size (salting granularity) must not change
+    the logical index (FIXTURES.md §5)."""
+    index_dir, _, oracle, _ = built
+    src_tbl = None  # rebuild from the same corpus with huge buckets
+    root = tmp_path
+    src = str(root / "transcripts")
+    write_transcripts(src, n_convs=120, turns_per_conv=5, seed=42, n_files=6, shuffle_files=True)
+    cfg2 = IndexConfig(doc_bucket_size=1 << 30)
+    idx2 = str(root / "index2")
+    build_index(src, idx2, cfg2, n_partitions=2)
+    a = load_logical_postings(index_dir)
+    b = load_logical_postings(idx2)
+    assert set(a) == set(b)
+    for term in a:
+        assert a[term][0].tolist() == b[term][0].tolist()
+        assert a[term][1].tolist() == b[term][1].tolist()
+        assert a[term][2] == b[term][2]
