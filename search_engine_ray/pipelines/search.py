@@ -1,0 +1,159 @@
+"""Query serving: sharded actors, batch evaluation, result materialize.
+
+- ``ShardedSearcher``: term-range-sharded index actors (the Ray analog
+  of the reference's KVS-resident index served by point gets per term,
+  `/root/reference/src/cis5550/jobs/Search.java:236`). Each actor loads
+  its term shard ONCE in ``__init__``; queries fan out per term and the
+  driver finishes with the shared scoring kernel, so results are
+  bit-identical to ``LocalIndex``.
+- ``evaluate_queries``: batch path — a Dataset of queries mapped over
+  an actor pool whose actors hold a ``LocalIndex`` (used by the test
+  suite and the bench's throughput measurement).
+- ``materialize_results``: attach (conv_id, turn_idx, text snippet) to
+  a top-k — parity with the reference's results table
+  (`/root/reference/src/cis5550/jobs_archive/Ranker.java:49-77`), minus
+  the unary-"|" key hack (explicit rank column instead).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import IndexConfig, DEFAULT_TOP_K
+from ..functions.analysis import analyze_query
+from ..stages.query import LocalIndex, score_decoded_terms, shard_of
+
+
+@ray.remote
+class IndexShardActor:
+    """Holds the posting lists of one term shard, loaded once."""
+
+    def __init__(self, index_dir: str, shard_id: int, n_shards: int):
+        self.index = LocalIndex(
+            index_dir, term_filter=lambda t: shard_of(t, n_shards) == shard_id
+        )
+
+    def term_postings(self, terms: list[str]):
+        """Return {term: (doc_ids, tfs, df)} for terms present here."""
+        out = {}
+        for t in terms:
+            ts = self.index.terms.get(t)
+            if ts is not None:
+                ids, tfs = ts.decode()
+                out[t] = (ids, tfs, ts.df)
+        return out
+
+    def ping(self) -> bool:
+        return True
+
+
+class ShardedSearcher:
+    """Driver-side coordinator over ``n_shards`` index actors."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4):
+        self.n_shards = n_shards
+        self.shards = [
+            IndexShardActor.remote(index_dir, s, n_shards) for s in range(n_shards)
+        ]
+        ray.get([s.ping.remote() for s in self.shards])
+        # doc stats + meta stay driver-side (scale path: doc-range
+        # doc-stat shards; at sandbox scale a flat array is right)
+        import json
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = IndexConfig.from_json(self.meta["config"])
+        self.N = int(self.meta["N"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.doclen = np.zeros(self.N, dtype=np.int32)
+        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
+            t = pq.read_table(f, columns=["doc_id", "doclen"])
+            self.doclen[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
+
+    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
+        terms, stopword_only = analyze_query(query, self.cfg)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            by_shard.setdefault(shard_of(t, self.n_shards), []).append(t)
+        futures = {
+            s: self.shards[s].term_postings.remote(ts) for s, ts in by_shard.items()
+        }
+        fetched: dict[str, tuple] = {}
+        for s, fut in futures.items():
+            fetched.update(ray.get(fut))
+        decoded = []
+        for t in terms:  # fixed analyzer order — determinism
+            if t in fetched:
+                ids, tfs, df = fetched[t]
+                decoded.append((t, ids, tfs, df))
+            elif mode == "AND":
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        return score_decoded_terms(
+            decoded, self.doclen, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+        )
+
+
+class QueryEvaluator:
+    """Actor-pool batch evaluator: one LocalIndex per actor, queries
+    streamed through ``map_batches``."""
+
+    def __init__(self, index_dir: str, mode: str = "AND"):
+        self.index = LocalIndex(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        ks = batch["k"].to_numpy() if "k" in batch.column_names else None
+        for i, (qid, q) in enumerate(zip(batch["query_id"].to_pylist(), batch["query"].to_pylist())):
+            k = int(ks[i]) if ks is not None else DEFAULT_TOP_K
+            ids, sc = self.index.search(q, k, mode=self.mode)
+            qids.append(np.full(len(ids), qid, dtype=np.int32))
+            ranks.append(np.arange(1, len(ids) + 1, dtype=np.int32))
+            docs.append(ids)
+            scores.append(sc)
+        if not qids:
+            return pa.table(
+                {"query_id": pa.array([], pa.int32()), "rank": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), pa.int32()),
+                "rank": pa.array(np.concatenate(ranks), pa.int32()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "score": pa.array(np.concatenate(scores), pa.float64()),
+            }
+        )
+
+
+def evaluate_queries(
+    queries_ds, index_dir: str, mode: str = "AND", concurrency=(1, 4)
+):
+    """queries_ds: Dataset with (query_id, query[, k]) -> Dataset of
+    (query_id, rank, doc_id, score)."""
+    return queries_ds.map_batches(
+        QueryEvaluator,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def materialize_results(index_dir: str, topk: pd.DataFrame, snippet_len: int = 160) -> pd.DataFrame:
+    """Attach conv_id/turn_idx/text snippets to a top-k frame."""
+    docs = pq.read_table(
+        sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))),
+        columns=["doc_id", "conv_id", "turn_idx", "text"],
+    ).to_pandas()
+    out = topk.merge(docs, on="doc_id", how="left")
+    out["snippet"] = out["text"].str.slice(0, snippet_len)
+    return out.drop(columns=["text"]).sort_values(["query_id", "rank"] if "query_id" in out else ["rank"]).reset_index(drop=True)

@@ -144,47 +144,17 @@ class LocalIndex:
 
         if mode == "AND":
             # candidate range pruning: intersection is bounded by the
-            # tightest term's doc range
+            # tightest term's doc range — skip segments outside it
             lo = max(ts.first_doc[0] for _, ts in contributions)
             hi = min(ts.last_doc[-1] for _, ts in contributions)
             if lo > hi:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             decoded = [(t, *ts.decode(lo, hi), ts.df) for t, ts in contributions]
-            cand = decoded[0][1]
-            for _, ids, _, _ in decoded[1:]:
-                cand = _intersect_sorted(cand, ids)
-                if cand.size == 0:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-            scores = np.zeros(cand.size, dtype=np.float64)
-            dl = self.doclen[cand]
-            for _, ids, tfs, df in decoded:
-                pos = np.searchsorted(ids, cand)
-                tf_c = tfs[pos]
-                scores += scoring.bm25_term_scores(
-                    tf_c, dl, self.N, df, self.avgdl, self.cfg.k1, self.cfg.b
-                )
-            doc_ids = cand
         else:
-            all_ids, all_scores = [], []
-            for t, ts in contributions:
-                ids, tfs = ts.decode()
-                all_ids.append(ids)
-                all_scores.append(
-                    scoring.bm25_term_scores(
-                        tfs, self.doclen[ids], self.N, ts.df, self.avgdl,
-                        self.cfg.k1, self.cfg.b,
-                    )
-                )
-            ids = np.concatenate(all_ids)
-            sc = np.concatenate(all_scores)
-            doc_ids, inv = np.unique(ids, return_inverse=True)
-            scores = np.zeros(doc_ids.size, dtype=np.float64)
-            np.add.at(scores, inv, sc)
-
-        if stopword_only:
-            scores = scores * STOPWORD_PENALTY
-        idx = scoring.topk_indices(scores, doc_ids, k)
-        return doc_ids[idx], scores[idx]
+            decoded = [(t, *ts.decode(), ts.df) for t, ts in contributions]
+        return score_decoded_terms(
+            decoded, self.doclen, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+        )
 
     def search_df(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         import pandas as pd
@@ -197,6 +167,62 @@ class LocalIndex:
                 "score": scores,
             }
         )
+
+
+def score_decoded_terms(
+    decoded: list,
+    doclen: np.ndarray,
+    N: int,
+    avgdl: float,
+    cfg: IndexConfig,
+    k: int,
+    mode: str,
+    stopword_only: bool,
+):
+    """Shared final-scoring kernel: ``decoded`` is
+    ``[(term, doc_ids_sorted, tfs, global_df), ...]`` in analyzer term
+    order. Both the in-process and the sharded path end here, so their
+    results are bit-identical (fixed term order, float64 everywhere,
+    (score desc, doc_id asc) tie-break — SURVEY.md §7.4)."""
+    if not decoded:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if mode == "AND":
+        cand = decoded[0][1]
+        for _, ids, _, _ in decoded[1:]:
+            cand = _intersect_sorted(cand, ids)
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        dl = doclen[cand]
+        for _, ids, tfs, df in decoded:
+            pos = np.searchsorted(ids, cand)
+            scores += scoring.bm25_term_scores(
+                tfs[pos], dl, N, df, avgdl, cfg.k1, cfg.b
+            )
+        doc_ids = cand
+    else:
+        all_ids = [ids for _, ids, _, _ in decoded]
+        all_scores = [
+            scoring.bm25_term_scores(tfs, doclen[ids], N, df, avgdl, cfg.k1, cfg.b)
+            for _, ids, tfs, df in decoded
+        ]
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_scores)
+        doc_ids, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(doc_ids.size, dtype=np.float64)
+        np.add.at(scores, inv, sc)
+    if stopword_only:
+        scores = scores * STOPWORD_PENALTY
+    idx = scoring.topk_indices(scores, doc_ids, k)
+    return doc_ids[idx], scores[idx]
+
+
+def shard_of(term: str, n_shards: int) -> int:
+    """Deterministic term -> shard routing (stable across processes;
+    not Python hash(), which is seed-randomized)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_shards
 
 
 def load_logical_postings(index_dir: str, with_positions: bool = True) -> dict:

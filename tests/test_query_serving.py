@@ -1,0 +1,58 @@
+"""Sharded-actor and batch query paths vs LocalIndex vs oracle."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.corpus import make_queries, write_transcripts
+from search_engine_ray.pipelines.build_index import build_index
+from search_engine_ray.pipelines.search import (
+    ShardedSearcher,
+    evaluate_queries,
+    materialize_results,
+)
+from search_engine_ray.stages.query import LocalIndex
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    src = str(root / "transcripts")
+    write_transcripts(src, n_convs=100, turns_per_conv=5, seed=42, n_files=4)
+    d = str(root / "index")
+    build_index(src, d, IndexConfig(doc_bucket_size=512), n_partitions=2)
+    return d
+
+
+def test_sharded_matches_local(index_dir):
+    local = LocalIndex(index_dir)
+    sharded = ShardedSearcher(index_dir, n_shards=3)
+    for mode in ("AND", "OR"):
+        for q in ["running meetings", "the", "Ray Data engine", "zzznope", "the of and"]:
+            a_ids, a_sc = local.search(q, 50, mode=mode)
+            b_ids, b_sc = sharded.search(q, 50, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_batch_evaluation(index_dir):
+    local = LocalIndex(index_dir)
+    queries = make_queries(12)
+    ds = ray.data.from_pandas(queries)
+    out = evaluate_queries(ds, index_dir, mode="AND", concurrency=(1, 2)).to_pandas()
+    for _, row in queries.iterrows():
+        ids, sc = local.search(row["query"], int(row["k"]), mode="AND")
+        got = out[out["query_id"] == row["query_id"]].sort_values("rank")
+        assert got["doc_id"].tolist() == ids.tolist(), row["query"]
+        np.testing.assert_array_equal(got["score"].to_numpy(), sc)
+
+
+def test_materialize_results(index_dir):
+    local = LocalIndex(index_dir)
+    df = local.search_df("running", 10)
+    df["query_id"] = 0
+    out = materialize_results(index_dir, df)
+    assert {"rank", "doc_id", "conv_id", "turn_idx", "score", "snippet"} <= set(out.columns)
+    assert len(out) == len(df)
+    assert out["conv_id"].notna().all()
