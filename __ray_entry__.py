@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in the library code these call.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every implemented operator from SURVEY.md §2 (plus the training-data
+ops) has a ``queries()`` entry; SQL-expressible ones have a matching
+``oracle_sql()`` entry with identical column names. Money/float columns
+are integer cents or explicitly rounded on BOTH sides so value hashes
+cannot diverge on float summation order.
 """
 
 from __future__ import annotations
@@ -18,27 +15,35 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from search_engine_ray.ops import relational
+from search_engine_ray.ops import text_ops
+from search_engine_ray.ops import dedup
+from search_engine_ray.ops import knn
+from search_engine_ray.ops import search_ops
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: build the full inverted index over
+    the transcripts derived from ``documents`` and evaluate the
+    reference query set with BM25; returns the top-k result table."""
+    return search_ops.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.RAY_QUERIES)
+    out.update(text_ops.RAY_QUERIES)
+    out.update(dedup.RAY_QUERIES)
+    out.update(knn.RAY_QUERIES)
+    out.update(search_ops.RAY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(text_ops.ORACLE_SQL)
+    out.update(dedup.ORACLE_SQL)
+    out.update(knn.ORACLE_SQL)
+    out.update(search_ops.ORACLE_SQL)
+    return out

@@ -1,0 +1,414 @@
+"""Flame-operator parity, expressed Ray-Data-first over the sf tables.
+
+Each entry below reimplements one generic dataflow operator from the
+reference's Flame engine (SURVEY.md §2.1,
+`/root/reference/homework_code/flame/FlameRDD.java` /
+``FlamePairRDD.java`` / ``Worker.java``) as an idiomatic Ray Data
+pipeline with a DuckDB-checkable oracle.
+
+Money amounts are summed as integer cents
+(``round(x*100) -> int64``) so float-summation order cannot perturb
+the result between Ray and DuckDB; inputs carry exactly 2 decimals so
+the rounding is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), 0), pa.int64())
+
+
+def _rev_e4(t: pa.Table) -> pa.Array:
+    """revenue = extendedprice * (1 - discount), kept as an EXACT
+    integer in 1e-4 dollar units: price has 2 decimals and discount 2
+    decimals, so price_cents * (100 - disc_percent) is exact — no
+    float rounding anywhere, hence bit-identical to the SQL oracle."""
+    price_cents = _cents(t["l_extendedprice"])
+    disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0)), 0), pa.int64())
+    return pc.multiply(price_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+
+
+_SQL_REV_E4 = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+# ---- count() (FlameRDD.count, FlameRDDImpl.java:103-105) ----
+
+def flame_count(sf_dir: str):
+    n = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+SQL_COUNT = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+# ---- filter() (FlameRDD.filter, flame/Worker.java:580-614) ----
+
+def flame_filter(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], pa.scalar(49.0))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49"
+)
+
+
+# ---- map / fromTable projection (flame/Worker.java:305-337) ----
+
+def flame_map(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue_e4": _rev_e4(t),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_MAP = f"""
+SELECT l_orderkey, l_linenumber, {_SQL_REV_E4} AS revenue_e4
+FROM lineitem
+"""
+
+
+# ---- foldByKey / grouped aggregate (FlamePairRDD.foldByKey,
+#      flame/Worker.java:117-156) — TPC-H-Q1-shaped ----
+
+def flame_fold_by_key(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_e4": _rev_e4(t),
+            }
+        )
+
+    from ray.data.aggregate import Sum, Count
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_FOLD_BY_KEY = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM({_SQL_REV_E4}) AS sum_disc_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---- distinct() (FlameRDD.distinct, flame/Worker.java:463-491) ----
+
+def flame_distinct(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---- sample() (FlameRDD.sample, flame/Worker.java:225-260) —
+#      deterministic variant so the oracle can reproduce it ----
+
+def flame_sample(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], pa.scalar(15)), pa.scalar(3))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE = "SELECT o_orderkey FROM orders WHERE o_orderkey % 16 = 3"
+
+
+# ---- join() (FlamePairRDD.join, flame/Worker.java:493-529) —
+#      broadcast (small-side) hash join: customer is ray.put once ----
+
+def flame_join_broadcast(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class AttachSegment:
+        def __init__(self):
+            self.lookup = ray.get(cust_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = np.array(
+                [self.lookup.get(k) for k in t["o_custkey"].to_pylist()], dtype=object
+            )
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "price_cents": _cents(t["o_totalprice"]),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    from ray.data.aggregate import Sum, Count
+
+    return (
+        ds.map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---- join() large-large: Ray Data hash join (Dataset.join) ----
+
+def flame_join_hash(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_e4": _rev_e4(t),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum, Count
+
+    return (
+        joined.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_lines"), Sum("rev_e4", alias_name="rev_e4"))
+    )
+
+
+SQL_JOIN_HASH = f"""
+SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+       SUM({_SQL_REV_E4.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS rev_e4
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+# ---- cogroup() (FlamePairRDD.cogroup, flame/Worker.java:661-708):
+#      all customers with their order aggregates, including orderless ----
+
+def flame_cogroup(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    orders_per_cust = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["c_custkey"], "acctbal_cents": _cents(t["c_acctbal"])}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cust.join(
+        orders_per_cust, join_type="left_outer", num_partitions=4,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "acctbal_cents": t["acctbal_cents"],
+                "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COGROUP = """
+SELECT c.c_custkey,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---- intersection() (FlameRDD.intersection, flame/Worker.java:191-223) ----
+
+def flame_intersection(sf_dir: str):
+    custs_with_orders = _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    cust_keys = set(_read(sf_dir, "customer", columns=["c_custkey"]).unique("c_custkey"))
+    keys = sorted(k for k in custs_with_orders if k in cust_keys)
+    return pa.table({"key": pa.array(keys, pa.int64())})
+
+
+SQL_INTERSECTION = """
+SELECT c_custkey AS key FROM customer
+INTERSECT
+SELECT o_custkey AS key FROM orders
+"""
+
+
+# ---- sort + take (FlameRDD.take / driver sortTopN, Search.java:116-131) ----
+
+def flame_sort_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SORT_TOPK = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---- global fold() (FlameRDD.fold, flame/Worker.java:531-578) ----
+
+def flame_fold_global(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_discount"])
+    pre = ds.map_batches(
+        lambda t: pa.table({"rev_e4": _rev_e4(t)}),
+        batch_format="pyarrow",
+    )
+    total = pre.sum("rev_e4")
+    n = pre.count()
+    return pa.table({"rev_e4": pa.array([int(total)], pa.int64()),
+                     "n": pa.array([n], pa.int64())})
+
+
+SQL_FOLD_GLOBAL = f"""
+SELECT SUM({_SQL_REV_E4}) AS rev_e4,
+       COUNT(*) AS n
+FROM lineitem
+"""
+
+
+# ---- tumbling-window aggregate over the events stream table
+#      (streaming-shaped capability; reference has none — noted
+#      SURVEY.md §2.5 — expressed as groupby over event-time buckets) ----
+
+def events_window(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "window_start": hour,
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    from ray.data.aggregate import Sum, Count
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+RAY_QUERIES = {
+    "flame_count": flame_count,
+    "flame_filter": flame_filter,
+    "flame_map": flame_map,
+    "flame_fold_by_key": flame_fold_by_key,
+    "flame_distinct": flame_distinct,
+    "flame_sample": flame_sample,
+    "flame_join_broadcast": flame_join_broadcast,
+    "flame_join_hash": flame_join_hash,
+    "flame_cogroup": flame_cogroup,
+    "flame_intersection": flame_intersection,
+    "flame_sort_topk": flame_sort_topk,
+    "flame_fold_global": flame_fold_global,
+    "events_window": events_window,
+}
+
+ORACLE_SQL = {
+    "flame_count": SQL_COUNT,
+    "flame_filter": SQL_FILTER,
+    "flame_map": SQL_MAP,
+    "flame_fold_by_key": SQL_FOLD_BY_KEY,
+    "flame_distinct": SQL_DISTINCT,
+    "flame_sample": SQL_SAMPLE,
+    "flame_join_broadcast": SQL_JOIN_BROADCAST,
+    "flame_join_hash": SQL_JOIN_HASH,
+    "flame_cogroup": SQL_COGROUP,
+    "flame_intersection": SQL_INTERSECTION,
+    "flame_sort_topk": SQL_SORT_TOPK,
+    "flame_fold_global": SQL_FOLD_GLOBAL,
+    "events_window": SQL_EVENTS_WINDOW,
+}

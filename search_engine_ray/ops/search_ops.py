@@ -1,0 +1,292 @@
+"""Search-engine operators for the correctness gate.
+
+The driver's tables contain no transcripts, so these ops derive a
+transcript table deterministically from ``documents`` (the mapping is
+reproduced verbatim in the oracle SQL CTE — see
+``corpus.TRANSCRIPTS_FROM_DOCUMENTS_SQL``), build a real index with the
+full Ray pipeline (doc-id sort, actor-pool partial build, term-shuffle
+merge, varbyte segments), and answer through the real query engine.
+
+The SQL-checked BM25 entries run the analyzer in raw mode
+(``stemming=False``) because DuckDB has no offline Porter stemmer; the
+stemmed path is exercised by ``bm25_stemmed_topk`` (rows-only here,
+rank-identical-to-oracle in tests/test_index_build.py). Scores are
+rounded to 6 decimals and re-ranked (score_r6 desc, doc_id asc) on
+BOTH sides so float summation order cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import IndexConfig, SKIP_WORDS
+from ..corpus import (
+    TRANSCRIPTS_FROM_DOCUMENTS_SQL,
+    transcripts_from_documents_batch,
+)
+from ..pipelines.build_index import build_index
+from ..pipelines.search import evaluate_queries, materialize_results
+from ..stages.query import LocalIndex
+from ..state.checkpoint import atomic_dir, is_complete
+
+_CACHE_ROOT = "/tmp/seray_cache"
+
+_SKIP_SQL = ",".join(f"'{w}'" for w in sorted(SKIP_WORDS))
+
+# doc_id = rank under ascending (conv_id, turn_idx) — computed with
+# row_number so the oracle does not assume documents.doc_id is dense.
+_TR_CTE = f"""
+tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+tr AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, *
+    FROM tr0
+),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+')) AS term
+    FROM tr
+),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+toks_idx AS (
+    SELECT * FROM toks_ne
+    WHERE length(term) <= 20 AND term NOT IN ({_SKIP_SQL})
+),
+docstats AS (
+    SELECT tr.doc_id, COUNT(t.term) AS doclen
+    FROM tr LEFT JOIN toks_ne t ON tr.doc_id = t.doc_id
+    GROUP BY tr.doc_id
+),
+corpus AS (SELECT COUNT(*) AS N, AVG(doclen * 1.0) AS avgdl FROM docstats)
+"""
+
+
+def _fingerprint_file(path: str) -> str:
+    st = os.stat(path)
+    return hashlib.sha1(f"{path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+
+
+def transcripts_dir(sf_dir: str) -> str:
+    """Materialize the derived transcript table once per sf_dir."""
+    fp = _fingerprint_file(f"{sf_dir}/documents.parquet")
+    out = os.path.join(_CACHE_ROOT, f"tr-{fp}")
+    if not is_complete(out, fp):
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        with atomic_dir(out, fp, stage="transcripts") as ck:
+            ds.map_batches(
+                transcripts_from_documents_batch, batch_format="pyarrow"
+            ).write_parquet(ck.tmp)
+            ck.commit()
+    return out
+
+
+def ensure_index(sf_dir: str, variant: str = "raw") -> str:
+    """Build (once, resume-aware) the index over the derived
+    transcripts. variant: 'raw' (no stemming — SQL-comparable) or
+    'stemmed' (full reference semantics)."""
+    cfg = (
+        IndexConfig(stemming=False, positions=False)
+        if variant == "raw"
+        else IndexConfig()
+    )
+    tdir = transcripts_dir(sf_dir)
+    idx = os.path.join(_CACHE_ROOT, f"idx-{os.path.basename(tdir)[3:]}-{variant}")
+    build_index(tdir, idx, cfg, n_partitions=2)
+    return idx
+
+
+# ---- doc-id assignment + doclen as a checkable op ----
+
+def transcripts_docids(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        sorted(glob.glob(os.path.join(idx, "docs", "*.parquet"))),
+        columns=["conv_id", "turn_idx", "doc_id", "doclen"],
+    )
+    return t.set_column(
+        t.schema.get_field_index("doclen"), "doclen", t["doclen"].cast(pa.int64())
+    )
+
+
+SQL_TRANSCRIPTS_DOCIDS = f"""
+WITH {_TR_CTE}
+SELECT tr.conv_id, tr.turn_idx, tr.doc_id, ds.doclen
+FROM tr JOIN docstats ds ON tr.doc_id = ds.doc_id
+"""
+
+
+# ---- decoded postings of probe terms, straight from the segments ----
+
+_PROBE_TERMS = ["hash", "join", "scan", "window", "vector", "customer"]
+
+
+def postings_probe(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    terms_out, docs_out, tfs_out = [], [], []
+    for term in _PROBE_TERMS:
+        ids, tfs = li.term_postings(term)
+        terms_out.extend([term] * len(ids))
+        docs_out.extend(ids.tolist())
+        tfs_out.extend(tfs.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+SQL_POSTINGS_PROBE = f"""
+WITH {_TR_CTE}
+SELECT term, doc_id, COUNT(*) AS tf
+FROM toks_idx
+WHERE term IN ({",".join(f"'{t}'" for t in _PROBE_TERMS)})
+GROUP BY term, doc_id
+"""
+
+
+# ---- BM25 top-k through the real engine, SQL-mirrored ----
+
+_BM25_QUERIES = [
+    (0, "hash join"),
+    (1, "scan window vector"),
+    (2, "data stream"),
+    (3, "merge batch filter"),
+]
+_K = 200
+
+
+def _bm25(sf_dir: str, mode: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, q in _BM25_QUERIES:
+        ids, scores = li.search(q, k=10**9, mode=mode)
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def bm25_topk_and(sf_dir: str):
+    return _bm25(sf_dir, "AND")
+
+
+def bm25_topk_or(sf_dir: str):
+    return _bm25(sf_dir, "OR")
+
+
+def _bm25_sql(conjunctive: bool) -> str:
+    values = ", ".join(
+        f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
+    )
+    and_clause = "JOIN qsize USING (query_id) WHERE nterms = qsize.nt" if conjunctive else ""
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+qsize AS (SELECT query_id, COUNT(*) AS nt FROM qterms GROUP BY query_id),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score, COUNT(*) AS nterms
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored {and_clause}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
+# ---- stemmed path (full reference semantics; rows-only here, oracle-
+#      checked in pytest) ----
+
+def bm25_stemmed_topk(sf_dir: str):
+    idx = ensure_index(sf_dir, "stemmed")
+    li = LocalIndex(idx)
+    out = []
+    for qid, q in [(0, "hashing joins"), (1, "scanning windows"), (2, "merged batches")]:
+        ids, scores = li.search(q, k=50, mode="OR")
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids), qid, dtype=np.int64),
+                    "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
+                    "doc_id": ids,
+                    "score": np.round(scores, 6),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+# ---- flagship (entry()): full stemmed pipeline + batch evaluation ----
+
+def flagship(sf_dir: str):
+    idx = ensure_index(sf_dir, "stemmed")
+    queries = pd.DataFrame(
+        {
+            "query_id": np.arange(6, dtype=np.int32),
+            "query": [
+                "hash join", "scanning windows", "customer orders",
+                "merge batch filter", "the of and", "spark streaming",
+            ],
+            "k": np.full(6, 20, dtype=np.int32),
+        }
+    )
+    topk = evaluate_queries(
+        ray.data.from_pandas(queries), idx, mode="OR", concurrency=(1, 2)
+    ).to_pandas()
+    return materialize_results(idx, topk)
+
+
+RAY_QUERIES = {
+    "transcripts_docids": transcripts_docids,
+    "postings_probe": postings_probe,
+    "bm25_topk_and": bm25_topk_and,
+    "bm25_topk_or": bm25_topk_or,
+    "bm25_stemmed_topk": bm25_stemmed_topk,
+}
+
+ORACLE_SQL = {
+    "transcripts_docids": SQL_TRANSCRIPTS_DOCIDS,
+    "postings_probe": SQL_POSTINGS_PROBE,
+    "bm25_topk_and": _bm25_sql(True),
+    "bm25_topk_or": _bm25_sql(False),
+}

@@ -1,0 +1,232 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Tokenization semantics are the engine's normative ones (lowercase,
+10k-char truncation, ``[^0-9a-z]+`` split, 20-char cap, 12-word skip
+list — `/root/reference/src/cis5550/jobs/Indexer.java:33-38,129-169`),
+mirrored exactly in the DuckDB oracle SQL. Ratios are rounded to 6
+decimals on both sides so value hashes cannot diverge on float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
+from ..functions.analysis import split_tokens
+
+_SKIP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(SKIP_WORDS))
+_STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
+
+_TOKS_CTE = f"""
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+')) AS term
+    FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+toks_idx AS (
+    SELECT * FROM toks_ne
+    WHERE length(term) <= 20 AND term NOT IN ({_SKIP_SQL})
+)
+"""
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---- term statistics (df + collection tf) — the dictionary build as a
+#      standalone op; pre-aggregated per batch before the term shuffle ----
+
+def term_stats(sf_dir: str):
+    cfg = IndexConfig(stemming=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc_idx, tok, _pos, lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
+        keep = (lens <= cfg.max_word_len) & ~np.isin(tok, _SKIP_ARR)
+        tok, doc_idx = tok[keep], doc_idx[keep]
+        if len(tok) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        uniq, inv = np.unique(tok, return_inverse=True)
+        key = inv.astype(np.int64) * (doc_idx.max() + 1) + doc_idx
+        _, first_idx, counts = np.unique(key, return_index=True, return_counts=True)
+        term_of_entry = inv[first_idx]
+        df = np.bincount(term_of_entry, minlength=len(uniq))
+        tf = np.bincount(inv)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()),
+             "df": pa.array(df, pa.int64()),
+             "tf": pa.array(tf, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+
+
+_SKIP_ARR = np.array(sorted(SKIP_WORDS), dtype=object)
+
+SQL_TERM_STATS = f"""
+WITH {_TOKS_CTE}
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM toks_idx GROUP BY term
+"""
+
+
+# ---- per-doc stats (doclen = non-empty token count, pre-filter) ----
+
+def doc_stats(sf_dir: str):
+    cfg = IndexConfig(stemming=False)
+
+    def stats(t: pa.Table) -> pa.Table:
+        *_, doclens = split_tokens(t["text"].combine_chunks(), cfg)
+        return pa.table(
+            {"doc_id": t["doc_id"], "doclen": pa.array(doclens.astype(np.int64), pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                       x -> x <> '')) AS doclen
+FROM documents
+"""
+
+
+# ---- quality scoring (length / character-class ratios) ----
+
+def text_quality(sf_dir: str):
+    cfg = IndexConfig(stemming=False)
+
+    def quality(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^0-9]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        *_, doclens = split_tokens(text, cfg)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(doclens.astype(np.int64), pa.int64()),
+                "alpha_ratio": pa.array(np.round(alpha / denom, 6), pa.float64()),
+                "digit_ratio": pa.array(np.round(digit / denom, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(quality, batch_format="pyarrow")
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                       x -> x <> '')) AS n_tokens,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents
+"""
+
+
+# ---- language ID (n-gram/stopword heuristic) ----
+
+def lang_id(sf_dir: str):
+    cfg = IndexConfig(stemming=False)
+    stop_arr = np.array(sorted(STOPWORDS), dtype=object)
+
+    def lid(t: pa.Table) -> pa.Table:
+        doc_idx, tok, _pos, _lens, doclens = split_tokens(t["text"].combine_chunks(), cfg)
+        is_stop = np.isin(tok, stop_arr)
+        n_stop = np.bincount(doc_idx[is_stop], minlength=t.num_rows).astype(np.int64)
+        ratio = np.round(n_stop / np.maximum(doclens, 1), 6)
+        pred = np.where(ratio >= 0.05, "en", "unknown")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "stopword_ratio": pa.array(ratio, pa.float64()),
+                "lang_pred": pa.array(pred, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(lid, batch_format="pyarrow")
+
+
+SQL_LANG_ID = f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+    SELECT d.doc_id,
+           COALESCE(SUM(CASE WHEN t.term IN ({_STOP_SQL}) THEN 1 ELSE 0 END), 0) AS n_stop,
+           COUNT(t.term) AS n_tok
+    FROM documents d LEFT JOIN toks_ne t ON d.doc_id = t.doc_id
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
+       CASE WHEN n_stop * 1.0 / greatest(n_tok, 1) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM per_doc
+"""
+
+
+# ---- document fingerprint (rolling polynomial hash over tokens) ----
+
+def fingerprint(sf_dir: str):
+    """Deterministic 64-bit polynomial rolling hash of the token
+    stream (mod 2^61-1) — content fingerprinting for exact-dup
+    detection at scale. Not SQL-expressible; rows-only check."""
+    cfg = IndexConfig(stemming=False)
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fp(t: pa.Table) -> pa.Table:
+        import zlib
+
+        doc_idx, tok, *_rest = split_tokens(t["text"].combine_chunks(), cfg)
+        n = t.num_rows
+        out = np.zeros(n, dtype=np.int64)
+        token_h = [zlib.crc32(s.encode("utf-8")) for s in tok]
+        bounds = np.searchsorted(doc_idx, np.arange(n + 1))
+        for d in range(n):
+            h = 0
+            for v in token_h[bounds[d] : bounds[d + 1]]:
+                h = (h * BASE + v) % MOD
+            out[d] = h
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(out, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+RAY_QUERIES = {
+    "term_stats": term_stats,
+    "doc_stats": doc_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": fingerprint,
+}
+
+ORACLE_SQL = {
+    "term_stats": SQL_TERM_STATS,
+    "doc_stats": SQL_DOC_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+}
