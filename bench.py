@@ -1,0 +1,227 @@
+"""Benchmark entry point (driver contract + scaling evidence).
+
+Default mode: one Ray session at ``$RAY_GRAFT_CPUS`` (default 32) CPUs
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1); times the
+headline pipelines and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": ..., "query_p95_ms": ...}
+
+``--scaling``: runs the headline index build twice in FRESH processes
+(num_cpus=8 then num_cpus=32) over the SAME pre-materialized corpus and
+reports both throughputs + scaling efficiency ``(thr32/thr8)/4``
+(sandbox stand-in for the N->4N-node criterion, SURVEY.md §4).
+
+Headline input is the deterministic synthetic transcript corpus
+(FIXTURES.md §1; corpus.make_transcripts) scaled by sf — the
+``input_hint`` shape has no counterpart in the driver tables — plus a
+set of representative gate ops timed directly over $GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+
+BENCH_ROOT = "/tmp/seray_bench"
+N_QUERIES = 50
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _quiet_ray(num_cpus: int):
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    """Materialize (once) the synthetic bench corpus scaled by sf:
+    sf=0.1 -> 120k turns. Cached under /tmp, shared by scaling runs."""
+    from search_engine_ray.corpus import write_transcripts
+
+    n_convs = max(200, int(12_000 * sf / 0.1))
+    turns = n_convs * 10
+    out = os.path.join(BENCH_ROOT, f"corpus-{turns}")
+    write_transcripts(out, n_convs=n_convs, turns_per_conv=10, n_files=32)
+    return out, turns
+
+
+def bench_build(corpus_dir: str, run_tag: str) -> float:
+    """Fresh full stemmed index build; returns seconds."""
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.pipelines.build_index import build_index
+
+    idx = os.path.join(BENCH_ROOT, f"idx-{run_tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(corpus_dir, idx, IndexConfig(), n_partitions=8)
+    return time.monotonic() - t0
+
+
+def bench_queries(run_tag: str) -> dict:
+    """Batch-eval throughput + per-query p95 latency over the index
+    built by bench_build (same run_tag)."""
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.corpus import make_queries
+    from search_engine_ray.pipelines.search import ShardedSearcher, evaluate_queries
+
+    idx = os.path.join(BENCH_ROOT, f"idx-{run_tag}")
+    qdf = make_queries(N_QUERIES)
+
+    t0 = time.monotonic()
+    evaluate_queries(
+        ray.data.from_pandas(qdf), idx, mode="OR", concurrency=(2, 8)
+    ).materialize()
+    batch_s = time.monotonic() - t0
+
+    searcher = ShardedSearcher(idx, n_shards=4)
+    for q in qdf["query"].head(5):
+        searcher.search(q, 200, mode="OR")
+    lat = []
+    for q, k in zip(qdf["query"], qdf["k"]):
+        t0 = time.monotonic()
+        searcher.search(q, int(k), mode="OR")
+        lat.append(time.monotonic() - t0)
+    return {
+        "query_batch": round(batch_s, 3),
+        "query_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+        "query_mean_ms": round(float(np.mean(lat)) * 1000, 2),
+    }
+
+
+GATE_OPS = ["bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine", "events_window"]
+
+
+def bench_gate_ops(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in GATE_OPS:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        # consume lazily-returned datasets
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_main(sf_dir: str, num_cpus: int) -> None:
+    ray = _quiet_ray(num_cpus)
+    sf = _sf_of(sf_dir)
+    corpus_dir, turns = ensure_corpus(sf)
+    tag = f"main-{turns}"
+
+    queries: dict[str, float] = {}
+    build_s = bench_build(corpus_dir, tag)
+    queries["index_build"] = round(build_s, 3)
+    queries.update(bench_queries(tag))
+    queries.update(bench_gate_ops(sf_dir))
+
+    total = sum(v for k, v in queries.items() if not k.endswith("_ms"))
+    print(json.dumps({
+        "metric": "index-build + BM25 query over transcript corpus",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / build_s, 1),
+        "query_p95_ms": queries["query_p95_ms"],
+    }))
+    ray.shutdown()
+
+
+def run_child(corpus_dir: str, num_cpus: int, out_path: str) -> None:
+    ray = _quiet_ray(num_cpus)
+    tag = f"scale-{num_cpus}"
+    secs = bench_build(corpus_dir, tag)
+    shutil.rmtree(os.path.join(BENCH_ROOT, f"idx-{tag}"), ignore_errors=True)
+    with open(out_path, "w") as f:
+        json.dump({"num_cpus": num_cpus, "seconds": round(secs, 3)}, f)
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str, cpus_hi: int) -> None:
+    """Same input, two fresh processes at 8 vs 32 CPUs (N vs 4N)."""
+    sf = _sf_of(sf_dir)
+    corpus_dir, turns = ensure_corpus(sf)
+    cpus_lo = max(2, cpus_hi // 4)
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        out = os.path.join(BENCH_ROOT, f"scale-{n}.json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--corpus", corpus_dir, "--cpus", str(n), "--out", out],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            results[n] = json.load(f)["seconds"]
+    thr = {n: turns / s for n, s in results.items()}
+    eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
+    print(json.dumps({
+        "metric": "index-build scaling efficiency (N vs 4N CPUs, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {f"build_cpus{n}": round(results[n], 3) for n in results},
+        "sf": sf,
+        "num_cpus": cpus_hi,
+        "turns": turns,
+        "throughput_turns_per_sec": {str(n): round(t, 1) for n, t in thr.items()},
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--child", action="store_true")
+    p.add_argument("--corpus")
+    p.add_argument("--out")
+    p.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    a = p.parse_args()
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    if a.child:
+        run_child(a.corpus, a.cpus, a.out)
+    elif a.scaling:
+        run_scaling(a.sf_dir, a.cpus)
+    else:
+        run_main(a.sf_dir, a.cpus)
+
+
+if __name__ == "__main__":
+    main()
