@@ -88,20 +88,22 @@ def make_transcripts(
     ranks = rng.zipf(1.3, size=total)
     ranks = np.minimum(ranks, vocab_size) - 1
     words = vocab[ranks]
-    joined = []
     offs = np.concatenate([[0], np.cumsum(n_tok)])
     seps = np.array([" ", " ", " ", ", ", "  ", "\n", "! "], dtype=object)
     sep_pick = seps[rng.integers(0, len(seps), size=total)]
-    for i in range(n):
-        w = words[offs[i] : offs[i + 1]]
-        s = sep_pick[offs[i] : offs[i + 1]]
-        if len(w) == 0:
-            joined.append("")
-            continue
-        parts = np.empty(2 * len(w), dtype=object)
-        parts[0::2] = w
-        parts[1::2] = s
-        joined.append("".join(parts[:-1]))
+    # vectorized join: interleave word/separator into one flat array,
+    # blank out each row's trailing separator, list-join with ""
+    import pyarrow.compute as pc
+
+    flat = np.empty(2 * total, dtype=object)
+    flat[0::2] = words
+    flat[1::2] = sep_pick
+    trail = 2 * offs[1:] - 1
+    flat[trail[trail >= 0]] = ""  # rows with 0 tokens contribute no slot
+    la = pa.LargeListArray.from_arrays(
+        pa.array(2 * offs, pa.int64()), pa.array(flat, pa.string())
+    )
+    joined = pc.binary_join(la, "").to_pylist()
     # a few >10,000-char turns to exercise truncation
     for i in range(0, n, long_turn_every):
         joined[i] = (joined[i] + " padzz") * (12_000 // max(1, len(joined[i]) + 6) + 1)

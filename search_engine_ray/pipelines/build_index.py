@@ -38,8 +38,8 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..stages.doc_ids import assign_doc_ids
-from ..stages.index_build import PartialIndexBuilder
+from ..stages.doc_ids import assign_doc_ids, assign_doc_ids_files
+from ..stages.index_build import PartialIndexBuilder, build_partials_task
 from ..stages.merge import merge_partials
 from ..state.checkpoint import atomic_dir, is_complete, read_manifest
 
@@ -79,13 +79,16 @@ def build_index(
     n_partitions: int = 4,
     stop_after_partition: int | None = None,
     concurrency=None,
+    builder: str = "tasks",
 ) -> dict:
     """Build (or resume building) an index; returns the meta dict.
 
     ``source``: parquet path / glob / list of paths, or a
     ray.data.Dataset of transcript turns. ``stop_after_partition``:
     test hook that aborts after N segment partitions (simulated kill
-    for the resume test).
+    for the resume test). ``builder``: "tasks" (default; stemmer cache
+    as worker global, reuses prestarted workers) or "actors"
+    (PartialIndexBuilder pool, for heavy per-worker state).
     """
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
@@ -99,9 +102,22 @@ def build_index(
         fp = _fingerprint(f"dataset:{source.count()}")
     if not is_complete(docs_dir, fp):
         t0 = time.monotonic()
-        ds = ray.data.read_parquet(_expand(source)) if isinstance(source, (str, list)) else source
+        ids = None
+        if isinstance(source, (str, list)):
+            # prefix-sum fast path: no all-to-all when files are already
+            # (conv_id, turn_idx)-ordered (SURVEY.md §7.2 step 3)
+            ids = assign_doc_ids_files(_expand(source), cfg)
+            if ids is not None:
+                timings["docs_path"] = "prefix_sum"
         with atomic_dir(docs_dir, fp, stage="docs") as ck:
-            ids = assign_doc_ids(ds, cfg)
+            if ids is None:
+                timings["docs_path"] = "sort"
+                ds = (
+                    ray.data.read_parquet(_expand(source))
+                    if isinstance(source, (str, list))
+                    else source
+                )
+                ids = assign_doc_ids(ds, cfg)
             ids.write_parquet(ck.tmp)
             n_docs = int(ids.count() or 0)
             sum_dl = int(ids.sum("doclen") or 0) if n_docs else 0
@@ -113,7 +129,13 @@ def build_index(
     avgdl = (docs_manifest["sum_doclen"] / N) if N else 0.0
     docs_files = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
 
-    # ---- stage B: per-partition build + merge -> segments ----
+    # ---- stage B: wave build of incomplete partitions -> segments ----
+    # All incomplete doc-range partitions are built by ONE pipeline (one
+    # actor pool, one term-keyed merge shuffle) and then committed
+    # per-partition — sequential per-partition pipelines pay actor-pool
+    # startup + shuffle setup once per partition and scale negatively.
+    # At cluster scale, cap a wave with ``partitions_per_wave`` so a
+    # mid-wave failure bounds the redone work.
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
     groups = [list(g) for g in np.array_split(docs_files, min(n_partitions, max(1, len(docs_files)))) if len(g)]
@@ -128,35 +150,73 @@ def build_index(
             k = -1
         if k < 0 or k >= len(groups):
             shutil.rmtree(d, ignore_errors=True)
-    seg_fps = []
-    for k, files in enumerate(groups):
-        part_dir = os.path.join(seg_root, f"part={k:05d}")
-        part_fp = _fingerprint(list(files))
-        seg_fps.append(part_fp)
-        if is_complete(part_dir, part_fp):
-            continue
-        if stop_after_partition is not None and k >= stop_after_partition:
-            raise BuildAborted(f"aborted before partition {k} (test hook)")
+
+    part_bounds = _part_first_docs(groups)
+    seg_fps = [_fingerprint(list(files)) for files in groups]
+    todo = [
+        k for k in range(len(groups))
+        if not is_complete(os.path.join(seg_root, f"part={k:05d}"), seg_fps[k])
+    ]
+    aborting = False
+    if stop_after_partition is not None and any(k >= stop_after_partition for k in todo):
+        aborting = True
+        todo = [k for k in todo if k < stop_after_partition]
+
+    if todo:
         t0 = time.monotonic()
-        if concurrency is None:
-            ncpu = int(ray.cluster_resources().get("CPU", 4))
-            concurrency = (1, max(1, ncpu))
-        part_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
-        partials = part_ds.map_batches(
-            PartialIndexBuilder,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=concurrency,
-        )
+        files = [f for k in todo for f in groups[k]]
+        wave_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
+        if builder == "actors":
+            if concurrency is None:
+                ncpu = int(ray.cluster_resources().get("CPU", 4))
+                concurrency = (1, max(1, ncpu))
+            partials = wave_ds.map_batches(
+                PartialIndexBuilder,
+                fn_constructor_kwargs={"cfg": cfg, "part_bounds": part_bounds},
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=concurrency,
+            )
+        else:
+            partials = wave_ds.map_batches(
+                build_partials_task,
+                fn_kwargs={"cfg": cfg, "part_bounds": part_bounds},
+                batch_format="pyarrow",
+                batch_size=None,
+            )
         merged = merge_partials(partials, cfg)
-        with atomic_dir(
-            part_dir, part_fp, stage="segments", inputs=[os.path.basename(f) for f in files]
-        ) as ck:
-            merged.write_parquet(ck.tmp)
-            n_segments = sum(_pq_rows(f) for f in _glob.glob(os.path.join(ck.tmp, "*.parquet")))
-            ck.commit(n_segments=int(n_segments))
-        timings[f"segments[{k}]"] = round(time.monotonic() - t0, 3)
+        wave_tmp = os.path.join(seg_root, "_wave.tmp")
+        shutil.rmtree(wave_tmp, ignore_errors=True)
+        merged.write_parquet(wave_tmp, partition_cols=["part"])
+        wave_s = round(time.monotonic() - t0, 3)
+        for k in todo:
+            src = os.path.join(wave_tmp, f"part={k}")
+            os.makedirs(src, exist_ok=True)  # partition with zero postings
+            n_segments = sum(_pq_rows(f) for f in _glob.glob(os.path.join(src, "*.parquet")))
+            manifest = {
+                "fingerprint": seg_fps[k],
+                "stage": "segments",
+                "inputs": [os.path.basename(f) for f in groups[k]],
+                "n_segments": int(n_segments),
+                "seconds": wave_s,
+                "wave": todo,
+            }
+            mpath = os.path.join(src, "_MANIFEST.json")
+            with open(mpath, "w") as mf:
+                json.dump(manifest, mf, indent=1)
+                mf.flush()
+                os.fsync(mf.fileno())
+            final = os.path.join(seg_root, f"part={k:05d}")
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(src, final)
+        shutil.rmtree(wave_tmp, ignore_errors=True)
+        timings["segments_wave"] = wave_s
+        timings["segments_parts"] = len(todo)
+    if aborting:
+        raise BuildAborted(
+            f"aborted before partition {stop_after_partition} (test hook)"
+        )
 
     # ---- stage C: dictionary (global term stats) ----
     dict_dir = os.path.join(index_dir, "dictionary")
@@ -195,3 +255,48 @@ def _pq_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.read_metadata(path).num_rows
+
+
+def _file_doc_range(path: str) -> tuple[int, int]:
+    """(min, max) doc_id of one docs file, from parquet row-group stats
+    (metadata-only; falls back to a column read when stats are absent)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mn, mx = None, None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for c in range(row_group.num_columns):
+            col = row_group.column(c)
+            if col.path_in_schema == "doc_id" and col.statistics is not None:
+                s = col.statistics
+                if s.has_min_max:
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+    if mn is None:
+        ids = pq.read_table(path, columns=["doc_id"])["doc_id"]
+        import pyarrow.compute as pc
+
+        mn, mx = pc.min(ids).as_py(), pc.max(ids).as_py()
+    return int(mn), int(mx)
+
+
+def _part_first_docs(groups: list[list[str]]) -> np.ndarray:
+    """First doc_id of each partition; validates that docs files form
+    ascending, non-overlapping doc ranges (they do — the docs store is
+    written from the (conv_id, turn_idx)-sorted dataset)."""
+    bounds, prev_max = [], -1
+    for files in groups:
+        gmin = gmax = None
+        for f in files:
+            mn, mx = _file_doc_range(f)
+            gmin = mn if gmin is None else min(gmin, mn)
+            gmax = mx if gmax is None else max(gmax, mx)
+        if gmin is None or gmin <= prev_max:
+            raise ValueError(
+                "docs files are not ascending disjoint doc ranges; "
+                "cannot form doc-range checkpoint partitions"
+            )
+        bounds.append(gmin)
+        prev_max = gmax
+    return np.asarray(bounds, dtype=np.int64)

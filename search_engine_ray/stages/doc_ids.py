@@ -6,12 +6,21 @@ runs and parallelism levels. Replaces the reference's SHA-1 row keys
 (`/root/reference/src/cis5550/tools/Hasher.java:27-38`) with dense
 int64 ids suitable for delta-gap compression.
 
-Implementation: distributed ``Dataset.sort`` (the one unavoidable
-all-to-all of the build), then a per-block prefix-sum zip: block row
-counts -> driver-side cumulative offsets (one int per block — tiny) ->
-a task per block adds ``doc_id = offset + arange``. The per-block tasks
-also compute ``doclen`` (non-empty token count) in the same pass so the
-doc-stats sink needs no second tokenization scan.
+Two paths (SURVEY.md §7.2 step 3):
+
+- **Prefix-sum fast path** (``assign_doc_ids_files``): when the input
+  files are already globally (conv_id, turn_idx)-ordered — the common
+  shape for exported transcripts — doc_id is ``file_row_offset +
+  row_index``: an embarrassingly parallel task per file with NO
+  all-to-all. Applicability is decided up front by a cheap distributed
+  scan of just the two key columns (order check per file + boundary
+  check across files).
+- **Sort path** (``assign_doc_ids``): distributed ``Dataset.sort``
+  (the one unavoidable all-to-all) followed by a per-block prefix-sum
+  zip of block row counts.
+
+Both paths also compute ``doclen`` (non-empty token count) in the same
+pass so the doc-stats sink needs no second tokenization scan.
 """
 
 from __future__ import annotations
@@ -32,12 +41,84 @@ def _nrows(table: pa.Table) -> int:
 
 @ray.remote
 def _add_ids(table: pa.Table, offset: int, cfg: IndexConfig, compute_doclen: bool) -> pa.Table:
+    return _add_ids_local(table, offset, cfg, compute_doclen)
+
+
+@ray.remote
+def _file_order_info(path: str) -> dict:
+    """(rows, first/last key, is-sorted) of one file — reads only the
+    two key columns."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    n = t.num_rows
+    if n == 0:
+        return {"rows": 0, "first": None, "last": None, "sorted": True}
+    conv = t["conv_id"].combine_chunks()
+    turn = t["turn_idx"].combine_chunks()
+    c0, c1 = conv.slice(0, n - 1), conv.slice(1)
+    t0, t1 = turn.slice(0, n - 1), turn.slice(1)
+    lex_ok = pc.all(
+        pc.or_(
+            pc.greater(c1, c0),
+            pc.and_(pc.equal(c1, c0), pc.greater_equal(t1, t0)),
+        )
+    ).as_py()
+    return {
+        "rows": n,
+        "first": (conv[0].as_py(), turn[0].as_py()),
+        "last": (conv[n - 1].as_py(), turn[n - 1].as_py()),
+        "sorted": bool(lex_ok if lex_ok is not None else True),
+    }
+
+
+@ray.remote
+def _file_with_ids(path: str, offset: int, cfg: IndexConfig, compute_doclen: bool) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return _add_ids_local(pq.read_table(path), offset, cfg, compute_doclen)
+
+
+def _add_ids_local(table: pa.Table, offset: int, cfg: IndexConfig, compute_doclen: bool) -> pa.Table:
     doc_id = pa.array(offset + np.arange(table.num_rows, dtype=np.int64), pa.int64())
     out = table.append_column("doc_id", doc_id)
     if compute_doclen:
         *_, doclens = split_tokens(table["text"].combine_chunks(), cfg)
         out = out.append_column("doclen", pa.array(doclens, pa.int32()))
     return out
+
+
+def assign_doc_ids_files(
+    files: list[str],
+    cfg: IndexConfig | None = None,
+    compute_doclen: bool = True,
+) -> "ray.data.Dataset | None":
+    """Prefix-sum fast path over already-ordered files; returns None
+    when the input is not globally ordered (caller falls back to the
+    sort path)."""
+    cfg = cfg or IndexConfig()
+    if not files:
+        return None
+    infos = ray.get([_file_order_info.remote(f) for f in files])
+    prev_last = None
+    for info in infos:
+        if not info["sorted"]:
+            return None
+        if info["rows"] == 0:
+            continue
+        if prev_last is not None and info["first"] < prev_last:
+            return None
+        prev_last = info["last"]
+    offsets = np.concatenate([[0], np.cumsum([i["rows"] for i in infos])[:-1]])
+    refs = [
+        _file_with_ids.remote(f, int(off), cfg, compute_doclen)
+        for f, off, info in zip(files, offsets, infos)
+        if info["rows"] > 0
+    ]
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
 
 
 def assign_doc_ids(

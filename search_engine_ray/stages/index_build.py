@@ -35,6 +35,7 @@ from ..functions import varbyte as vb
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("part", pa.int32()),
         ("bucket", pa.int32()),
         ("first_doc", pa.int64()),
         ("last_doc", pa.int64()),
@@ -48,6 +49,29 @@ SEGMENT_SCHEMA = pa.schema(
 )
 
 
+_worker_stemmer: "CachingStemmer | None" = None
+
+
+def build_partials_task(
+    batch: pa.Table, cfg: IndexConfig, part_bounds=None
+) -> pa.Table:
+    """Task-pool form of the builder (the default build path).
+
+    The only builder state is the Porter-stemmer memo cache, which
+    lives here as a worker-process global — plain tasks reuse Ray's
+    prestarted workers, so the cache is as warm as an actor's while
+    skipping per-wave actor-pool startup (measured ~4.5 s for a
+    32-actor pool, dominating short waves). Use ``PartialIndexBuilder``
+    (actor pool) instead when builder state becomes expensive to
+    rebuild per worker (e.g. a model or a large side table).
+    """
+    global _worker_stemmer
+    if _worker_stemmer is None:
+        _worker_stemmer = CachingStemmer()
+    bounds = np.asarray(part_bounds, dtype=np.int64) if part_bounds is not None else None
+    return build_partials(batch, cfg, _worker_stemmer, bounds)
+
+
 class PartialIndexBuilder:
     """Callable-class stage for ``map_batches(..., concurrency=N)``.
 
@@ -55,19 +79,31 @@ class PartialIndexBuilder:
     once per actor); ``__call__`` is fully vectorized per batch.
     """
 
-    def __init__(self, cfg: IndexConfig | None = None):
+    def __init__(self, cfg: IndexConfig | None = None, part_bounds=None):
         self.cfg = cfg or IndexConfig()
         self.stemmer = CachingStemmer()
+        self.part_bounds = (
+            np.asarray(part_bounds, dtype=np.int64) if part_bounds is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return build_partials(batch, self.cfg, self.stemmer)
+        return build_partials(batch, self.cfg, self.stemmer, self.part_bounds)
 
 
 def build_partials(
-    batch: pa.Table, cfg: IndexConfig, stemmer: CachingStemmer | None = None
+    batch: pa.Table,
+    cfg: IndexConfig,
+    stemmer: CachingStemmer | None = None,
+    part_bounds: np.ndarray | None = None,
 ) -> pa.Table:
     """Tokenize one batch (needs columns text, doc_id, doclen) and emit
-    partial posting segments."""
+    partial posting segments.
+
+    ``part_bounds``: ascending first-doc_id of each checkpoint
+    partition; when given, every segment row is tagged with its
+    partition and groups never straddle a partition boundary, so one
+    wave pipeline can build many partitions at once (one actor pool +
+    one merge shuffle instead of one per partition)."""
     doc_ids = batch["doc_id"].to_numpy()
     doclens = batch["doclen"].to_numpy()
     texts = batch["text"].combine_chunks()
@@ -103,14 +139,19 @@ def build_partials(
     entry_doc = doc_ids[entry_local]
     entry_doclen = doclens[entry_local]
 
-    # ---- group entries by (term, bucket) ----
+    # ---- group entries by (term, [part,] bucket) ----
     bucket = (entry_doc // cfg.doc_bucket_size).astype(np.int64)
+    if part_bounds is not None:
+        part = (np.searchsorted(part_bounds, entry_doc, side="right") - 1).astype(np.int32)
+    else:
+        part = np.zeros(len(entry_doc), dtype=np.int32)
     n_entries = len(entry_term)
     grp_change = np.empty(n_entries, dtype=bool)
     grp_change[0] = True
     np.logical_or(
         entry_term[1:] != entry_term[:-1], bucket[1:] != bucket[:-1], out=grp_change[1:]
     )
+    np.logical_or(grp_change[1:], part[1:] != part[:-1], out=grp_change[1:])
     grp_start = np.flatnonzero(grp_change)                      # entry idx of group start
     grp_end = np.concatenate([grp_start[1:], [n_entries]])
     n_groups = len(grp_start)
@@ -147,6 +188,7 @@ def build_partials(
     return pa.table(
         {
             "term": pa.array(uniq_terms[entry_term[grp_start]], pa.string()),
+            "part": pa.array(part[grp_start], pa.int32()),
             "bucket": pa.array(bucket[grp_start].astype(np.int32), pa.int32()),
             "first_doc": pa.array(first_doc, pa.int64()),
             "last_doc": pa.array(last_doc, pa.int64()),

@@ -59,6 +59,11 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
     change = np.empty(n, dtype=bool)
     change[0] = True
     np.logical_or(term_code[1:] != term_code[:-1], bucket[1:] != bucket[:-1], out=change[1:])
+    if "part" in batch.column_names:
+        # checkpoint partitions commit independently — never merge across
+        # them (part is monotone in first_doc within a (term, bucket))
+        part = batch["part"].to_numpy()
+        np.logical_or(change[1:], part[1:] != part[:-1], out=change[1:])
     grp_start = np.flatnonzero(change)
     grp_end = np.concatenate([grp_start[1:], [n]])
     if len(grp_start) == n:
@@ -94,8 +99,7 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
         out_tf.append(b"".join(tf_bytes[s:e]))
         out_pos.append(b"".join(pos_bytes[s:e]) if has_pos else None)
 
-    return pa.table(
-        {
+    cols = {
             "term": term.take(pa.array(grp_start)),
             "bucket": batch["bucket"].take(pa.array(grp_start)),
             "first_doc": pa.array(first_doc[grp_start], pa.int64()),
@@ -106,5 +110,7 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
             "doc_bytes": pa.array(out_doc, pa.large_binary()),
             "tf_bytes": pa.array(out_tf, pa.large_binary()),
             "pos_bytes": pa.array(out_pos, pa.large_binary()),
-        }
-    )
+    }
+    if "part" in batch.column_names:
+        cols["part"] = batch["part"].take(pa.array(grp_start))
+    return pa.table(cols)

@@ -117,3 +117,22 @@ def test_salting_equivalence(ray_session, tmp_path, built):
         assert a[term][0].tolist() == b[term][0].tolist()
         assert a[term][1].tolist() == b[term][1].tolist()
         assert a[term][2] == b[term][2]
+
+
+def test_prefix_sum_path_equals_sort_path(ray_session, tmp_path, built):
+    """Sorted input files take the no-shuffle prefix-sum doc-id path;
+    the resulting logical index must be identical to the sort path's
+    (same corpus in shuffled file order)."""
+    index_dir, _, _, cfg = built
+    src = str(tmp_path / "sorted_transcripts")
+    write_transcripts(src, n_convs=120, turns_per_conv=5, seed=42, n_files=6)
+    fast_dir = str(tmp_path / "fast_index")
+    meta = build_index(src, fast_dir, cfg, n_partitions=3)
+    assert meta["timings"].get("docs_path") == "prefix_sum"
+    a = load_logical_postings(index_dir)
+    b = load_logical_postings(fast_dir)
+    assert set(a) == set(b)
+    for term in a:
+        assert a[term][0].tolist() == b[term][0].tolist(), term
+        assert a[term][1].tolist() == b[term][1].tolist(), term
+        assert a[term][2] == b[term][2], term
