@@ -61,8 +61,16 @@ def _expand(source) -> list[str]:
     return out
 
 
-def _fingerprint(items) -> str:
+# Bump when the on-disk index layout or segment schema changes — part of
+# every stage fingerprint, so resume never trusts stale-format output.
+FORMAT_VERSION = 2
+
+
+def _fingerprint(items, cfg: IndexConfig | None = None) -> str:
     h = hashlib.sha1()
+    h.update(f"fmt{FORMAT_VERSION}:".encode())
+    if cfg is not None:
+        h.update(json.dumps(cfg.to_json(), sort_keys=True).encode())
     if isinstance(items, str):
         h.update(items.encode())
     else:
@@ -97,9 +105,9 @@ def build_index(
     # ---- stage A: doc-id assignment -> docs store ----
     docs_dir = os.path.join(index_dir, "docs")
     if isinstance(source, (str, list)):
-        fp = _fingerprint(_expand(source))
+        fp = _fingerprint(_expand(source), cfg)
     else:
-        fp = _fingerprint(f"dataset:{source.count()}")
+        fp = _fingerprint(f"dataset:{source.count()}", cfg)
     if not is_complete(docs_dir, fp):
         t0 = time.monotonic()
         ids = None
@@ -152,7 +160,7 @@ def build_index(
             shutil.rmtree(d, ignore_errors=True)
 
     part_bounds = _part_first_docs(groups)
-    seg_fps = [_fingerprint(list(files)) for files in groups]
+    seg_fps = [_fingerprint(list(files), cfg) for files in groups]
     todo = [
         k for k in range(len(groups))
         if not is_complete(os.path.join(seg_root, f"part={k:05d}"), seg_fps[k])
@@ -220,7 +228,7 @@ def build_index(
 
     # ---- stage C: dictionary (global term stats) ----
     dict_dir = os.path.join(index_dir, "dictionary")
-    dict_fp = _fingerprint("|".join(seg_fps))
+    dict_fp = _fingerprint("|".join(seg_fps), cfg)
     if not is_complete(dict_dir, dict_fp):
         t0 = time.monotonic()
         from ray.data.aggregate import Sum, Max, Count
