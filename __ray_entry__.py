@@ -20,6 +20,7 @@ from search_engine_ray.ops import text_ops
 from search_engine_ray.ops import dedup
 from search_engine_ray.ops import knn
 from search_engine_ray.ops import search_ops
+from search_engine_ray.ops import graph
 
 
 def entry() -> Any:
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(dedup.RAY_QUERIES)
     out.update(knn.RAY_QUERIES)
     out.update(search_ops.RAY_QUERIES)
+    out.update(graph.RAY_QUERIES)
     return out
 
 
@@ -46,4 +48,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE_SQL)
     out.update(knn.ORACLE_SQL)
     out.update(search_ops.ORACLE_SQL)
+    out.update(graph.ORACLE_SQL)
     return out

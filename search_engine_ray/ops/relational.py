@@ -381,6 +381,103 @@ GROUP BY 1, 2
 """
 
 
+# ---- flatMap() (FlameRDD.flatMap, flame/Worker.java:45-81):
+#      one row -> many rows; token counts over part names ----
+
+def flame_flat_map(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_name"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        return pa.table({"token": flat})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_FLAT_MAP = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+GROUP BY 1
+"""
+
+
+# ---- groupBy(λ) (FlameRDD.groupBy, flame/Worker.java:262-303):
+#      re-key by a computed key, aggregate the group ----
+
+def flame_group_by(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "order_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("order_year")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+    )
+
+
+SQL_GROUP_BY = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
+# ---- take(n) (FlameRDD.take, FlameRDDImpl.java:123-137) — the
+#      reference allows any n rows; fixed here to a deterministic
+#      key order so the oracle can reproduce it ----
+
+def flame_take(sf_dir: str):
+    return (
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .sort("n_nationkey")
+        .limit(5)
+    )
+
+
+SQL_TAKE = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 5"
+
+
+# ---- mapPartitions (FlameRDD.mapPartitions, flame/Worker.java:616-659):
+#      whole-batch function — the native Ray Data primitive ----
+
+def flame_map_partitions(sf_dir: str):
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "name_upper": pc.utf8_upper(t["s_name"]),
+                "acctbal_cents": _cents(t["s_acctbal"]),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=512)
+
+
+SQL_MAP_PARTITIONS = """
+SELECT s_suppkey, upper(s_name) AS name_upper,
+       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -394,6 +491,10 @@ RAY_QUERIES = {
     "flame_intersection": flame_intersection,
     "flame_sort_topk": flame_sort_topk,
     "flame_fold_global": flame_fold_global,
+    "flame_flat_map": flame_flat_map,
+    "flame_group_by": flame_group_by,
+    "flame_take": flame_take,
+    "flame_map_partitions": flame_map_partitions,
     "events_window": events_window,
 }
 
@@ -410,5 +511,9 @@ ORACLE_SQL = {
     "flame_intersection": SQL_INTERSECTION,
     "flame_sort_topk": SQL_SORT_TOPK,
     "flame_fold_global": SQL_FOLD_GLOBAL,
+    "flame_flat_map": SQL_FLAT_MAP,
+    "flame_group_by": SQL_GROUP_BY,
+    "flame_take": SQL_TAKE,
+    "flame_map_partitions": SQL_MAP_PARTITIONS,
     "events_window": SQL_EVENTS_WINDOW,
 }
