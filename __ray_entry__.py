@@ -21,6 +21,7 @@ from search_engine_ray.ops import dedup
 from search_engine_ray.ops import knn
 from search_engine_ray.ops import search_ops
 from search_engine_ray.ops import graph
+from search_engine_ray.ops import multimodal
 
 
 def entry() -> Any:
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(knn.RAY_QUERIES)
     out.update(search_ops.RAY_QUERIES)
     out.update(graph.RAY_QUERIES)
+    out.update(multimodal.RAY_QUERIES)
     return out
 
 
@@ -49,4 +51,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(knn.ORACLE_SQL)
     out.update(search_ops.ORACLE_SQL)
     out.update(graph.ORACLE_SQL)
+    out.update(multimodal.ORACLE_SQL)
     return out

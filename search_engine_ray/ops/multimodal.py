@@ -1,0 +1,154 @@
+"""Multimodal (binary-payload) stages — real Ray plumbing, stubbed codecs.
+
+Large-scale training-data pipelines treat image/audio/video as opaque
+``binary`` columns with typed metadata; the decode / feature-extract /
+frame-sample stages are stateful actor-pool ``map_batches`` stages with
+SMALL batch sizes (a batch x concurrency of multi-MB payloads must fit
+a worker heap). The image/audio libraries are not in this container, so
+the codec itself is STUBBED: ``MediaFeatureExtractor`` probes for PIL
+in ``__init__`` (once per actor — where a real model/codec load
+belongs) and, absent it, uses a deterministic fake decoder so the
+schema, actor signature, batching and output layout are real and
+gate-checked. The driver tables carry no binary column, so payloads
+are derived deterministically from ``documents.text`` (UTF-8 bytes;
+``CAST(text AS BLOB)`` on the oracle side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_FRAME = 1000   # bytes per fake "frame"
+_EVERY = 3      # sample every k-th frame
+
+
+def _payloads(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pc.cast(t["text"], pa.large_binary()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode path — requires an image library this container
+    doesn't ship. The pipeline never calls it unless PIL is present."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not available in this "
+        "environment); MediaFeatureExtractor falls back to the "
+        "deterministic fake decoder"
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: codec probe/load once per actor in __init__,
+    vectorized feature extraction per batch in __call__."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this container
+            import PIL  # noqa: F401
+
+            self.real = True
+        except ImportError:
+            self.real = False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payload = t["payload"].combine_chunks()
+        n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
+        if self.real:  # pragma: no cover
+            raise NotImplementedError("real codec path not exercised here")
+        # deterministic fake "decode": dimensions derived from size,
+        # header = first 8 bytes hex (what a real magic-number sniff reads)
+        nb = n_bytes.to_numpy()
+        width = nb % 512
+        height = (nb // 512) % 512
+        head_hex = [bytes(v.as_py()[:8]).hex().upper() if v.is_valid else None for v in payload]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": n_bytes,
+                "head_hex": pa.array(head_hex, pa.string()),
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
+            }
+        )
+
+
+def multimodal_features(sf_dir: str):
+    return _payloads(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=64,          # binary payloads: keep batches small
+        concurrency=(1, 4),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       upper(substring(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex,
+       octet_length(CAST(text AS BLOB)) % 512 AS width,
+       (octet_length(CAST(text AS BLOB)) // 512) % 512 AS height
+FROM documents
+"""
+
+
+def frame_sample(sf_dir: str):
+    """Video-style frame sampling: payload -> fixed-size frames, keep
+    every k-th (flat_map shape: one row in, many out)."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        doc_out, idx_out, len_out = [], [], []
+        for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            n = len(payload)
+            n_frames = (n + _FRAME - 1) // _FRAME
+            for f in range(0, n_frames, _EVERY):
+                doc_out.append(doc_id)
+                idx_out.append(f)
+                len_out.append(min(_FRAME, n - f * _FRAME))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int64()),
+                "frame_bytes": pa.array(len_out, pa.int64()),
+            }
+        )
+
+    return _payloads(sf_dir).map_batches(
+        sample, batch_format="pyarrow", batch_size=64
+    )
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH p AS (
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+)
+SELECT p.doc_id, f.f AS frame_idx,
+       CASE WHEN p.n - f.f * {_FRAME} < {_FRAME} THEN p.n - f.f * {_FRAME}
+            ELSE {_FRAME} END AS frame_bytes
+FROM p, LATERAL (
+    SELECT unnest(range(0, CAST((p.n + {_FRAME} - 1) // {_FRAME} AS BIGINT), {_EVERY})) AS f
+) f
+WHERE p.n > 0
+"""
+
+
+RAY_QUERIES = {
+    "multimodal_features": multimodal_features,
+    "frame_sample": frame_sample,
+}
+
+ORACLE_SQL = {
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "frame_sample": SQL_FRAME_SAMPLE,
+}

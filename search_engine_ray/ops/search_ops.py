@@ -234,6 +234,75 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- the reference's OWN tf-idf scoring (capability parity):
+#      tf * ln(N/df) / doclen summed per doc over query terms,
+#      `/root/reference/src/cis5550/jobs_archive/Ranker.java:146-177`,
+#      weights tf-idf 1.0 / pagerank 0.0 (`Ranker.java:28`) ----
+
+def tfidf_topk(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    doclen = li.doclen.astype(np.float64)
+    for qid, q in _BM25_QUERIES:
+        score = np.zeros(li.N, np.float64)
+        seen = np.zeros(li.N, bool)
+        for term in q.split():
+            ids, tfs = li.term_postings(term)
+            df = len(ids)
+            if df == 0:
+                continue
+            score[ids] += tfs * np.log(li.N / df) / doclen[ids]
+            seen[ids] = True
+        ids = np.flatnonzero(seen)
+        r6 = np.round(score[ids], 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _tfidf_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
+    )
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           tf.tf * ln(c.N * 1.0 / df.df) / ds.doclen AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 # ---- stemmed path (full reference semantics; rows-only here, oracle-
 #      checked in pytest) ----
 
@@ -282,6 +351,7 @@ RAY_QUERIES = {
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_or": bm25_topk_or,
     "bm25_stemmed_topk": bm25_stemmed_topk,
+    "tfidf_topk": tfidf_topk,
 }
 
 ORACLE_SQL = {
@@ -289,4 +359,5 @@ ORACLE_SQL = {
     "postings_probe": SQL_POSTINGS_PROBE,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
+    "tfidf_topk": _tfidf_sql(),
 }
