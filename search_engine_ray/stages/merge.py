@@ -40,12 +40,51 @@ def merge_partials(partials, cfg: IndexConfig | None = None):
     return s.map_batches(merge_segment_batch, batch_format="pyarrow", batch_size=None)
 
 
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offsets int64[n+1], values uint8) views of a LargeBinaryArray."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    )
+    return offs, data
+
+
+def _binary_from(offsets: np.ndarray, values: np.ndarray) -> pa.Array:
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
+def _gather_spans(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate many (start, len) spans of ``src`` — one vectorized
+    gather, no Python per-span loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    dst_ends = np.cumsum(lens)
+    dst_starts = dst_ends - lens
+    idx = np.arange(total, dtype=np.int64)
+    piece = np.searchsorted(dst_ends, idx, side="right")
+    return src[starts[piece] + (idx - dst_starts[piece])]
+
+
 def merge_segment_batch(batch: pa.Table) -> pa.Table:
-    """Concatenate consecutive rows with equal (term, bucket).
+    """Concatenate consecutive rows with equal (term, bucket[, part]).
 
     The batch must be sorted by (term, bucket, first_doc); doc ranges of
     same-group rows must be disjoint and ascending (guaranteed by the
     builder's block-disjointness invariant; asserted here).
+
+    Vectorized: tf/pos streams of consecutive rows are CONTIGUOUS in
+    the Arrow values buffer, so group concatenation is just new
+    offsets (zero-copy); the doc-gap stream needs each continuation
+    row's first varint rebased from absolute doc_id to a gap, done
+    with one vectorized span-gather over the whole batch.
     """
     n = batch.num_rows
     if n == 0:
@@ -79,25 +118,55 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
     max_tf = np.maximum.reduceat(batch["max_tf"].to_numpy(), grp_start)
     min_doclen = np.minimum.reduceat(batch["min_doclen"].to_numpy(), grp_start)
 
-    doc_bytes = batch["doc_bytes"].to_pylist()
-    tf_bytes = batch["tf_bytes"].to_pylist()
-    pos_bytes = batch["pos_bytes"].to_pylist()
-    has_pos = pos_bytes[0] is not None
+    grp_bounds = np.concatenate([grp_start, [n]])
 
-    out_doc, out_tf, out_pos = [], [], []
-    for g in range(len(grp_start)):
-        s, e = grp_start[g], grp_end[g]
-        if e - s == 1:
-            out_doc.append(doc_bytes[s])
-            out_tf.append(tf_bytes[s])
-            out_pos.append(pos_bytes[s])
-            continue
-        parts = [doc_bytes[s]]
-        for i in range(s + 1, e):
-            parts.append(vb.rebase_first(doc_bytes[i], int(first_doc[i] - last_doc[i - 1])))
-        out_doc.append(b"".join(parts))
-        out_tf.append(b"".join(tf_bytes[s:e]))
-        out_pos.append(b"".join(pos_bytes[s:e]) if has_pos else None)
+    # ---- tf / pos: contiguous rows -> group-level offsets, zero-copy ----
+    tf_arr = batch["tf_bytes"].combine_chunks().cast(pa.large_binary())
+    tf_offs, tf_data = _binary_parts(tf_arr)
+    out_tf = _binary_from(tf_offs[grp_bounds], tf_data)
+
+    pos_arr = batch["pos_bytes"].combine_chunks().cast(pa.large_binary())
+    has_pos = pos_arr.null_count < n
+    if has_pos:
+        pos_offs, pos_data = _binary_parts(pos_arr)
+        out_pos = _binary_from(pos_offs[grp_bounds], pos_data)
+    else:
+        out_pos = pa.nulls(len(grp_start), pa.large_binary())
+
+    # ---- doc gaps: rebase each continuation row's first varint ----
+    doc_arr = batch["doc_bytes"].combine_chunks().cast(pa.large_binary())
+    doc_offs, doc_data = _binary_parts(doc_arr)
+    w = np.flatnonzero(within)  # continuation rows
+    first_len = np.zeros(n, dtype=np.int64)
+    if len(w):
+        probe_idx = np.minimum(
+            doc_offs[w][:, None] + np.arange(10, dtype=np.int64)[None, :],
+            len(doc_data) - 1,
+        )
+        is_end = (doc_data[probe_idx] & 0x80) != 0
+        first_len[w] = is_end.argmax(axis=1) + 1
+        gaps = (first_doc[w] - last_doc[w - 1]).astype(np.uint64)
+        var_blob, var_offs = vb.encode_offsets(
+            gaps, np.arange(len(w) + 1, dtype=np.int64)
+        )
+        var_data = np.frombuffer(var_blob, dtype=np.uint8)
+    else:
+        var_data = np.empty(0, np.uint8)
+        var_offs = np.zeros(1, dtype=np.int64)
+
+    # two pieces per row: [new varint (continuation rows only)] + [body]
+    src = np.concatenate([doc_data, var_data])
+    starts2 = np.zeros(2 * n, dtype=np.int64)
+    lens2 = np.zeros(2 * n, dtype=np.int64)
+    if len(w):
+        starts2[2 * w] = len(doc_data) + var_offs[:-1]
+        lens2[2 * w] = np.diff(var_offs)
+    starts2[1::2] = doc_offs[:-1] + first_len
+    lens2[1::2] = doc_offs[1:] - starts2[1::2]
+    out_doc_values = _gather_spans(src, starts2, lens2)
+    row_out_ends = np.cumsum(lens2[0::2] + lens2[1::2])
+    out_doc_offs = np.concatenate([[0], row_out_ends[grp_bounds[1:] - 1]])
+    out_doc = _binary_from(out_doc_offs, out_doc_values)
 
     cols = {
             "term": term.take(pa.array(grp_start)),
@@ -107,9 +176,9 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
             "df": pa.array(df.astype(np.int32), pa.int32()),
             "max_tf": pa.array(max_tf, pa.int32()),
             "min_doclen": pa.array(min_doclen, pa.int32()),
-            "doc_bytes": pa.array(out_doc, pa.large_binary()),
-            "tf_bytes": pa.array(out_tf, pa.large_binary()),
-            "pos_bytes": pa.array(out_pos, pa.large_binary()),
+            "doc_bytes": out_doc,
+            "tf_bytes": out_tf,
+            "pos_bytes": out_pos,
     }
     if "part" in batch.column_names:
         cols["part"] = batch["part"].take(pa.array(grp_start))
