@@ -38,29 +38,38 @@ class TokenizedBatch:
     """Exploded token arrays for one batch of documents.
 
     Attributes (all aligned on the token axis unless noted):
-      doc_idx:   int64 — local row index of the owning document
-      terms:     object ndarray of str — the indexable term (raw or stem)
-      positions: int32 — 1-based position in the doc (stem rows share
-                 the raw token's position)
-      doclens:   int32, one per input row — non-empty token count
+      doc_idx:    int64 — local row index of the owning document
+      term_code:  int64 — index into ``dictionary`` (the indexable term)
+      dictionary: object ndarray of str — unique terms of this batch
+      positions:  int32 — 1-based position in the doc (stem rows share
+                  the raw token's position)
+      doclens:    int32, one per input row — non-empty token count
+
+    ``terms`` (materialized strings) is provided for tests/debugging;
+    the hot path uses codes only.
     """
 
-    __slots__ = ("doc_idx", "terms", "positions", "doclens")
+    __slots__ = ("doc_idx", "term_code", "dictionary", "positions", "doclens")
 
-    def __init__(self, doc_idx, terms, positions, doclens):
+    def __init__(self, doc_idx, term_code, dictionary, positions, doclens):
         self.doc_idx = doc_idx
-        self.terms = terms
+        self.term_code = term_code
+        self.dictionary = dictionary
         self.positions = positions
         self.doclens = doclens
 
+    @property
+    def terms(self) -> np.ndarray:
+        return self.dictionary[self.term_code]
 
-def split_tokens(texts: pa.Array, cfg: IndexConfig):
-    """Vectorized lowercase/truncate/split.
 
-    Returns ``(doc_idx, tokens, positions, doclens)`` for all non-empty
-    tokens (pre skip/length filtering, so positions and doclens match
-    the reference's global counter semantics).
-    """
+def split_tokens_arrow(texts: pa.Array, cfg: IndexConfig):
+    """Vectorized lowercase/truncate/split; token column stays Arrow.
+
+    Returns ``(doc_idx, flat_tokens: pa.StringArray, positions, lens,
+    doclens)`` for all non-empty tokens (pre skip/length filtering, so
+    positions and doclens match the reference's global counter
+    semantics)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
@@ -70,13 +79,12 @@ def split_tokens(texts: pa.Array, cfg: IndexConfig):
 
     flat = token_lists.flatten()
     parents = pc.list_parent_indices(token_lists).to_numpy(zero_copy_only=False)
-    tok = flat.to_numpy(zero_copy_only=False)  # object ndarray of str
 
     # drop empty tokens (split artifacts at string boundaries)
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     nonempty = lens > 0
     parents = parents[nonempty]
-    tok = tok[nonempty]
+    flat = flat.filter(pa.array(nonempty))
     lens = lens[nonempty]
 
     # 1-based position within each doc over the non-empty tokens.
@@ -84,44 +92,64 @@ def split_tokens(texts: pa.Array, cfg: IndexConfig):
     n_docs = len(texts)
     doclens = np.bincount(parents, minlength=n_docs).astype(np.int32)
     starts = np.concatenate([[0], np.cumsum(doclens[:-1], dtype=np.int64)])
-    positions = (np.arange(len(tok), dtype=np.int64) - np.repeat(starts, doclens) + 1).astype(
+    positions = (np.arange(len(flat), dtype=np.int64) - np.repeat(starts, doclens) + 1).astype(
         np.int32
     )
-    return parents.astype(np.int64), tok, positions, lens, doclens
+    return parents.astype(np.int64), flat, positions, lens, doclens
+
+
+def split_tokens(texts: pa.Array, cfg: IndexConfig):
+    """Like ``split_tokens_arrow`` but with tokens as a numpy object
+    array (for consumers doing python-level set ops on tokens)."""
+    parents, flat, positions, lens, doclens = split_tokens_arrow(texts, cfg)
+    return parents, flat.to_numpy(zero_copy_only=False), positions, lens, doclens
 
 
 def tokenize_batch(
     texts: pa.Array, cfg: IndexConfig, stemmer: CachingStemmer | None = None
 ) -> TokenizedBatch:
-    """Full index-time tokenization of a batch of document texts."""
-    doc_idx, tok, positions, lens, doclens = split_tokens(texts, cfg)
+    """Full index-time tokenization of a batch of document texts.
+
+    Unique-token work (hashing, stemming) runs on the batch's small
+    dictionary via Arrow ``dictionary_encode`` (C hashing) — never a
+    numpy object-string sort over the full token axis."""
+    doc_idx, flat, positions, lens, doclens = split_tokens_arrow(texts, cfg)
 
     # posting filters: length cap + skip list (positions unaffected)
     keep = lens <= cfg.max_word_len
     if SKIP_WORDS:
-        skip_mask = np.isin(tok, _SKIP_ARR)
-        keep &= ~skip_mask
+        keep &= ~pc.is_in(flat, value_set=_SKIP_PA).to_numpy(zero_copy_only=False)
     doc_idx = doc_idx[keep]
-    tok = tok[keep]
+    flat = flat.filter(pa.array(keep))
     positions = positions[keep]
 
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dict_arr.dictionary.to_numpy(zero_copy_only=False)  # small
+
     if not cfg.stemming:
-        return TokenizedBatch(doc_idx, tok, positions, doclens)
+        return TokenizedBatch(doc_idx, codes, uniq, positions, doclens)
 
     stemmer = stemmer or CachingStemmer()
-    uniq, inv = np.unique(tok, return_inverse=True)
     stems = np.array(stemmer.stem_many(list(uniq)), dtype=object)
-    stemmed = stems[inv]
-    differs = stemmed != tok
+    differs_u = stems != uniq
+    # combined term space: raw dictionary + the differing stems
+    combined = np.concatenate([uniq, stems[differs_u]])
+    dictionary, comb_code = np.unique(combined, return_inverse=True)  # small
+    raw_code = comb_code[: len(uniq)]
+    stem_code = np.full(len(uniq), -1, dtype=np.int64)
+    stem_code[np.flatnonzero(differs_u)] = comb_code[len(uniq):]
 
     # emit raw rows for all tokens + stem rows only where stem != raw
-    out_doc = np.concatenate([doc_idx, doc_idx[differs]])
-    out_term = np.concatenate([tok, stemmed[differs]])
-    out_pos = np.concatenate([positions, positions[differs]])
-    return TokenizedBatch(out_doc, out_term, out_pos, doclens)
+    differs_tok = differs_u[codes]
+    out_doc = np.concatenate([doc_idx, doc_idx[differs_tok]])
+    out_code = np.concatenate([raw_code[codes], stem_code[codes[differs_tok]]])
+    out_pos = np.concatenate([positions, positions[differs_tok]])
+    return TokenizedBatch(out_doc, out_code, dictionary, out_pos, doclens)
 
 
 _SKIP_ARR = np.array(sorted(SKIP_WORDS), dtype=object)
+_SKIP_PA = pa.array(sorted(SKIP_WORDS), pa.string())
 
 
 def analyze_query(query: str, cfg: IndexConfig | None = None) -> tuple[list[str], bool]:

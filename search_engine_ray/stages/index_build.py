@@ -116,11 +116,13 @@ def build_partials(
             batch["role"].combine_chunks(), batch["tool"].combine_chunks(), texts, " "
         )
     tb = tokenize_batch(texts, cfg, stemmer)
-    if len(tb.terms) == 0:
+    if len(tb.term_code) == 0:
         return SEGMENT_SCHEMA.empty_table()
 
     # ---- aggregate exploded tokens to (term, doc) entries ----
-    uniq_terms, term_code = np.unique(tb.terms, return_inverse=True)
+    # (codes group contiguously under lexsort regardless of lexical
+    # order — the global term order comes from the merge-stage sort)
+    uniq_terms, term_code = tb.dictionary, tb.term_code
     tok_doc_local = tb.doc_idx
     order = np.lexsort((tb.positions, tok_doc_local, term_code))
     tc = term_code[order]
