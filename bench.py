@@ -198,7 +198,9 @@ def run_scaling(sf_dir: str, pair: str) -> None:
     ~0.77), not the engine; 4 and 16 both sit in the linear region —
     see BASELINE.md for the full curve and both pairs."""
     sf = _sf_of(sf_dir)
-    corpus_dir, turns = ensure_corpus(sf, scale=5)
+    # 20x the default corpus: the engine builds ~5k turns/sec/core, so a
+    # smaller input is fixed-cost-dominated and understates scaling
+    corpus_dir, turns = ensure_corpus(sf, scale=20)
     cpus_lo, cpus_hi = (int(x) for x in pair.split(","))
     results = {}
     for n in (cpus_lo, cpus_hi):

@@ -231,20 +231,48 @@ def build_index(
     dict_fp = _fingerprint("|".join(seg_fps), cfg)
     if not is_complete(dict_dir, dict_fp):
         t0 = time.monotonic()
-        from ray.data.aggregate import Sum, Max, Count
+        seg_files = _glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
+        seg_bytes = sum(os.path.getsize(f) for f in seg_files)
+        if seg_bytes <= 128 * 1024 * 1024:
+            # small index: one driver-side Arrow group_by beats a whole
+            # distributed job (a groupby job's fixed cost is seconds)
+            import pyarrow.parquet as _pq
 
-        seg_ds = ray.data.read_parquet(
-            os.path.join(index_dir, "segments"),
-            columns=["term", "df", "max_tf"],
-        )
-        dictionary = seg_ds.groupby("term").aggregate(
-            Sum("df", alias_name="df"),
-            Max("max_tf", alias_name="max_tf"),
-            Count(alias_name="n_segments"),
-        )
-        with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
-            dictionary.write_parquet(ck.tmp)
-            ck.commit()
+            seg_t = _pq.read_table(seg_files, columns=["term", "df", "max_tf"]) if seg_files else None
+            if seg_t is None or seg_t.num_rows == 0:
+                import pyarrow as _pa
+
+                dict_t = _pa.table(
+                    {"term": _pa.array([], _pa.string()),
+                     "df": _pa.array([], _pa.int64()),
+                     "max_tf": _pa.array([], _pa.int32()),
+                     "n_segments": _pa.array([], _pa.int64())}
+                )
+            else:
+                agg = seg_t.group_by("term").aggregate(
+                    [("df", "sum"), ("max_tf", "max"), ("df", "count")]
+                )
+                dict_t = agg.rename_columns(["term", "df", "max_tf", "n_segments"])
+            with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
+                import pyarrow.parquet as _pq2
+
+                _pq2.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
+                ck.commit()
+        else:
+            from ray.data.aggregate import Sum, Max, Count
+
+            seg_ds = ray.data.read_parquet(
+                os.path.join(index_dir, "segments"),
+                columns=["term", "df", "max_tf"],
+            )
+            dictionary = seg_ds.groupby("term").aggregate(
+                Sum("df", alias_name="df"),
+                Max("max_tf", alias_name="max_tf"),
+                Count(alias_name="n_segments"),
+            )
+            with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
+                dictionary.write_parquet(ck.tmp)
+                ck.commit()
         timings["dictionary"] = round(time.monotonic() - t0, 3)
 
     meta = {

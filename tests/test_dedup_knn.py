@@ -1,0 +1,145 @@
+"""Oracle checks for the rows-only dedup / ANN ops (the SQL gate can't
+express them): MinHash-LSH pairs vs exact Jaccard, SimHash locality,
+LSH-ANN vs brute-force cosine. Inputs are tiny synthetic parquet tables
+in the driver's sf_dir shape."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.ops import dedup, knn
+
+
+def _write_documents(path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+
+
+def _exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Independent oracle: crc32 k-word shingle sets + set Jaccard."""
+
+    def sh(text):
+        toks = [t for t in "".join(c if c.isalnum() else " " for c in text.lower()).split() if t]
+        if len(toks) < k:
+            joined = [" ".join(toks)] if toks else []
+        else:
+            joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return {zlib.crc32(s.encode()) for s in joined}
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def doc_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_docs")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = [
+        base,
+        base + " extra",                          # near-dup of 0
+        "completely different words about ray data pipelines and arrow batches",
+        "completely different words about ray data pipelines and arrow batches",  # exact dup of 2
+        "unrelated short text one two three four five six seven eight nine ten",
+        "another standalone document with its own vocabulary and no overlap at all",
+    ]
+    _write_documents(d, texts)
+    return str(d), texts
+
+
+def test_minhash_lsh_pairs_match_exact_jaccard(doc_dir):
+    sf_dir, texts = doc_dir
+    got = dedup.dedup_minhash_lsh(sf_dir, jaccard_threshold=0.5).to_pandas()
+    pairs = {(int(a), int(b)): j for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    # the two known near/exact dup pairs are found
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    # reported jaccard equals the independent exact computation
+    for (a, b), j in pairs.items():
+        assert abs(j - _exact_jaccard(texts[a], texts[b])) < 1e-6
+        assert j >= 0.5
+    # no unrelated pair sneaks in
+    assert (4, 5) not in pairs
+
+
+def test_simhash_locality(doc_dir):
+    sf_dir, texts = doc_dir
+    got = dedup.dedup_simhash(sf_dir).to_pandas().set_index("doc_id")["simhash"]
+    h = {i: int(got.loc[i], 16) for i in range(len(texts))}
+    assert h[2] == h[3]  # identical docs -> identical simhash
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[0], h[1]) <= 12          # near-dups are hamming-near
+    assert ham(h[0], h[2]) > ham(h[0], h[1])  # unrelated docs farther
+
+
+@pytest.fixture(scope="module")
+def emb_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb")
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 16)) * 3
+    vecs, ids = [], []
+    for i in range(60):
+        c = centers[i % 5]
+        vecs.append((c + rng.standard_normal(16) * 0.01).astype(np.float32))
+        ids.append(i)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), np.stack(vecs).astype(np.float64)
+
+
+def test_knn_lsh_matches_bruteforce_on_clusters(emb_dir):
+    sf_dir, mat = emb_dir
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exact = {}
+    for q in range(5):
+        s = np.round(sims[q], 6)
+        cand = np.arange(len(mat))
+        mask = cand != q
+        order = np.lexsort((cand[mask], -s[mask]))[:5]
+        exact[q] = set(cand[mask][order].tolist())
+    got = knn.knn_lsh(sf_dir).to_pandas()
+    # reported sims are true cosines
+    for _, r in got.iterrows():
+        assert abs(r["sim"] - round(sims[int(r["qid"]), int(r["vec_id"])], 6)) < 1e-6
+    # tight clusters -> LSH recall of exact top-5 is high
+    recalls = []
+    for q in range(5):
+        approx = set(got[got["qid"] == q]["vec_id"].astype(int))
+        recalls.append(len(approx & exact[q]) / 5)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_dedup_embedding_matches_numpy(emb_dir):
+    sf_dir, mat = emb_dir
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {
+        (a, b): round(float(sims[a, b]), 6)
+        for a in range(len(mat))
+        for b in range(a + 1, len(mat))
+        if sims[a, b] >= 0.4
+    }
+    got = dedup.dedup_embedding(sf_dir, threshold=0.4).to_pandas()
+    got_pairs = {(int(a), int(b)): c for a, b, c in zip(got["vec_a"], got["vec_b"], got["cosine"])}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 2e-6, k
