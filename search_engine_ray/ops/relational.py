@@ -478,6 +478,124 @@ FROM supplier
 """
 
 
+# ---- as-of join (custom operator the reference/Ray Data lack;
+#      SURVEY.md §2.5 "no range/as-of joins" — composed per the north
+#      guidance as ONE hash-partition on the key + per-group sorted
+#      backward fill, no all-pairs) ----
+
+def asof_join(sf_dir: str):
+    """For every 'purchase' event: the user's most recent strictly
+    prior 'click' event. Partitioning assumption: all rows of one user
+    fit one group (true unless a single key is pathologically hot; salt
+    by time-bucket then, with a second boundary-fix pass)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy()
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        # sort (ts, clicks-before-purchases, event_id): at equal ts the
+        # backward fill then matches the SQL's ts<= with
+        # (ts DESC, event_id DESC) tie-break
+        order = np.lexsort((eid, typ != "click", ts))
+        typ, eid, ts = typ[order], eid[order], ts[order]
+        click_idx = np.where(typ == "click", np.arange(len(typ)), -1)
+        last_click = np.maximum.accumulate(click_idx)
+        purchases = np.flatnonzero(typ == "purchase")
+        lc = last_click[purchases]
+        return pa.table(
+            {
+                "purchase_event_id": pa.array(eid[purchases], pa.int64()),
+                "prior_click_event_id": pa.array(
+                    eid[np.maximum(lc, 0)], pa.int64(), mask=lc < 0
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id AS purchase_event_id, c.event_id AS prior_click_event_id
+FROM events e
+LEFT JOIN LATERAL (
+    SELECT event_id FROM events c
+    WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+WHERE e.event_type = 'purchase'
+"""
+
+
+# ---- session windows (gap-and-islands; streaming-shaped capability
+#      beyond the tumbling events_window) ----
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def events_sessionize(sf_dir: str):
+    """Per user: sessions split at >30min inactivity gaps; one row per
+    session with start/end/n_events. groupby(user) + per-group sorted
+    diff — the sessionization pattern for event streams."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy()).astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(ts), dtype=bool)
+        gap[0] = True
+        np.greater(ts[1:] - ts[:-1], _SESSION_GAP_US, out=gap[1:])
+        sess_start_idx = np.flatnonzero(gap)
+        sess_end_idx = np.concatenate([sess_start_idx[1:], [len(ts)]]) - 1
+        uid = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(sess_start_idx), uid), pa.int64()),
+                "session_start": pa.array(
+                    ts[sess_start_idx].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    ts[sess_end_idx].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_events": pa.array(
+                    (sess_end_idx - sess_start_idx + 1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -496,6 +614,8 @@ RAY_QUERIES = {
     "flame_take": flame_take,
     "flame_map_partitions": flame_map_partitions,
     "events_window": events_window,
+    "asof_join": asof_join,
+    "events_sessionize": events_sessionize,
 }
 
 ORACLE_SQL = {
@@ -516,4 +636,6 @@ ORACLE_SQL = {
     "flame_take": SQL_TAKE,
     "flame_map_partitions": SQL_MAP_PARTITIONS,
     "events_window": SQL_EVENTS_WINDOW,
+    "asof_join": SQL_ASOF_JOIN,
+    "events_sessionize": SQL_SESSIONIZE,
 }

@@ -44,3 +44,28 @@ def test_kill_and_resume(ray_session, tmp_path):
     # manifests carry lineage + metrics
     m = json.load(open(p0_manifest))
     assert m["stage"] == "segments" and m["inputs"] and "n_segments" in m
+
+
+def test_stale_wave_tmp_cleaned(ray_session, tmp_path):
+    """A crash mid-wave leaves segments/_wave.tmp; the next build must
+    discard it and still produce a correct index."""
+    src = str(tmp_path / "transcripts")
+    write_transcripts(src, n_convs=60, turns_per_conv=5, seed=42, n_files=4)
+    cfg = IndexConfig(doc_bucket_size=256)
+
+    clean_dir = str(tmp_path / "clean")
+    build_index(src, clean_dir, cfg, n_partitions=2)
+
+    crashed_dir = str(tmp_path / "crashed")
+    wave_tmp = os.path.join(crashed_dir, "segments", "_wave.tmp", "part=0")
+    os.makedirs(wave_tmp)
+    with open(os.path.join(wave_tmp, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    build_index(src, crashed_dir, cfg, n_partitions=2)
+    assert not os.path.exists(os.path.join(crashed_dir, "segments", "_wave.tmp"))
+
+    a = load_logical_postings(clean_dir)
+    b = load_logical_postings(crashed_dir)
+    assert set(a) == set(b)
+    for term in a:
+        assert a[term][0].tolist() == b[term][0].tolist(), term
