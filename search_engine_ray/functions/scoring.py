@@ -67,9 +67,22 @@ def bm25_upper_bound(
 def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (score desc, doc_id asc) — the normative
     deterministic tie-break (SURVEY.md §2.3; replaces the reference's
-    nondeterministic HashSet grouping, Ranker.java:209-219)."""
-    if len(scores) == 0:
+    nondeterministic HashSet grouping, Ranker.java:209-219).
+
+    O(n + k log k): argpartition selects the score threshold, the
+    boundary tie is resolved by doc_id asc, and only the k winners are
+    sorted — bit-identical to a full lexsort."""
+    n = len(scores)
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    k = min(k, len(scores))
-    order = np.lexsort((doc_ids, -scores))
-    return order[:k]
+    k = min(k, n)
+    if k * 4 >= n:
+        return np.lexsort((doc_ids, -scores))[:k]
+    part = np.argpartition(-scores, k - 1)[:k]
+    thresh = scores[part].min()
+    above = np.flatnonzero(scores > thresh)
+    ties = np.flatnonzero(scores == thresh)
+    need = k - above.size
+    ties_sel = ties[np.argsort(doc_ids[ties], kind="stable")[:need]]
+    sel = np.concatenate([above, ties_sel])
+    return sel[np.lexsort((doc_ids[sel], -scores[sel]))]

@@ -42,7 +42,7 @@ class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes")
+                 "doc_bytes", "tf_bytes", "_full")
 
     def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes):
         self.df = df
@@ -53,13 +53,25 @@ class _TermSegments:
         self.min_doclen = min_doclen
         self.doc_bytes = doc_bytes
         self.tf_bytes = tf_bytes
+        self._full = None
 
     def decode(self, lo: int | None = None, hi: int | None = None):
         """Decode postings, optionally only segments overlapping the
-        doc-id range [lo, hi] (block skipping)."""
-        sel = range(len(self.seg_df))
-        if lo is not None:
-            sel = [i for i in sel if self.last_doc[i] >= lo and self.first_doc[i] <= hi]
+        doc-id range [lo, hi] (block skipping). Full decodes are
+        memoized — the actor-resident hot-term cache (decoded postings
+        are ~2x the varbyte bytes; a shard actor at scale would bound
+        this with an LRU)."""
+        if lo is None and hi is None:
+            if self._full is None:
+                self._full = self._decode_range(range(len(self.seg_df)))
+            return self._full
+        sel = [
+            i for i in range(len(self.seg_df))
+            if self.last_doc[i] >= lo and self.first_doc[i] <= hi
+        ]
+        return self._decode_range(sel)
+
+    def _decode_range(self, sel):
         if not len(sel):
             return np.empty(0, np.int64), np.empty(0, np.int64)
         ids = [vb.delta_decode(vb.decode(self.doc_bytes[i])) for i in sel]
@@ -208,9 +220,18 @@ def score_decoded_terms(
         ]
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
-        doc_ids, inv = np.unique(ids, return_inverse=True)
-        scores = np.zeros(doc_ids.size, dtype=np.float64)
-        np.add.at(scores, inv, sc)
+        if N <= max(1 << 24, 4 * ids.size):
+            # dense accumulation (bincount is fast C); per-query memory
+            # is O(N) so this is the small-shard path — the sorted-merge
+            # path below handles shards too large for a dense vector
+            acc = np.bincount(ids, weights=sc, minlength=N)
+            hits = np.bincount(ids, minlength=N)
+            doc_ids = np.flatnonzero(hits)
+            scores = acc[doc_ids]
+        else:
+            doc_ids, inv = np.unique(ids, return_inverse=True)
+            scores = np.zeros(doc_ids.size, dtype=np.float64)
+            np.add.at(scores, inv, sc)
     if stopword_only:
         scores = scores * STOPWORD_PENALTY
     idx = scoring.topk_indices(scores, doc_ids, k)
