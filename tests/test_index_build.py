@@ -136,3 +136,42 @@ def test_prefix_sum_path_equals_sort_path(ray_session, tmp_path, built):
         assert a[term][0].tolist() == b[term][0].tolist(), term
         assert a[term][1].tolist() == b[term][1].tolist(), term
         assert a[term][2] == b[term][2], term
+
+
+def test_actor_builder_parity(ray_session, tmp_path, built):
+    """builder='actors' (PartialIndexBuilder pool) must produce the
+    same logical index as the default task-pool path."""
+    index_dir, _, _, cfg = built
+    src = str(tmp_path / "transcripts")
+    write_transcripts(src, n_convs=120, turns_per_conv=5, seed=42, n_files=6, shuffle_files=True)
+    actor_dir = str(tmp_path / "actor_index")
+    build_index(src, actor_dir, cfg, n_partitions=3, builder="actors", concurrency=(1, 2))
+    a = load_logical_postings(index_dir)
+    b = load_logical_postings(actor_dir)
+    assert set(a) == set(b)
+    for term in a:
+        assert a[term][0].tolist() == b[term][0].tolist(), term
+
+
+def test_index_role_tool_tokens(ray_session, tmp_path):
+    """index_role_tool=True prepends role/tool tokens (the analog of the
+    reference's URL-token indexing, Indexer.java:236-238): role terms
+    become searchable with df = count of turns with that role."""
+    import pyarrow.parquet as pq_
+
+    src = str(tmp_path / "transcripts_rt")
+    write_transcripts(src, n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    cfg = IndexConfig(index_role_tool=True, doc_bucket_size=128)
+    idx = str(tmp_path / "index_rt")
+    build_index(src, idx, cfg, n_partitions=2)
+    li = LocalIndex(idx)
+    import glob as glob_
+
+    docs = pq_.read_table(
+        sorted(glob_.glob(f"{idx}/docs/*.parquet")), columns=["doc_id", "role"]
+    ).to_pandas()
+    n_assistant = int((docs["role"] == "assistant").sum())
+    ids, _tfs = li.term_postings("assistant")
+    assert len(ids) == n_assistant
+    want = set(docs[docs["role"] == "assistant"]["doc_id"])
+    assert set(ids.tolist()) == want
