@@ -4,11 +4,11 @@ Layout of an index directory::
 
     <index_dir>/
       docs/                  doc-id-assigned transcript turns + doclen
-        _MANIFEST.json       { N, avgdl, fingerprint, ... }
+        _MANIFEST.json       { N, sum_doclen, fingerprint, extensions, ... }
         *.parquet            (conv_id, turn_idx, role, tool, ts, text, doc_id, doclen)
       segments/
         part=K/              one doc-range partition of the build
-          _MANIFEST.json     lineage: input files, rows, segments, seconds
+          _MANIFEST.json     lineage: input files, fingerprint, rows, seconds
           *.parquet          SEGMENT_SCHEMA rows
       dictionary/            term -> global df, n_segments, max_tf
         _MANIFEST.json
@@ -18,10 +18,13 @@ Layout of an index directory::
 Resumability: each stage / partition commits atomically via
 ``state.checkpoint.atomic_dir`` (write temp dir -> fsync manifest ->
 rename) and is skipped on re-run when its manifest is present with a
-matching input fingerprint. Partitions are doc-range slices of the
-docs store, so a resumed build never re-reads finished partitions —
-partitioned output, never one giant file. Mirrors (and upgrades) the
-reference's incremental-skip behavior
+matching input fingerprint. Segment partitions are INVENTORY-based:
+any committed ``part=K`` whose recorded input files still fingerprint-
+match is kept as-is; only uncovered docs files are (re)partitioned and
+built — this one mechanism serves fresh builds, crash resume, and
+incremental extension (``extend_index``). Partitioned output, never
+one giant file. Mirrors (and upgrades) the reference's
+incremental-skip behavior
 (`/root/reference/src/cis5550/jobs/Indexer.java:196-231`).
 """
 
@@ -31,6 +34,7 @@ import glob as _glob
 import hashlib
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -100,7 +104,7 @@ def build_index(
     """
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
-    timings: dict[str, float] = {}
+    timings: dict = {}
 
     # ---- stage A: doc-id assignment -> docs store ----
     docs_dir = os.path.join(index_dir, "docs")
@@ -132,47 +136,167 @@ def build_index(
             ck.commit(N=n_docs, sum_doclen=sum_dl)
         timings["docs"] = round(time.monotonic() - t0, 3)
 
+    return _finish_build(
+        index_dir, cfg, n_partitions, stop_after_partition, concurrency, builder, timings
+    )
+
+
+def extend_index(
+    index_dir: str,
+    new_source,
+    n_partitions: int = 4,
+    concurrency=None,
+    builder: str = "tasks",
+) -> dict:
+    """Incremental indexing: append new transcript turns to an existing
+    index WITHOUT touching its finished partitions (the Ray analog of
+    the reference's incremental skip via ``crawl_old`` / ``load_index``,
+    `/root/reference/src/cis5550/jobs/Indexer.java:196-231`, `:229`).
+
+    Constraint (validated): every new ``(conv_id, turn_idx)`` must sort
+    strictly after every existing key — the append-only stream shape —
+    so dense doc_ids keep the global-rank semantics by continuing at N.
+    Idempotent: re-running with an already-applied source is a no-op
+    for stage A and resumes any unfinished segment partitions. After an
+    extension, keep maintaining the index through ``extend_index`` /
+    ``_finish_build`` — re-running ``build_index`` with the original
+    source would see a changed docs fingerprint and rebuild from
+    scratch.
+    """
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        cfg = IndexConfig.from_json(json.load(f)["config"])
+    docs_dir = os.path.join(index_dir, "docs")
+    manifest = read_manifest(docs_dir)
+    new_files = _expand(new_source)
+    ext_fp = _fingerprint(new_files, cfg)
+    timings: dict = {"extended": True}
+
+    if ext_fp not in manifest.get("extensions", []):
+        t0 = time.monotonic()
+        n_old = int(manifest["N"])
+        last_key = _last_key(docs_dir)
+        first_key = _first_key_of(new_files)
+        if last_key is not None and first_key is not None and first_key <= last_key:
+            raise ValueError(
+                f"extension keys must sort after existing keys: "
+                f"new first {first_key} <= existing last {last_key}"
+            )
+        ids = assign_doc_ids_files(new_files, cfg, offset=n_old)
+        if ids is None:
+            ids = assign_doc_ids(
+                ray.data.read_parquet(new_files), cfg, offset=n_old
+            )
+        ext_tag = f"ext{len(manifest.get('extensions', [])):03d}-{ext_fp[:8]}"
+        stage = os.path.join(docs_dir, "_ext.tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        ids.write_parquet(stage)
+        n_new = 0
+        sum_new = 0
+        import pyarrow.parquet as pq
+
+        staged = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
+        for f in staged:
+            n_new += pq.read_metadata(f).num_rows
+            dl = pq.read_table(f, columns=["doclen"])["doclen"]
+            sum_new += int(np.sum(dl.to_numpy())) if len(dl) else 0
+        for f in staged:
+            os.rename(f, os.path.join(docs_dir, f"{ext_tag}-{os.path.basename(f)}"))
+        shutil.rmtree(stage, ignore_errors=True)
+        manifest["N"] = n_old + n_new
+        manifest["sum_doclen"] = int(manifest["sum_doclen"]) + sum_new
+        manifest.setdefault("extensions", []).append(ext_fp)
+        manifest["fingerprint"] = _fingerprint(
+            manifest["fingerprint"] + "|" + ext_fp, cfg
+        )
+        mpath = os.path.join(docs_dir, "_MANIFEST.json")
+        with open(mpath + ".tmp", "w") as mf:
+            json.dump(manifest, mf, indent=1)
+            mf.flush()
+            os.fsync(mf.fileno())
+        os.replace(mpath + ".tmp", mpath)
+        timings["docs_ext"] = round(time.monotonic() - t0, 3)
+
+    return _finish_build(
+        index_dir, cfg, n_partitions, None, concurrency, builder, timings
+    )
+
+
+def _inventory_parts(seg_root: str, docs_dir: str, cfg: IndexConfig) -> list[tuple[int, list[str]]]:
+    """Committed partitions whose recorded inputs still exist and
+    fingerprint-match; anything else is removed (stale / reconfigured)."""
+    parts: list[tuple[int, list[str]]] = []
+    for d in sorted(_glob.glob(os.path.join(seg_root, "part=*"))):
+        ok = False
+        try:
+            k = int(os.path.basename(d).split("=")[1])
+            m = read_manifest(d)
+            files = [os.path.join(docs_dir, b) for b in m.get("inputs", [])]
+            ok = (
+                k >= 0
+                and bool(files)
+                and all(os.path.exists(f) for f in files)
+                and m.get("fingerprint") == _fingerprint(files, cfg)
+            )
+        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+            ok = False
+        if ok:
+            parts.append((k, files))
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+    return parts
+
+
+def _finish_build(
+    index_dir: str,
+    cfg: IndexConfig,
+    n_partitions: int,
+    stop_after_partition: int | None = None,
+    concurrency=None,
+    builder: str = "tasks",
+    timings: dict | None = None,
+) -> dict:
+    """Stages B (segment wave) + C (dictionary) + meta, over whatever
+    the docs store currently holds."""
+    timings = timings if timings is not None else {}
+    docs_dir = os.path.join(index_dir, "docs")
     docs_manifest = read_manifest(docs_dir)
     N = docs_manifest["N"]
     avgdl = (docs_manifest["sum_doclen"] / N) if N else 0.0
     docs_files = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
 
-    # ---- stage B: wave build of incomplete partitions -> segments ----
-    # All incomplete doc-range partitions are built by ONE pipeline (one
-    # actor pool, one term-keyed merge shuffle) and then committed
-    # per-partition — sequential per-partition pipelines pay actor-pool
+    # ---- stage B: wave build of uncovered partitions -> segments ----
+    # All uncovered doc-range partitions are built by ONE pipeline (one
+    # task/actor pool, one term-keyed merge shuffle) and then committed
+    # per-partition — sequential per-partition pipelines pay pool
     # startup + shuffle setup once per partition and scale negatively.
-    # At cluster scale, cap a wave with ``partitions_per_wave`` so a
-    # mid-wave failure bounds the redone work.
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
-    groups = [list(g) for g in np.array_split(docs_files, min(n_partitions, max(1, len(docs_files)))) if len(g)]
-    import shutil
-
     for stale in _glob.glob(os.path.join(seg_root, "*.tmp")):
         shutil.rmtree(stale, ignore_errors=True)
-    for d in _glob.glob(os.path.join(seg_root, "part=*")):
-        try:
-            k = int(os.path.basename(d).split("=")[1])
-        except (IndexError, ValueError):
-            k = -1
-        if k < 0 or k >= len(groups):
-            shutil.rmtree(d, ignore_errors=True)
 
-    part_bounds = _part_first_docs(groups)
-    seg_fps = [_fingerprint(list(files), cfg) for files in groups]
-    todo = [
-        k for k in range(len(groups))
-        if not is_complete(os.path.join(seg_root, f"part={k:05d}"), seg_fps[k])
-    ]
+    existing = _inventory_parts(seg_root, docs_dir, cfg)
+    covered = {f for _, fs in existing for f in fs}
+    uncovered = [f for f in docs_files if f not in covered]
+    new_parts: list[tuple[int, list[str]]] = []
+    if uncovered:
+        next_id = max((k for k, _ in existing), default=-1) + 1
+        groups = np.array_split(uncovered, min(n_partitions, len(uncovered)))
+        new_parts = [(next_id + i, list(g)) for i, g in enumerate(groups) if len(g)]
+
     aborting = False
-    if stop_after_partition is not None and any(k >= stop_after_partition for k in todo):
-        aborting = True
-        todo = [k for k in todo if k < stop_after_partition]
+    if stop_after_partition is not None:
+        kept = [(k, g) for k, g in new_parts if k < stop_after_partition]
+        aborting = len(kept) < len(new_parts)
+        new_parts = kept
 
-    if todo:
+    all_parts = sorted(existing + new_parts)
+    part_bounds, part_ids = _part_bounds(all_parts)
+    part_fps = {k: _fingerprint(files, cfg) for k, files in all_parts}
+
+    if new_parts:
         t0 = time.monotonic()
-        files = [f for k in todo for f in groups[k]]
+        files = [f for _, g in new_parts for f in g]
         wave_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
         if builder == "actors":
             if concurrency is None:
@@ -180,7 +304,7 @@ def build_index(
                 concurrency = (1, max(1, ncpu))
             partials = wave_ds.map_batches(
                 PartialIndexBuilder,
-                fn_constructor_kwargs={"cfg": cfg, "part_bounds": part_bounds},
+                fn_constructor_kwargs={"cfg": cfg, "part_bounds": part_bounds, "part_ids": part_ids},
                 batch_format="pyarrow",
                 batch_size=None,
                 concurrency=concurrency,
@@ -188,7 +312,7 @@ def build_index(
         else:
             partials = wave_ds.map_batches(
                 build_partials_task,
-                fn_kwargs={"cfg": cfg, "part_bounds": part_bounds},
+                fn_kwargs={"cfg": cfg, "part_bounds": part_bounds, "part_ids": part_ids},
                 batch_format="pyarrow",
                 batch_size=None,
             )
@@ -197,17 +321,17 @@ def build_index(
         shutil.rmtree(wave_tmp, ignore_errors=True)
         merged.write_parquet(wave_tmp, partition_cols=["part"])
         wave_s = round(time.monotonic() - t0, 3)
-        for k in todo:
+        for k, group_files in new_parts:
             src = os.path.join(wave_tmp, f"part={k}")
             os.makedirs(src, exist_ok=True)  # partition with zero postings
             n_segments = sum(_pq_rows(f) for f in _glob.glob(os.path.join(src, "*.parquet")))
             manifest = {
-                "fingerprint": seg_fps[k],
+                "fingerprint": part_fps[k],
                 "stage": "segments",
-                "inputs": [os.path.basename(f) for f in groups[k]],
+                "inputs": [os.path.basename(f) for f in group_files],
                 "n_segments": int(n_segments),
                 "seconds": wave_s,
-                "wave": todo,
+                "wave": [k2 for k2, _ in new_parts],
             }
             mpath = os.path.join(src, "_MANIFEST.json")
             with open(mpath, "w") as mf:
@@ -220,7 +344,7 @@ def build_index(
             os.rename(src, final)
         shutil.rmtree(wave_tmp, ignore_errors=True)
         timings["segments_wave"] = wave_s
-        timings["segments_parts"] = len(todo)
+        timings["segments_parts"] = len(new_parts)
     if aborting:
         raise BuildAborted(
             f"aborted before partition {stop_after_partition} (test hook)"
@@ -228,25 +352,24 @@ def build_index(
 
     # ---- stage C: dictionary (global term stats) ----
     dict_dir = os.path.join(index_dir, "dictionary")
-    dict_fp = _fingerprint("|".join(seg_fps), cfg)
+    dict_fp = _fingerprint("|".join(part_fps[k] for k, _ in all_parts), cfg)
     if not is_complete(dict_dir, dict_fp):
         t0 = time.monotonic()
-        seg_files = _glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
+        seg_files = _glob.glob(os.path.join(seg_root, "part=*", "*.parquet"))
         seg_bytes = sum(os.path.getsize(f) for f in seg_files)
         if seg_bytes <= 128 * 1024 * 1024:
             # small index: one driver-side Arrow group_by beats a whole
             # distributed job (a groupby job's fixed cost is seconds)
-            import pyarrow.parquet as _pq
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            seg_t = _pq.read_table(seg_files, columns=["term", "df", "max_tf"]) if seg_files else None
+            seg_t = pq.read_table(seg_files, columns=["term", "df", "max_tf"]) if seg_files else None
             if seg_t is None or seg_t.num_rows == 0:
-                import pyarrow as _pa
-
-                dict_t = _pa.table(
-                    {"term": _pa.array([], _pa.string()),
-                     "df": _pa.array([], _pa.int64()),
-                     "max_tf": _pa.array([], _pa.int32()),
-                     "n_segments": _pa.array([], _pa.int64())}
+                dict_t = pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64()),
+                     "max_tf": pa.array([], pa.int32()),
+                     "n_segments": pa.array([], pa.int64())}
                 )
             else:
                 agg = seg_t.group_by("term").aggregate(
@@ -254,16 +377,13 @@ def build_index(
                 )
                 dict_t = agg.rename_columns(["term", "df", "max_tf", "n_segments"])
             with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
-                import pyarrow.parquet as _pq2
-
-                _pq2.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
+                pq.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
                 ck.commit()
         else:
             from ray.data.aggregate import Sum, Max, Count
 
             seg_ds = ray.data.read_parquet(
-                os.path.join(index_dir, "segments"),
-                columns=["term", "df", "max_tf"],
+                seg_root, columns=["term", "df", "max_tf"]
             )
             dictionary = seg_ds.groupby("term").aggregate(
                 Sum("df", alias_name="df"),
@@ -279,7 +399,7 @@ def build_index(
         "N": N,
         "avgdl": avgdl,
         "config": cfg.to_json(),
-        "n_partitions": len(groups),
+        "n_partitions": len(all_parts),
         "timings": timings,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -317,22 +437,60 @@ def _file_doc_range(path: str) -> tuple[int, int]:
     return int(mn), int(mx)
 
 
-def _part_first_docs(groups: list[list[str]]) -> np.ndarray:
-    """First doc_id of each partition; validates that docs files form
-    ascending, non-overlapping doc ranges (they do — the docs store is
-    written from the (conv_id, turn_idx)-sorted dataset)."""
-    bounds, prev_max = [], -1
-    for files in groups:
+def _part_bounds(parts: list[tuple[int, list[str]]]) -> tuple[np.ndarray, np.ndarray]:
+    """(first-doc bounds ascending, aligned part ids); validates that
+    partitions form disjoint doc ranges (they do — the docs store is
+    written from the sorted/prefix-sum-assigned dataset)."""
+    ranges = []
+    for k, files in parts:
         gmin = gmax = None
         for f in files:
             mn, mx = _file_doc_range(f)
             gmin = mn if gmin is None else min(gmin, mn)
             gmax = mx if gmax is None else max(gmax, mx)
-        if gmin is None or gmin <= prev_max:
+        if gmin is None:
+            raise ValueError(f"partition {k} has no rows")
+        ranges.append((gmin, gmax, k))
+    ranges.sort()
+    prev_max = -1
+    for gmin, gmax, k in ranges:
+        if gmin <= prev_max:
             raise ValueError(
-                "docs files are not ascending disjoint doc ranges; "
+                "docs partitions are not disjoint doc ranges; "
                 "cannot form doc-range checkpoint partitions"
             )
-        bounds.append(gmin)
         prev_max = gmax
-    return np.asarray(bounds, dtype=np.int64)
+    return (
+        np.asarray([r[0] for r in ranges], dtype=np.int64),
+        np.asarray([r[2] for r in ranges], dtype=np.int64),
+    )
+
+
+def _last_key(docs_dir: str):
+    """Largest (conv_id, turn_idx) in the docs store = key of doc N-1."""
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
+    if not files:
+        return None
+    best = max(files, key=lambda f: _file_doc_range(f)[1])
+    t = pq.read_table(best, columns=["doc_id", "conv_id", "turn_idx"])
+    i = int(np.argmax(t["doc_id"].to_numpy()))
+    return (t["conv_id"][i].as_py(), t["turn_idx"][i].as_py())
+
+
+def _first_key_of(files: list[str]):
+    """Smallest (conv_id, turn_idx) across a set of transcript files."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"])
+        if t.num_rows == 0:
+            continue
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy()
+        order = np.lexsort((turn, conv))
+        key = (conv[order[0]], int(turn[order[0]]))
+        best = key if best is None or key < best else best
+    return best

@@ -140,6 +140,11 @@ def evaluate_queries(
 ):
     """queries_ds: Dataset with (query_id, query[, k]) -> Dataset of
     (query_id, rank, doc_id, score)."""
+    # a from_pandas/from_items query set is ONE block — split it or the
+    # actor pool gets a single task and no parallelism
+    max_actors = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    if queries_ds.num_blocks() < max_actors:
+        queries_ds = queries_ds.repartition(max_actors)
     return queries_ds.map_batches(
         QueryEvaluator,
         fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},

@@ -93,10 +93,12 @@ def assign_doc_ids_files(
     files: list[str],
     cfg: IndexConfig | None = None,
     compute_doclen: bool = True,
+    offset: int = 0,
 ) -> "ray.data.Dataset | None":
     """Prefix-sum fast path over already-ordered files; returns None
     when the input is not globally ordered (caller falls back to the
-    sort path)."""
+    sort path). ``offset`` shifts all assigned ids (used by
+    ``extend_index`` to continue at the existing N)."""
     cfg = cfg or IndexConfig()
     if not files:
         return None
@@ -110,7 +112,7 @@ def assign_doc_ids_files(
         if prev_last is not None and info["first"] < prev_last:
             return None
         prev_last = info["last"]
-    offsets = np.concatenate([[0], np.cumsum([i["rows"] for i in infos])[:-1]])
+    offsets = offset + np.concatenate([[0], np.cumsum([i["rows"] for i in infos])[:-1]])
     refs = [
         _file_with_ids.remote(f, int(off), cfg, compute_doclen)
         for f, off, info in zip(files, offsets, infos)
@@ -125,6 +127,7 @@ def assign_doc_ids(
     ds: "ray.data.Dataset",
     cfg: IndexConfig | None = None,
     compute_doclen: bool = True,
+    offset: int = 0,
 ) -> "ray.data.Dataset":
     """Sort by (conv_id, turn_idx) and attach dense ``doc_id`` (and
     ``doclen``). Returns a dataset over materialized blocks — consuming
@@ -135,7 +138,7 @@ def assign_doc_ids(
     if not refs:
         return sorted_ds
     counts = ray.get([_nrows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offsets = offset + np.concatenate([[0], np.cumsum(counts)[:-1]])
     new_refs = [
         _add_ids.remote(r, int(off), cfg, compute_doclen)
         for r, off in zip(refs, offsets)

@@ -53,7 +53,7 @@ _worker_stemmer: "CachingStemmer | None" = None
 
 
 def build_partials_task(
-    batch: pa.Table, cfg: IndexConfig, part_bounds=None
+    batch: pa.Table, cfg: IndexConfig, part_bounds=None, part_ids=None
 ) -> pa.Table:
     """Task-pool form of the builder (the default build path).
 
@@ -69,7 +69,8 @@ def build_partials_task(
     if _worker_stemmer is None:
         _worker_stemmer = CachingStemmer()
     bounds = np.asarray(part_bounds, dtype=np.int64) if part_bounds is not None else None
-    return build_partials(batch, cfg, _worker_stemmer, bounds)
+    pids = np.asarray(part_ids, dtype=np.int64) if part_ids is not None else None
+    return build_partials(batch, cfg, _worker_stemmer, bounds, pids)
 
 
 class PartialIndexBuilder:
@@ -79,15 +80,18 @@ class PartialIndexBuilder:
     once per actor); ``__call__`` is fully vectorized per batch.
     """
 
-    def __init__(self, cfg: IndexConfig | None = None, part_bounds=None):
+    def __init__(self, cfg: IndexConfig | None = None, part_bounds=None, part_ids=None):
         self.cfg = cfg or IndexConfig()
         self.stemmer = CachingStemmer()
         self.part_bounds = (
             np.asarray(part_bounds, dtype=np.int64) if part_bounds is not None else None
         )
+        self.part_ids = (
+            np.asarray(part_ids, dtype=np.int64) if part_ids is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return build_partials(batch, self.cfg, self.stemmer, self.part_bounds)
+        return build_partials(batch, self.cfg, self.stemmer, self.part_bounds, self.part_ids)
 
 
 def build_partials(
@@ -95,6 +99,7 @@ def build_partials(
     cfg: IndexConfig,
     stemmer: CachingStemmer | None = None,
     part_bounds: np.ndarray | None = None,
+    part_ids: np.ndarray | None = None,
 ) -> pa.Table:
     """Tokenize one batch (needs columns text, doc_id, doclen) and emit
     partial posting segments.
@@ -144,7 +149,8 @@ def build_partials(
     # ---- group entries by (term, [part,] bucket) ----
     bucket = (entry_doc // cfg.doc_bucket_size).astype(np.int64)
     if part_bounds is not None:
-        part = (np.searchsorted(part_bounds, entry_doc, side="right") - 1).astype(np.int32)
+        slot = np.searchsorted(part_bounds, entry_doc, side="right") - 1
+        part = (part_ids[slot] if part_ids is not None else slot).astype(np.int32)
     else:
         part = np.zeros(len(entry_doc), dtype=np.int32)
     n_entries = len(entry_term)

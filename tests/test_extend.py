@@ -1,0 +1,74 @@
+"""Incremental indexing: extend_index over an append-only stream must
+equal a from-scratch build over the union, without rebuilding finished
+partitions (reference analog: incremental skip,
+`/root/reference/src/cis5550/jobs/Indexer.java:196-231`)."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.corpus import write_transcripts
+from search_engine_ray.pipelines.build_index import build_index, extend_index
+from search_engine_ray.stages.query import LocalIndex, load_logical_postings
+
+
+@pytest.fixture()
+def split_corpus(tmp_path):
+    full = str(tmp_path / "full")
+    write_transcripts(full, n_convs=120, turns_per_conv=5, seed=42, n_files=8)
+    files = sorted(glob.glob(f"{full}/*.parquet"))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    for f in files[:5]:
+        shutil.copy(f, a)
+    for f in files[5:]:
+        shutil.copy(f, b)
+    return full, a, b
+
+
+def test_extend_equals_full_build(ray_session, tmp_path, split_corpus):
+    full, a, b = split_corpus
+    cfg = IndexConfig(doc_bucket_size=128)
+
+    full_dir = str(tmp_path / "idx_full")
+    build_index(full, full_dir, cfg, n_partitions=3)
+
+    ext_dir = str(tmp_path / "idx_ext")
+    build_index(a, ext_dir, cfg, n_partitions=2)
+    part0_manifest = sorted(glob.glob(f"{ext_dir}/segments/part=*/_MANIFEST.json"))[0]
+    mtime = os.path.getmtime(part0_manifest)
+    meta = extend_index(ext_dir, b, n_partitions=2)
+    assert meta["timings"].get("extended") is True
+    # finished partitions untouched
+    assert os.path.getmtime(part0_manifest) == mtime
+
+    x = load_logical_postings(full_dir)
+    y = load_logical_postings(ext_dir)
+    assert set(x) == set(y)
+    for term in x:
+        assert x[term][0].tolist() == y[term][0].tolist(), term
+        assert x[term][1].tolist() == y[term][1].tolist(), term
+
+    lf, le = LocalIndex(full_dir), LocalIndex(ext_dir)
+    assert lf.N == le.N and abs(lf.avgdl - le.avgdl) < 1e-9
+    for q in ["running", "meetings search", "the of and", "caresses ponies"]:
+        ids_f, sc_f = lf.search(q, 50, mode="OR")
+        ids_e, sc_e = le.search(q, 50, mode="OR")
+        assert ids_f.tolist() == ids_e.tolist(), q
+        assert abs(sc_f - sc_e).max() < 1e-12 if len(sc_f) else True
+
+    # idempotent: re-applying the same extension is a no-op
+    meta2 = extend_index(ext_dir, b, n_partitions=2)
+    assert "docs_ext" not in meta2["timings"]
+
+
+def test_extend_rejects_out_of_order_keys(ray_session, tmp_path, split_corpus):
+    _, a, b = split_corpus
+    cfg = IndexConfig(doc_bucket_size=128)
+    idx = str(tmp_path / "idx_b_first")
+    build_index(b, idx, cfg, n_partitions=2)
+    with pytest.raises(ValueError, match="must sort after"):
+        extend_index(idx, a, n_partitions=2)
