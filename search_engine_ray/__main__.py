@@ -1,0 +1,123 @@
+"""CLI entry points — the analog of the reference's job submissions
+(`FlameSubmit ... cis5550.jobs.Indexer` / `Search <kvs> <port>`,
+`/root/reference/homework_code/flame/FlameSubmit.java:11-59`,
+`/root/reference/src/cis5550/jobs/Search.java:198`)::
+
+    python -m search_engine_ray build  --source DIR --index DIR [-p N]
+    python -m search_engine_ray extend --source DIR --index DIR [-p N]
+    python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR]
+    python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
+
+Owns the Ray session (the only places allowed to: CLI, bench.py, test
+fixture — never library code / __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def cmd_build(a) -> int:
+    from .config import IndexConfig
+    from .pipelines.build_index import build_index
+
+    cfg = IndexConfig(stemming=not a.no_stemming, positions=not a.no_positions)
+    meta = build_index(a.source, a.index, cfg, n_partitions=a.partitions)
+    print(json.dumps(meta, indent=1))
+    return 0
+
+
+def cmd_extend(a) -> int:
+    from .pipelines.build_index import extend_index
+
+    meta = extend_index(a.index, a.source, n_partitions=a.partitions)
+    print(json.dumps(meta, indent=1))
+    return 0
+
+
+def cmd_query(a) -> int:
+    from .pipelines.search import ShardedSearcher, materialize_results
+    import pandas as pd
+
+    searcher = ShardedSearcher(a.index, n_shards=a.shards)
+    ids, scores = searcher.search(a.text, k=a.k, mode=a.mode)
+    topk = pd.DataFrame(
+        {"rank": range(1, len(ids) + 1), "doc_id": ids, "score": scores}
+    )
+    out = materialize_results(a.index, topk)
+    print(out.to_string(index=False, max_colwidth=60))
+    return 0
+
+
+def cmd_batch(a) -> int:
+    import ray.data
+
+    from .pipelines.search import evaluate_queries
+
+    qds = ray.data.read_parquet(a.queries)
+    res = evaluate_queries(qds, a.index, mode=a.mode)
+    res.write_parquet(a.out)
+    print(f"wrote {a.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from transcript parquet")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("-p", "--partitions", type=int, default=8)
+    b.add_argument("--no-stemming", action="store_true")
+    b.add_argument("--no-positions", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser("extend", help="append new turns to an existing index")
+    e.add_argument("--source", required=True)
+    e.add_argument("--index", required=True)
+    e.add_argument("-p", "--partitions", type=int, default=8)
+    e.set_defaults(fn=cmd_extend)
+
+    q = sub.add_parser("query", help="BM25 top-k for one query")
+    q.add_argument("--index", required=True)
+    q.add_argument("text")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["AND", "OR"], default="OR")
+    q.add_argument("--shards", type=int, default=4)
+    q.set_defaults(fn=cmd_query)
+
+    bt = sub.add_parser("batch", help="evaluate a parquet of queries")
+    bt.add_argument("--index", required=True)
+    bt.add_argument("--queries", required=True)
+    bt.add_argument("--out", required=True)
+    bt.add_argument("--mode", choices=["AND", "OR"], default="AND")
+    bt.set_defaults(fn=cmd_batch)
+
+    a = p.parse_args(argv)
+    ray = _init_ray()
+    try:
+        return a.fn(a)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
