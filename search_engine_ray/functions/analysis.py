@@ -152,6 +152,20 @@ _SKIP_ARR = np.array(sorted(SKIP_WORDS), dtype=object)
 _SKIP_PA = pa.array(sorted(SKIP_WORDS), pa.string())
 
 
+def analyze_phrase(phrase: str, cfg: IndexConfig | None = None) -> list[str]:
+    """Phrase analyzer: the index-time token stream of the phrase IN
+    ORDER — raw tokens, no stemming, stopwords kept (an exact phrase is
+    literal), index-side filters applied (a skip-listed or >20-char
+    token cannot be position-verified because it is not indexed)."""
+    cfg = cfg or IndexConfig()
+    import re
+
+    raw = [t for t in re.split(_SPLIT_PATTERN, phrase.lower()) if t]
+    if any(len(t) > cfg.max_word_len or t in SKIP_WORDS for t in raw):
+        return []  # contains an unindexed token -> cannot be verified
+    return raw
+
+
 def analyze_query(query: str, cfg: IndexConfig | None = None) -> tuple[list[str], bool]:
     """Query-side analyzer (``split_stem``, Search.java:59-74 + stopword
     logic Search.java:209-214).

@@ -91,11 +91,11 @@ def ensure_index(sf_dir: str, variant: str = "raw") -> str:
     """Build (once, resume-aware) the index over the derived
     transcripts. variant: 'raw' (no stemming — SQL-comparable) or
     'stemmed' (full reference semantics)."""
-    cfg = (
-        IndexConfig(stemming=False, positions=False)
-        if variant == "raw"
-        else IndexConfig()
-    )
+    cfg = {
+        "raw": IndexConfig(stemming=False, positions=False),
+        "rawpos": IndexConfig(stemming=False, positions=True),
+        "stemmed": IndexConfig(),
+    }[variant]
     tdir = transcripts_dir(sf_dir)
     idx = os.path.join(_CACHE_ROOT, f"idx-{os.path.basename(tdir)[3:]}-{variant}")
     build_index(tdir, idx, cfg, n_partitions=2)
@@ -234,6 +234,46 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- exact-phrase matching via the stored position blocks ----
+
+_PHRASES = [(0, "hash join"), (1, "group by"), (2, "the data"), (3, "sort merge join")]
+
+
+def phrase_match(sf_dir: str):
+    """All (query_id, doc_id) pairs where the phrase's tokens occur
+    adjacently (position-verified through the index; the SQL oracle
+    verifies by regex over the raw text — independent mechanisms)."""
+    idx = ensure_index(sf_dir, "rawpos")
+    li = LocalIndex(idx, load_positions=True)
+    qid_out, doc_out = [], []
+    for qid, phrase in _PHRASES:
+        ids, _scores = li.phrase_search(phrase, k=10**9)
+        ids = np.sort(ids)
+        qid_out.extend([qid] * len(ids))
+        doc_out.extend(ids.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+        }
+    )
+
+
+def _phrase_sql() -> str:
+    rows = []
+    for qid, phrase in _PHRASES:
+        toks = phrase.lower().split()
+        pat = "(^|[^0-9a-z])" + "[^0-9a-z]+".join(toks) + "([^0-9a-z]|$)"
+        rows.append(f"({qid}, '{pat}')")
+    return f"""
+WITH {_TR_CTE},
+phrases(query_id, pattern) AS (VALUES {", ".join(rows)})
+SELECT CAST(p.query_id AS BIGINT) AS query_id, tr.doc_id
+FROM phrases p
+JOIN tr ON regexp_matches(lower(substring(tr.text, 1, 10000)), p.pattern)
+"""
+
+
 # ---- the reference's OWN tf-idf scoring (capability parity):
 #      tf * ln(N/df) / doclen summed per doc over query terms,
 #      `/root/reference/src/cis5550/jobs_archive/Ranker.java:146-177`,
@@ -352,6 +392,7 @@ RAY_QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_stemmed_topk": bm25_stemmed_topk,
     "tfidf_topk": tfidf_topk,
+    "phrase_match": phrase_match,
 }
 
 ORACLE_SQL = {
@@ -360,4 +401,5 @@ ORACLE_SQL = {
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
     "tfidf_topk": _tfidf_sql(),
+    "phrase_match": _phrase_sql(),
 }

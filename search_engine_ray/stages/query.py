@@ -42,9 +42,10 @@ class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes", "_full")
+                 "doc_bytes", "tf_bytes", "pos_bytes", "_full")
 
-    def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes):
+    def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes,
+                 pos_bytes=None):
         self.df = df
         self.first_doc = first_doc
         self.last_doc = last_doc
@@ -53,6 +54,7 @@ class _TermSegments:
         self.min_doclen = min_doclen
         self.doc_bytes = doc_bytes
         self.tf_bytes = tf_bytes
+        self.pos_bytes = pos_bytes
         self._full = None
 
     def decode(self, lo: int | None = None, hi: int | None = None):
@@ -78,23 +80,47 @@ class _TermSegments:
         tfs = [vb.decode(self.tf_bytes[i]).astype(np.int64) for i in sel]
         return np.concatenate(ids), np.concatenate(tfs)
 
+    def decode_positions(self):
+        """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
+        are ``pos_values[pos_starts[i]:pos_starts[i+1]]`` (ascending).
+        Requires the index loaded with positions."""
+        if self.pos_bytes is None or self.pos_bytes[0] is None:
+            raise ValueError("index loaded without positions")
+        ids, tfs = self.decode()
+        gaps = np.concatenate([
+            vb.decode(self.pos_bytes[i]).astype(np.int64)
+            for i in range(len(self.pos_bytes))
+        ])
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        # segmented cumsum: gaps reset to absolute at each entry start
+        total = np.cumsum(gaps)
+        base = np.zeros(len(tfs), dtype=np.int64)
+        nz = starts > 0
+        base[nz] = total[starts[nz] - 1]
+        values = total - np.repeat(base, tfs)
+        return ids, tfs, np.concatenate([starts, [len(gaps)]]), values
+
 
 class LocalIndex:
     """Loads an index directory into memory (terms optionally
     restricted to a shard predicate) and evaluates BM25 queries."""
 
-    def __init__(self, index_dir: str, term_filter=None):
+    def __init__(self, index_dir: str, term_filter=None, load_positions: bool = False):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.cfg = IndexConfig.from_json(self.meta["config"])
         self.N = int(self.meta["N"])
         self.avgdl = float(self.meta["avgdl"])
         self.terms: dict[str, _TermSegments] = {}
+        self.has_positions = load_positions and self.cfg.positions
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
         )
         cols = ["term", "bucket", "first_doc", "last_doc", "df", "max_tf",
                 "min_doclen", "doc_bytes", "tf_bytes"]
+        if self.has_positions:
+            cols.append("pos_bytes")
         rows: dict[str, list] = {}
         for f in seg_files:
             t = pq.read_table(f, columns=cols)
@@ -107,12 +133,14 @@ class LocalIndex:
             mdl = t["min_doclen"].to_numpy()
             db = t["doc_bytes"].to_pylist()
             tb = t["tf_bytes"].to_pylist()
+            pb = t["pos_bytes"].to_pylist() if self.has_positions else None
             for i, term in enumerate(terms):
                 if term_filter is not None and not term_filter(term):
                     continue
                 rows.setdefault(term, []).append(
                     (int(bucket[i]), int(first[i]), int(last[i]), int(df[i]),
-                     int(mtf[i]), int(mdl[i]), db[i], tb[i])
+                     int(mtf[i]), int(mdl[i]), db[i], tb[i],
+                     pb[i] if pb is not None else None)
                 )
         for term, segs in rows.items():
             segs.sort(key=lambda s: (s[0], s[1]))
@@ -125,6 +153,7 @@ class LocalIndex:
                 min_doclen=[s[5] for s in segs],
                 doc_bytes=[s[6] for s in segs],
                 tf_bytes=[s[7] for s in segs],
+                pos_bytes=[s[8] for s in segs] if self.has_positions else None,
             )
         # doc stats (doclen per doc_id) — doc_id is dense, so a flat array
         self.doclen = np.zeros(self.N, dtype=np.int32)
@@ -167,6 +196,60 @@ class LocalIndex:
         return score_decoded_terms(
             decoded, self.doclen, self.N, self.avgdl, self.cfg, k, mode, stopword_only
         )
+
+    def phrase_search(self, phrase: str, k: int = DEFAULT_TOP_K):
+        """Exact-phrase top-k using the stored position blocks (the
+        positions capability of the reference's ``split_page_locs``,
+        `/root/reference/src/cis5550/jobs/Indexer.java:129-169`):
+        candidate docs by AND-intersection of the phrase's raw tokens,
+        then adjacency verification — positions of token i+1 must
+        contain (p+1) for a surviving p chain. Matching docs are
+        BM25-scored over the phrase terms, tie-break (score desc,
+        doc_id asc)."""
+        from ..functions.analysis import analyze_phrase
+
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        terms = analyze_phrase(phrase, self.cfg)
+        if not terms or not self.has_positions:
+            return empty
+        segs = []
+        for t in terms:
+            ts = self.terms.get(t)
+            if ts is None:
+                return empty
+            segs.append(ts)
+        decoded = [ts.decode_positions() for ts in segs]
+        cand = decoded[0][0]
+        for ids, *_ in decoded[1:]:
+            cand = _intersect_sorted(cand, ids)
+            if cand.size == 0:
+                return empty
+        # per-candidate adjacency chain (candidate counts are small
+        # after the AND; positions arrays stay numpy throughout)
+        matched = []
+        entry_at = [np.searchsorted(ids, cand) for ids, *_ in decoded]
+        for ci in range(cand.size):
+            chain = None
+            for t_i, (ids, tfs, pstarts, pvals) in enumerate(decoded):
+                e = entry_at[t_i][ci]
+                pos = pvals[pstarts[e] : pstarts[e + 1]]
+                chain = pos if chain is None else pos[np.isin(pos, chain + 1)]
+                if chain.size == 0:
+                    break
+            if chain is not None and chain.size:
+                matched.append(cand[ci])
+        if not matched:
+            return empty
+        mids = np.asarray(matched, dtype=np.int64)
+        dl = self.doclen[mids]
+        scores = np.zeros(mids.size, np.float64)
+        for (ids, tfs, *_), ts in zip(decoded, segs):
+            pos = np.searchsorted(ids, mids)
+            scores += scoring.bm25_term_scores(
+                tfs[pos], dl, self.N, ts.df, self.avgdl, self.cfg.k1, self.cfg.b
+            )
+        idx = scoring.topk_indices(scores, mids, k)
+        return mids[idx], scores[idx]
 
     def search_df(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         import pandas as pd

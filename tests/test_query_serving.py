@@ -56,3 +56,50 @@ def test_materialize_results(index_dir):
     assert {"rank", "doc_id", "conv_id", "turn_idx", "score", "snippet"} <= set(out.columns)
     assert len(out) == len(df)
     assert out["conv_id"].notna().all()
+
+
+def test_phrase_search(ray_session, tmp_path):
+    """Exact-phrase matching via stored position blocks."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    import numpy as np_
+
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.pipelines.build_index import build_index
+    from search_engine_ray.stages.query import LocalIndex
+
+    texts = [
+        "the quick brown fox",            # 0: phrase present
+        "quick the brown fox",            # 1: tokens present, wrong order
+        "the quick, brown fox",           # 2: punctuation run still adjacent
+        "the quick brown dog",            # 3: prefix only
+        "say the quick brown fox again",  # 4: phrase mid-text
+        "the quick http brown fox",       # 5: skip-word breaks adjacency
+    ]
+    src = tmp_path / "phrase_src"
+    src.mkdir()
+    n = len(texts)
+    pq_.write_table(
+        pa_.table({
+            "conv_id": pa_.array([f"conv-{i:08d}" for i in range(n)], pa_.string()),
+            "turn_idx": pa_.array(np_.zeros(n, dtype="int32"), pa_.int32()),
+            "role": pa_.array(["user"] * n, pa_.string()),
+            "text": pa_.array(texts, pa_.string()),
+            "tool": pa_.array([""] * n, pa_.string()),
+            "ts": pa_.array(np_.zeros(n, dtype="datetime64[us]"), pa_.timestamp("us")),
+        }),
+        str(src / "part-0.parquet"),
+    )
+    idx = str(tmp_path / "phrase_idx")
+    build_index(str(src), idx, IndexConfig(stemming=False), n_partitions=1)
+    li = LocalIndex(idx, load_positions=True)
+    ids, scores = li.phrase_search("the quick brown fox")
+    assert ids.tolist() == sorted([0, 2, 4]) or set(ids.tolist()) == {0, 2, 4}
+    assert len(scores) == 3
+    ids2, _retry = li.phrase_search("quick brown dog")
+    assert ids2.tolist() == [3]
+    ids3, _x = li.phrase_search("brown fox the")
+    assert ids3.tolist() == []
+    # phrase containing a skip-listed token cannot be verified
+    ids4, _y = li.phrase_search("quick http brown")
+    assert ids4.tolist() == []
