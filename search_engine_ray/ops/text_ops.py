@@ -216,12 +216,31 @@ def fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
+# ---- English filter (the reference rejects non-English docs by
+#      country/language-code URL tokens, `/root/reference/src/cis5550/
+#      tools/EnglishFilter.java:97-105`; the transcript analog filters
+#      on the document's language label) ----
+
+def english_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ENGLISH_FILTER = "SELECT doc_id FROM documents WHERE lang = 'en'"
+
+
 RAY_QUERIES = {
     "term_stats": term_stats,
     "doc_stats": doc_stats,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": fingerprint,
+    "english_filter": english_filter,
 }
 
 ORACLE_SQL = {
@@ -229,4 +248,5 @@ ORACLE_SQL = {
     "doc_stats": SQL_DOC_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "english_filter": SQL_ENGLISH_FILTER,
 }
