@@ -67,7 +67,7 @@ def _expand(source) -> list[str]:
 
 # Bump when the on-disk index layout or segment schema changes — part of
 # every stage fingerprint, so resume never trusts stale-format output.
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _fingerprint(items, cfg: IndexConfig | None = None) -> str:

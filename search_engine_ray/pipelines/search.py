@@ -41,13 +41,15 @@ class IndexShardActor:
         )
 
     def term_postings(self, terms: list[str]):
-        """Return {term: (doc_ids, tfs, df)} for terms present here."""
+        """Return {term: (doc_ids, tfs, doclens, df)} for terms present
+        here — doclens come from the per-posting stream, so the shard
+        is fully self-contained (no O(N) doc-stats table anywhere)."""
         out = {}
         for t in terms:
             ts = self.index.terms.get(t)
             if ts is not None:
-                ids, tfs = ts.decode()
-                out[t] = (ids, tfs, ts.df)
+                ids, tfs, dls = ts.decode()
+                out[t] = (ids, tfs, dls, ts.df)
         return out
 
     def ping(self) -> bool:
@@ -63,8 +65,8 @@ class ShardedSearcher:
             IndexShardActor.remote(index_dir, s, n_shards) for s in range(n_shards)
         ]
         ray.get([s.ping.remote() for s in self.shards])
-        # doc stats + meta stay driver-side (scale path: doc-range
-        # doc-stat shards; at sandbox scale a flat array is right)
+        # only scalar stats stay driver-side — per-posting doclens ride
+        # in the segments, so no O(N) doc table is loaded anywhere
         import json
 
         with open(os.path.join(index_dir, "meta.json")) as f:
@@ -72,10 +74,6 @@ class ShardedSearcher:
         self.cfg = IndexConfig.from_json(self.meta["config"])
         self.N = int(self.meta["N"])
         self.avgdl = float(self.meta["avgdl"])
-        self.doclen = np.zeros(self.N, dtype=np.int32)
-        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
-            t = pq.read_table(f, columns=["doc_id", "doclen"])
-            self.doclen[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         terms, stopword_only = analyze_query(query, self.cfg)
@@ -93,12 +91,12 @@ class ShardedSearcher:
         decoded = []
         for t in terms:  # fixed analyzer order — determinism
             if t in fetched:
-                ids, tfs, df = fetched[t]
-                decoded.append((t, ids, tfs, df))
+                ids, tfs, dls, df = fetched[t]
+                decoded.append((t, ids, tfs, dls, df))
             elif mode == "AND":
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         return score_decoded_terms(
-            decoded, self.doclen, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
         )
 
 

@@ -44,6 +44,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("min_doclen", pa.int32()),
         ("doc_bytes", pa.large_binary()),
         ("tf_bytes", pa.large_binary()),
+        ("dl_bytes", pa.large_binary()),
         ("pos_bytes", pa.large_binary()),
     ]
 )
@@ -181,6 +182,13 @@ def build_partials(
     # ---- tf stream ----
     tf_blob, tf_boff = vb.encode_offsets(tf, np.concatenate([grp_start, [n_entries]]))
 
+    # ---- per-posting doclen stream: scoring needs doclen per posting;
+    # storing it here (~1 byte/posting) keeps query shards fully
+    # self-contained — no O(N) doclen table on the driver or actors ----
+    dl_blob, dl_boff = vb.encode_offsets(
+        entry_doclen.astype(np.int64), np.concatenate([grp_start, [n_entries]])
+    )
+
     # ---- position stream (gaps reset at each entry) ----
     if cfg.positions:
         pos_gaps = np.empty(len(pos_sorted), dtype=np.int64)
@@ -209,6 +217,10 @@ def build_partials(
             ),
             "tf_bytes": pa.array(
                 [tf_blob[tf_boff[g] : tf_boff[g + 1]] for g in range(n_groups)],
+                pa.large_binary(),
+            ),
+            "dl_bytes": pa.array(
+                [dl_blob[dl_boff[g] : dl_boff[g + 1]] for g in range(n_groups)],
                 pa.large_binary(),
             ),
             "pos_bytes": pa.array(pos_col, pa.large_binary()),

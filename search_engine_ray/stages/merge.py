@@ -120,10 +120,14 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
 
     grp_bounds = np.concatenate([grp_start, [n]])
 
-    # ---- tf / pos: contiguous rows -> group-level offsets, zero-copy ----
+    # ---- tf / dl / pos: contiguous rows -> group-level offsets, zero-copy ----
     tf_arr = batch["tf_bytes"].combine_chunks().cast(pa.large_binary())
     tf_offs, tf_data = _binary_parts(tf_arr)
     out_tf = _binary_from(tf_offs[grp_bounds], tf_data)
+
+    dl_arr = batch["dl_bytes"].combine_chunks().cast(pa.large_binary())
+    dl_offs, dl_data = _binary_parts(dl_arr)
+    out_dl = _binary_from(dl_offs[grp_bounds], dl_data)
 
     pos_arr = batch["pos_bytes"].combine_chunks().cast(pa.large_binary())
     has_pos = pos_arr.null_count < n
@@ -178,6 +182,7 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
             "min_doclen": pa.array(min_doclen, pa.int32()),
             "doc_bytes": out_doc,
             "tf_bytes": out_tf,
+            "dl_bytes": out_dl,
             "pos_bytes": out_pos,
     }
     if "part" in batch.column_names:

@@ -42,10 +42,10 @@ class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes", "pos_bytes", "_full")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_full")
 
     def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes,
-                 pos_bytes=None):
+                 dl_bytes=None, pos_bytes=None):
         self.df = df
         self.first_doc = first_doc
         self.last_doc = last_doc
@@ -54,12 +54,15 @@ class _TermSegments:
         self.min_doclen = min_doclen
         self.doc_bytes = doc_bytes
         self.tf_bytes = tf_bytes
+        self.dl_bytes = dl_bytes
         self.pos_bytes = pos_bytes
         self._full = None
 
     def decode(self, lo: int | None = None, hi: int | None = None):
-        """Decode postings, optionally only segments overlapping the
-        doc-id range [lo, hi] (block skipping). Full decodes are
+        """-> (doc_ids, tfs, doclens); optionally only segments
+        overlapping the doc-id range [lo, hi] (block skipping). The
+        per-posting doclen stream makes scoring self-contained (no
+        global doclen table). Full decodes are
         memoized — the actor-resident hot-term cache (decoded postings
         are ~2x the varbyte bytes; a shard actor at scale would bound
         this with an LRU)."""
@@ -75,10 +78,12 @@ class _TermSegments:
 
     def _decode_range(self, sel):
         if not len(sel):
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            e = np.empty(0, np.int64)
+            return e, e, e
         ids = [vb.delta_decode(vb.decode(self.doc_bytes[i])) for i in sel]
         tfs = [vb.decode(self.tf_bytes[i]).astype(np.int64) for i in sel]
-        return np.concatenate(ids), np.concatenate(tfs)
+        dls = [vb.decode(self.dl_bytes[i]).astype(np.int64) for i in sel]
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
 
     def decode_positions(self):
         """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
@@ -86,7 +91,7 @@ class _TermSegments:
         Requires the index loaded with positions."""
         if self.pos_bytes is None or self.pos_bytes[0] is None:
             raise ValueError("index loaded without positions")
-        ids, tfs = self.decode()
+        ids, tfs, _dls = self.decode()
         gaps = np.concatenate([
             vb.decode(self.pos_bytes[i]).astype(np.int64)
             for i in range(len(self.pos_bytes))
@@ -118,7 +123,7 @@ class LocalIndex:
             glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
         )
         cols = ["term", "bucket", "first_doc", "last_doc", "df", "max_tf",
-                "min_doclen", "doc_bytes", "tf_bytes"]
+                "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes"]
         if self.has_positions:
             cols.append("pos_bytes")
         rows: dict[str, list] = {}
@@ -133,13 +138,14 @@ class LocalIndex:
             mdl = t["min_doclen"].to_numpy()
             db = t["doc_bytes"].to_pylist()
             tb = t["tf_bytes"].to_pylist()
+            dlb = t["dl_bytes"].to_pylist()
             pb = t["pos_bytes"].to_pylist() if self.has_positions else None
             for i, term in enumerate(terms):
                 if term_filter is not None and not term_filter(term):
                     continue
                 rows.setdefault(term, []).append(
                     (int(bucket[i]), int(first[i]), int(last[i]), int(df[i]),
-                     int(mtf[i]), int(mdl[i]), db[i], tb[i],
+                     int(mtf[i]), int(mdl[i]), db[i], tb[i], dlb[i],
                      pb[i] if pb is not None else None)
                 )
         for term, segs in rows.items():
@@ -153,7 +159,8 @@ class LocalIndex:
                 min_doclen=[s[5] for s in segs],
                 doc_bytes=[s[6] for s in segs],
                 tf_bytes=[s[7] for s in segs],
-                pos_bytes=[s[8] for s in segs] if self.has_positions else None,
+                dl_bytes=[s[8] for s in segs],
+                pos_bytes=[s[9] for s in segs] if self.has_positions else None,
             )
         # doc stats (doclen per doc_id) — doc_id is dense, so a flat array
         self.doclen = np.zeros(self.N, dtype=np.int32)
@@ -167,7 +174,8 @@ class LocalIndex:
         ts = self.terms.get(term)
         if ts is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        return ts.decode()
+        ids, tfs, _dls = ts.decode()
+        return ids, tfs
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         """Returns (doc_ids, scores) of the top-k."""
@@ -194,7 +202,7 @@ class LocalIndex:
         else:
             decoded = [(t, *ts.decode(), ts.df) for t, ts in contributions]
         return score_decoded_terms(
-            decoded, self.doclen, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
         )
 
     def phrase_search(self, phrase: str, k: int = DEFAULT_TOP_K):
@@ -266,7 +274,6 @@ class LocalIndex:
 
 def score_decoded_terms(
     decoded: list,
-    doclen: np.ndarray,
     N: int,
     avgdl: float,
     cfg: IndexConfig,
@@ -275,31 +282,34 @@ def score_decoded_terms(
     stopword_only: bool,
 ):
     """Shared final-scoring kernel: ``decoded`` is
-    ``[(term, doc_ids_sorted, tfs, global_df), ...]`` in analyzer term
-    order. Both the in-process and the sharded path end here, so their
-    results are bit-identical (fixed term order, float64 everywhere,
-    (score desc, doc_id asc) tie-break — SURVEY.md §7.4)."""
+    ``[(term, doc_ids_sorted, tfs, doclens, global_df), ...]`` in
+    analyzer term order (doclens are the per-posting stream stored in
+    the segments — no global doclen table needed). Both the in-process
+    and the sharded path end here, so their results are bit-identical
+    (fixed term order, float64 everywhere, (score desc, doc_id asc)
+    tie-break — SURVEY.md §7.4)."""
     if not decoded:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if mode == "AND":
         cand = decoded[0][1]
-        for _, ids, _, _ in decoded[1:]:
+        for _, ids, _, _, _ in decoded[1:]:
             cand = _intersect_sorted(cand, ids)
             if cand.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(cand.size, dtype=np.float64)
-        dl = doclen[cand]
-        for _, ids, tfs, df in decoded:
+        pos0 = np.searchsorted(decoded[0][1], cand)
+        dl = decoded[0][3][pos0]
+        for _, ids, tfs, _dls, df in decoded:
             pos = np.searchsorted(ids, cand)
             scores += scoring.bm25_term_scores(
                 tfs[pos], dl, N, df, avgdl, cfg.k1, cfg.b
             )
         doc_ids = cand
     else:
-        all_ids = [ids for _, ids, _, _ in decoded]
+        all_ids = [ids for _, ids, _, _, _ in decoded]
         all_scores = [
-            scoring.bm25_term_scores(tfs, doclen[ids], N, df, avgdl, cfg.k1, cfg.b)
-            for _, ids, tfs, df in decoded
+            scoring.bm25_term_scores(tfs, dls, N, df, avgdl, cfg.k1, cfg.b)
+            for _, ids, tfs, dls, df in decoded
         ]
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
