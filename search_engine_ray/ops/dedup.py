@@ -166,6 +166,96 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     )
 
 
+# ---- exact n-gram Jaccard (pairs via shared-shingle join) ----
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4, k: int = 3):
+    """Exact word-trigram Jaccard for every pair sharing >= 1 shingle —
+    pair generation by a shingle-keyed groupby (docs sharing nothing
+    have Jaccard 0 and can never pass the threshold), so no all-pairs
+    scan. Shingles stay strings to match the SQL oracle exactly; at
+    scale they would be hashed (crc64) and hot shingles df-capped."""
+    from ray.data.aggregate import Count
+
+    def shingles(t: pa.Table) -> pa.Table:
+        toks = _tokens_per_doc(t)
+        doc_ids = t["doc_id"].to_numpy()
+        out_doc, out_sh = [], []
+        for d, tk in enumerate(toks):
+            if len(tk) < k:
+                continue
+            sh = {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+            out_doc.extend([doc_ids[d]] * len(sh))
+            out_sh.extend(sorted(sh))
+        return pa.table(
+            {"doc_id": pa.array(out_doc, pa.int64()), "sh": pa.array(out_sh, pa.string())}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh_ds = ds.map_batches(shingles, batch_format="pyarrow")
+
+    sizes = {
+        int(r["doc_id"]): int(r["n"])
+        for r in sh_ds.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
+    }
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
+
+    inter = (
+        sh_ds.groupby("sh")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    ja = inter["inter"] / (
+        inter["doc_a"].map(sizes) + inter["doc_b"].map(sizes) - inter["inter"]
+    )
+    keep = ja >= threshold
+    out = inter[keep].copy()
+    out["jaccard"] = np.round(ja[keep], 6)
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
+            "inter": pa.array(out["inter"].to_numpy().astype(np.int64), pa.int64()),
+            "jaccard": pa.array(out["jaccard"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH arrs AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                       x -> x <> '') AS arr
+    FROM documents
+),
+tri AS (
+    SELECT DISTINCT doc_id,
+           arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+    FROM arrs, UNNEST(range(1, len(arr) - 1)) t(i)
+    WHERE len(arr) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.4
+"""
+
+
 # ---- SimHash (64-bit) ----
 
 def dedup_simhash(sf_dir: str):
@@ -236,6 +326,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
 
 RAY_QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -243,4 +334,5 @@ RAY_QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
 }
