@@ -148,6 +148,77 @@ def knn_lsh(sf_dir: str, n_planes: int = 8):
     return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
 
 
+def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
+    """IVF-style ANN — the other scale path beside LSH: vectors are
+    bucketed by nearest centroid (one groupby-shaped pass), queries
+    exact-rerank only inside their ``n_probe`` closest lists.
+    Centroids are a deterministic seeded sample of the data refined by
+    a few Lloyd iterations computed once on the driver (at scale: a
+    sampled distributed k-means); the vector scan is a broadcast-state
+    actor-pool ``map_batches``."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = tbl["vec_id"].to_numpy()
+    mat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.RandomState(13)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(5):  # Lloyd refinement (cosine ~ dot on unit vectors)
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    qids, qmat = _load_queries(sf_dir)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qlists = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qnorm, qlists, centroids))
+
+    class ProbeScore:
+        def __init__(self):
+            self.qids, self.q, self.qlists, self.centroids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = t["vec_id"].to_numpy()
+            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            vlist = np.argmax(v @ self.centroids.T, axis=1)
+            out = {"qid": [], "vec_id": [], "sim": []}
+            for qi, probe in zip(self.qids, self.qlists):
+                hit = np.flatnonzero(np.isin(vlist, probe) & (vids != qi))
+                if hit.size:
+                    sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
+                    out["qid"].extend([int(qi)] * hit.size)
+                    out["vec_id"].extend(vids[hit].tolist())
+                    out["sim"].extend(sims.tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out["qid"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
+
+    def topk(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy()
+        vids = group["vec_id"].to_numpy()
+        order = np.lexsort((vids, -sims))[:_TOP_K]
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(group["qid"][0].as_py(), len(order)), pa.int64()),
+                "vec_id": pa.array(vids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
+
+
 def embedding_norms(sf_dir: str):
     def norms(t: pa.Table) -> pa.Table:
         v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
@@ -172,6 +243,7 @@ FROM embeddings
 RAY_QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_norms": embedding_norms,
 }
 

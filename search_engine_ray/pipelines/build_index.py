@@ -324,12 +324,15 @@ def _finish_build(
         for k, group_files in new_parts:
             src = os.path.join(wave_tmp, f"part={k}")
             os.makedirs(src, exist_ok=True)  # partition with zero postings
-            n_segments = sum(_pq_rows(f) for f in _glob.glob(os.path.join(src, "*.parquet")))
+            part_files = _glob.glob(os.path.join(src, "*.parquet"))
+            n_segments = sum(_pq_rows(f) for f in part_files)
             manifest = {
                 "fingerprint": part_fps[k],
                 "stage": "segments",
                 "inputs": [os.path.basename(f) for f in group_files],
+                "input_bytes": int(sum(os.path.getsize(f) for f in group_files)),
                 "n_segments": int(n_segments),
+                "output_bytes": int(sum(os.path.getsize(f) for f in part_files)),
                 "seconds": wave_s,
                 "wave": [k2 for k2, _ in new_parts],
             }

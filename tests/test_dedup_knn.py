@@ -143,3 +143,21 @@ def test_dedup_embedding_matches_numpy(emb_dir):
     assert set(got_pairs) == set(want)
     for k in want:
         assert abs(got_pairs[k] - want[k]) < 2e-6, k
+
+
+def test_knn_ivf_matches_bruteforce_on_clusters(emb_dir):
+    sf_dir, mat = emb_dir
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exact = {}
+    for q in range(5):
+        s = np.round(sims[q], 6)
+        cand = np.arange(len(mat))
+        mask = cand != q
+        order = np.lexsort((cand[mask], -s[mask]))[:5]
+        exact[q] = set(cand[mask][order].tolist())
+    got = knn.knn_ivf(sf_dir).to_pandas()
+    for _, r in got.iterrows():
+        assert abs(r["sim"] - round(sims[int(r["qid"]), int(r["vec_id"])], 6)) < 1e-6
+    recalls = [len(set(got[got["qid"] == q]["vec_id"].astype(int)) & exact[q]) / 5 for q in range(5)]
+    assert np.mean(recalls) >= 0.8, recalls
