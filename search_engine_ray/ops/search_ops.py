@@ -343,6 +343,107 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- combined ranking: the reference's Search scoring combination
+#      ``0.95 * ln(tf_idf) + 0.05 * ln(pagerank)``
+#      (`/root/reference/src/cis5550/jobs/Search.java:24`, `:111-114`).
+#      Transcripts have no link graph, so the prior slot is filled by a
+#      deterministic per-doc prior (n_chars/100 — any per-doc score
+#      plugs in; ops/graph.pagerank supplies one when a graph exists) ----
+
+def combined_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import glob as glob_
+
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    doclen = li.doclen.astype(np.float64)
+    # rank-doc_id -> original documents.doc_id via the transcript
+    # mapping (conv = doc//5, turn = doc%5) recorded in conv_id/turn_idx
+    docs_t = pq.read_table(
+        sorted(glob_.glob(os.path.join(idx, "docs", "*.parquet"))),
+        columns=["doc_id", "conv_id", "turn_idx"],
+    )
+    rank_ids = docs_t["doc_id"].to_numpy()
+    conv_num = np.array([int(c[5:]) for c in docs_t["conv_id"].to_pylist()], dtype=np.int64)
+    orig_ids = conv_num * 5 + docs_t["turn_idx"].to_numpy().astype(np.int64)
+    prior_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    nchars_by_orig = dict(zip(prior_tbl["doc_id"].to_numpy(), prior_tbl["n_chars"].to_numpy()))
+    prior = np.zeros(li.N, np.float64)
+    prior[rank_ids] = np.array([nchars_by_orig[o] for o in orig_ids], dtype=np.float64) / 100.0
+    qid_out, doc_out, score_out = [], [], []
+    for qid, q in _BM25_QUERIES:
+        tfidf = np.zeros(li.N, np.float64)
+        seen = np.zeros(li.N, bool)
+        for term in q.split():
+            ids, tfs = li.term_postings(term)
+            df = len(ids)
+            if df == 0:
+                continue
+            tfidf[ids] += tfs * np.log(li.N / df) / doclen[ids]
+            seen[ids] = True
+        ids = np.flatnonzero(seen)
+        score = 0.95 * np.log(tfidf[ids]) + 0.05 * np.log(prior[ids])
+        r6 = np.round(score, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _combined_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
+    )
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           tf.tf * ln(c.N * 1.0 / df.df) / ds.doclen AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+tfidf AS (
+    SELECT query_id, doc_id, SUM(s) AS tfidf
+    FROM contrib GROUP BY query_id, doc_id
+),
+orig AS (
+    SELECT doc_id,
+           CAST(substr(conv_id, 6) AS BIGINT) * 5 + turn_idx AS orig_doc_id
+    FROM tr
+),
+scored AS (
+    SELECT t.query_id, t.doc_id,
+           round(0.95 * ln(t.tfidf) + 0.05 * ln(d.n_chars / 100.0), 6) AS score
+    FROM tfidf t
+    JOIN orig o ON t.doc_id = o.doc_id
+    JOIN documents d ON o.orig_doc_id = d.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 # ---- stemmed path (full reference semantics; rows-only here, oracle-
 #      checked in pytest) ----
 
@@ -392,6 +493,7 @@ RAY_QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_stemmed_topk": bm25_stemmed_topk,
     "tfidf_topk": tfidf_topk,
+    "combined_topk": combined_topk,
     "phrase_match": phrase_match,
 }
 
@@ -401,5 +503,6 @@ ORACLE_SQL = {
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
     "tfidf_topk": _tfidf_sql(),
+    "combined_topk": _combined_sql(),
     "phrase_match": _phrase_sql(),
 }
