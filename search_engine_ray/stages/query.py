@@ -23,7 +23,6 @@ Three access paths (SURVEY.md §7.2 step 6):
 
 from __future__ import annotations
 
-import bisect
 import glob
 import json
 import os
