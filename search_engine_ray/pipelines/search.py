@@ -41,15 +41,20 @@ class IndexShardActor:
         )
 
     def term_postings(self, terms: list[str]):
-        """Return {term: (doc_ids, tfs, doclens, df)} for terms present
-        here — doclens come from the per-posting stream, so the shard
-        is fully self-contained (no O(N) doc-stats table anywhere)."""
+        """Return {term: (doc_ids, tfs, doclens, df, upper_bound)} for
+        terms present here — doclens come from the per-posting stream
+        and the block-max upper bound from segment metadata, so the
+        shard is fully self-contained (no O(N) doc-stats table
+        anywhere)."""
         out = {}
         for t in terms:
             ts = self.index.terms.get(t)
             if ts is not None:
                 ids, tfs, dls = ts.decode()
-                out[t] = (ids, tfs, dls, ts.df)
+                ub = ts.upper_bound(
+                    self.index.N, self.index.avgdl, self.index.cfg.k1, self.index.cfg.b
+                )
+                out[t] = (ids, tfs, dls, ts.df, ub)
         return out
 
     def ping(self) -> bool:
@@ -61,6 +66,7 @@ class ShardedSearcher:
 
     def __init__(self, index_dir: str, n_shards: int = 4):
         self.n_shards = n_shards
+        self._tscores: dict = {}
         self.shards = [
             IndexShardActor.remote(index_dir, s, n_shards) for s in range(n_shards)
         ]
@@ -88,15 +94,18 @@ class ShardedSearcher:
         fetched: dict[str, tuple] = {}
         for s, fut in futures.items():
             fetched.update(ray.get(fut))
-        decoded = []
+        decoded, ubs = [], []
         for t in terms:  # fixed analyzer order — determinism
             if t in fetched:
-                ids, tfs, dls, df = fetched[t]
+                ids, tfs, dls, df, ub = fetched[t]
                 decoded.append((t, ids, tfs, dls, df))
+                ubs.append(ub)
             elif mode == "AND":
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         return score_decoded_terms(
-            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only,
+            score_cache=self._tscores,
+            upper_bounds=ubs if mode != "AND" else None,
         )
 
 

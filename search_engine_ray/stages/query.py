@@ -84,6 +84,15 @@ class _TermSegments:
         dls = [vb.decode(self.dl_bytes[i]).astype(np.int64) for i in sel]
         return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
 
+    def upper_bound(self, N: int, avgdl: float, k1: float, b: float) -> float:
+        """Max possible BM25 contribution of this term to any doc —
+        block-max metadata (max_tf, min_doclen) per segment, global df
+        for the idf. Used by the MaxScore OR-mode pruning."""
+        return max(
+            scoring.bm25_upper_bound(self.max_tf[i], self.min_doclen[i], N, self.df, avgdl, k1, b)
+            for i in range(len(self.max_tf))
+        )
+
     def decode_positions(self):
         """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
         are ``pos_values[pos_starts[i]:pos_starts[i+1]]`` (ascending).
@@ -161,6 +170,7 @@ class LocalIndex:
                 dl_bytes=[s[8] for s in segs],
                 pos_bytes=[s[9] for s in segs] if self.has_positions else None,
             )
+        self._tscores: dict[str, np.ndarray] = {}
         # doc stats (doclen per doc_id) — doc_id is dense, so a flat array
         self.doclen = np.zeros(self.N, dtype=np.int32)
         for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
@@ -198,10 +208,17 @@ class LocalIndex:
             if lo > hi:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             decoded = [(t, *ts.decode(lo, hi), ts.df) for t, ts in contributions]
-        else:
-            decoded = [(t, *ts.decode(), ts.df) for t, ts in contributions]
+            return score_decoded_terms(
+                decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            )
+        decoded = [(t, *ts.decode(), ts.df) for t, ts in contributions]
+        ubs = [
+            ts.upper_bound(self.N, self.avgdl, self.cfg.k1, self.cfg.b)
+            for _, ts in contributions
+        ]
         return score_decoded_terms(
-            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only,
+            score_cache=self._tscores, upper_bounds=ubs,
         )
 
     def phrase_search(self, phrase: str, k: int = DEFAULT_TOP_K):
@@ -279,6 +296,8 @@ def score_decoded_terms(
     k: int,
     mode: str,
     stopword_only: bool,
+    score_cache: dict | None = None,
+    upper_bounds: list | None = None,
 ):
     """Shared final-scoring kernel: ``decoded`` is
     ``[(term, doc_ids_sorted, tfs, doclens, global_df), ...]`` in
@@ -304,12 +323,68 @@ def score_decoded_terms(
                 tfs[pos], dl, N, df, avgdl, cfg.k1, cfg.b
             )
         doc_ids = cand
+    elif upper_bounds is not None and N <= 1 << 26 and len(decoded) > 1:
+        # ---- MaxScore (the OR-mode analog of block-max WAND): process
+        # terms in descending upper-bound order; once the best possible
+        # total of a doc not yet seen (sum of remaining ubs) is strictly
+        # below the current kth-best partial score, remaining terms are
+        # NON-ESSENTIAL — they score only already-seen candidates (a
+        # gather) instead of their whole posting list. Exact: a doc
+        # outside the seen set can neither reach nor tie the final kth
+        # score. Order is deterministic (stable sort), so local and
+        # sharded evaluation stay bit-identical. ----
+        ubs = np.asarray(upper_bounds, dtype=np.float64)
+        order = np.argsort(-ubs, kind="stable")
+        acc = np.zeros(N, dtype=np.float64)
+        seen = np.zeros(N, dtype=bool)
+        rem = float(ubs.sum())
+        n_seen = 0
+        kth = -np.inf
+        admitting = True
+        for oi in order:
+            term, ids, tfs, dls, df = decoded[oi]
+            rem -= float(ubs[oi])
+            if admitting:
+                sc = score_cache.get(term) if score_cache is not None else None
+                if sc is None:
+                    sc = scoring.bm25_term_scores(tfs, dls, N, df, avgdl, cfg.k1, cfg.b)
+                    if score_cache is not None:
+                        score_cache[term] = sc
+                acc[ids] += sc
+                seen[ids] = True
+                n_seen = int(seen.sum()) if n_seen < k else n_seen
+                if n_seen >= k:
+                    vals = acc[seen]
+                    kth = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+                    if rem < kth:
+                        admitting = False
+            else:
+                # non-essential: score only the already-seen candidates —
+                # never materialize the full score array (and don't
+                # cache a partial one)
+                mask = seen[ids]
+                if not mask.any():
+                    continue
+                cached = score_cache.get(term) if score_cache is not None else None
+                if cached is not None:
+                    sc = cached[mask]
+                else:
+                    sc = scoring.bm25_term_scores(
+                        tfs[mask], dls[mask], N, df, avgdl, cfg.k1, cfg.b
+                    )
+                acc[ids[mask]] += sc
+        doc_ids = np.flatnonzero(seen)
+        scores = acc[doc_ids]
     else:
         all_ids = [ids for _, ids, _, _, _ in decoded]
-        all_scores = [
-            scoring.bm25_term_scores(tfs, dls, N, df, avgdl, cfg.k1, cfg.b)
-            for _, ids, tfs, dls, df in decoded
-        ]
+        all_scores = []
+        for t, ids, tfs, dls, df in decoded:
+            sc = score_cache.get(t) if score_cache is not None else None
+            if sc is None:
+                sc = scoring.bm25_term_scores(tfs, dls, N, df, avgdl, cfg.k1, cfg.b)
+                if score_cache is not None:
+                    score_cache[t] = sc
+            all_scores.append(sc)
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         if N <= max(1 << 24, 4 * ids.size):
