@@ -478,6 +478,35 @@ FROM supplier
 """
 
 
+# ---- JSON scalar extraction (capability beyond the reference, which
+#      only touches JSON at the serving edge — SURVEY.md §2.5) ----
+
+def events_json_extract(sf_dir: str):
+    """Extract props.k per event, aggregate per type — vectorized
+    regexp extraction inside map_batches (no per-row json.loads)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": kv})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 # ---- as-of join (custom operator the reference/Ray Data lack;
 #      SURVEY.md §2.5 "no range/as-of joins" — composed per the north
 #      guidance as ONE hash-partition on the key + per-group sorted
@@ -616,6 +645,7 @@ RAY_QUERIES = {
     "events_window": events_window,
     "asof_join": asof_join,
     "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
 }
 
 ORACLE_SQL = {
@@ -638,4 +668,5 @@ ORACLE_SQL = {
     "events_window": SQL_EVENTS_WINDOW,
     "asof_join": SQL_ASOF_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
+    "events_json_extract": SQL_EVENTS_JSON,
 }

@@ -466,6 +466,56 @@ def bm25_stemmed_topk(sf_dir: str):
     return pd.concat(out, ignore_index=True)
 
 
+# ---- conversation-level rollups (the transcript-domain grouped
+#      aggregate a training pipeline runs before per-conv sampling) ----
+
+def conv_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum, Min, Max
+
+    from ..functions.analysis import split_tokens
+
+    cfg = IndexConfig(stemming=False)
+    tdir = transcripts_dir(sf_dir)
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        *_, doclens = split_tokens(t["text"].combine_chunks(), cfg)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "doclen": pa.array(doclens.astype(np.int64), pa.int64()),
+                "is_tool": pc.cast(pc.equal(t["role"], pa.scalar("tool")), pa.int64()),
+                "turn_idx": pa.array(t["turn_idx"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(tdir)
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("doclen", alias_name="total_tokens"),
+            Sum("is_tool", alias_name="n_tool_turns"),
+            Min("turn_idx", alias_name="first_turn"),
+            Max("turn_idx", alias_name="last_turn"),
+        )
+    )
+
+
+SQL_CONV_STATS = f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL})
+SELECT conv_id, COUNT(*) AS n_turns,
+       SUM(len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                           x -> x <> ''))) AS total_tokens,
+       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns,
+       MIN(CAST(turn_idx AS BIGINT)) AS first_turn,
+       MAX(CAST(turn_idx AS BIGINT)) AS last_turn
+FROM tr0 GROUP BY conv_id
+"""
+
+
 # ---- flagship (entry()): full stemmed pipeline + batch evaluation ----
 
 def flagship(sf_dir: str):
@@ -495,6 +545,7 @@ RAY_QUERIES = {
     "tfidf_topk": tfidf_topk,
     "combined_topk": combined_topk,
     "phrase_match": phrase_match,
+    "conv_stats": conv_stats,
 }
 
 ORACLE_SQL = {
@@ -505,4 +556,5 @@ ORACLE_SQL = {
     "tfidf_topk": _tfidf_sql(),
     "combined_topk": _combined_sql(),
     "phrase_match": _phrase_sql(),
+    "conv_stats": SQL_CONV_STATS,
 }
