@@ -114,6 +114,19 @@ def build_index(
         fp = _fingerprint(f"dataset:{source.count()}", cfg)
     if not is_complete(docs_dir, fp):
         t0 = time.monotonic()
+        if isinstance(source, (str, list)):
+            n_input = sum(_pq_rows(f) for f in _expand(source))
+        else:
+            n_input = int(source.count() or 0)
+        if n_input == 0:
+            # empty corpus: commit an empty docs store (an empty sort
+            # yields schema-less blocks downstream stages can't read)
+            with atomic_dir(docs_dir, fp, stage="docs") as ck:
+                ck.commit(N=0, sum_doclen=0)
+            timings["docs"] = round(time.monotonic() - t0, 3)
+            return _finish_build(
+                index_dir, cfg, n_partitions, stop_after_partition, concurrency, builder, timings
+            )
         ids = None
         if isinstance(source, (str, list)):
             # prefix-sum fast path: no all-to-all when files are already
@@ -277,7 +290,9 @@ def _finish_build(
 
     existing = _inventory_parts(seg_root, docs_dir, cfg)
     covered = {f for _, fs in existing for f in fs}
-    uncovered = [f for f in docs_files if f not in covered]
+    # zero-row docs files (empty corpus / empty write artifacts) carry
+    # no postings and may lack the full schema — never partition them
+    uncovered = [f for f in docs_files if f not in covered and _pq_rows(f) > 0]
     new_parts: list[tuple[int, list[str]]] = []
     if uncovered:
         next_id = max((k for k, _ in existing), default=-1) + 1

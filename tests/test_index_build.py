@@ -175,3 +175,26 @@ def test_index_role_tool_tokens(ray_session, tmp_path):
     assert len(ids) == n_assistant
     want = set(docs[docs["role"] == "assistant"]["doc_id"])
     assert set(ids.tolist()) == want
+
+
+def test_empty_corpus_builds_empty_index(ray_session, tmp_path):
+    """A zero-row corpus builds an empty but loadable index."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    pq_.write_table(
+        pa_.table({
+            "conv_id": pa_.array([], pa_.string()), "turn_idx": pa_.array([], pa_.int32()),
+            "role": pa_.array([], pa_.string()), "text": pa_.array([], pa_.string()),
+            "tool": pa_.array([], pa_.string()), "ts": pa_.array([], pa_.timestamp("us")),
+        }),
+        str(src / "part-0.parquet"),
+    )
+    idx = str(tmp_path / "empty_idx")
+    meta = build_index(str(src), idx, IndexConfig(), n_partitions=2)
+    assert meta["N"] == 0
+    li = LocalIndex(idx)
+    ids, scores = li.search("anything", 10, mode="OR")
+    assert len(ids) == 0 and len(scores) == 0
