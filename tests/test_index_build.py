@@ -198,3 +198,48 @@ def test_empty_corpus_builds_empty_index(ray_session, tmp_path):
     li = LocalIndex(idx)
     ids, scores = li.search("anything", 10, mode="OR")
     assert len(ids) == 0 and len(scores) == 0
+
+
+def test_dl_stream_matches_doc_stats(built):
+    """Per-posting doclen stream (format v3) must agree with the docs
+    store for every posting."""
+    index_dir, _, _, _ = built
+    li = LocalIndex(index_dir)
+    for term, ts in list(li.terms.items())[:50]:
+        ids, tfs, dls = ts.decode()
+        assert (dls == li.doclen[ids]).all(), term
+
+
+def test_hot_term_build_and_query(ray_session, tmp_path):
+    """A term present in EVERY turn (worst-case skew) still builds
+    bounded merge groups and is queryable."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    import numpy as np_
+
+    n = 400
+    texts = [f"hotword filler{i % 7} w{i % 50}" for i in range(n)]
+    src = tmp_path / "hot_src"
+    src.mkdir()
+    pq_.write_table(
+        pa_.table({
+            "conv_id": pa_.array([f"conv-{i:08d}" for i in range(n)], pa_.string()),
+            "turn_idx": pa_.array(np_.zeros(n, dtype="int32"), pa_.int32()),
+            "role": pa_.array(["user"] * n, pa_.string()),
+            "text": pa_.array(texts, pa_.string()),
+            "tool": pa_.array([""] * n, pa_.string()),
+            "ts": pa_.array(np_.zeros(n, dtype="datetime64[us]"), pa_.timestamp("us")),
+        }),
+        str(src / "part-0.parquet"),
+    )
+    cfg = IndexConfig(doc_bucket_size=64, stemming=False)  # force many buckets
+    idx = str(tmp_path / "hot_idx")
+    build_index(str(src), idx, cfg, n_partitions=2)
+    li = LocalIndex(idx)
+    ids, tfs = li.term_postings("hotword")
+    assert len(ids) == n
+    # every segment is bounded by the bucket capacity
+    ts = li.terms["hotword"]
+    assert max(ts.seg_df) <= 64
+    top, scores = li.search("hotword filler3", 10, mode="AND")
+    assert len(top) == 10
