@@ -109,6 +109,64 @@ class ShardedSearcher:
         )
 
 
+@ray.remote
+class DocShardActor:
+    """Holds ALL terms for a doc-range subset of partitions; answers a
+    query with its local top-k. Per-query network is O(k), never
+    O(postings) — the serving shape for hot-term / OR-heavy workloads
+    at cluster scale (the term-sharded path ships posting arrays)."""
+
+    def __init__(self, index_dir: str, parts: list[int], global_df: dict):
+        self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
+
+    def search(self, query: str, k: int, mode: str):
+        return self.index.search(query, k, mode=mode)
+
+    def ping(self) -> bool:
+        return True
+
+
+class DocShardedSearcher:
+    """Driver-side scatter-gather over doc-range shards. Scores are
+    identical to unsharded evaluation because every shard uses the
+    GLOBAL N / avgdl / df (df from the dictionary); the merge is just
+    a concatenate + the shared deterministic top-k."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4):
+        import glob as glob_
+        import json
+
+        from ..stages.query import shard_of  # noqa: F401  (term-shard sibling)
+
+        part_dirs = sorted(glob_.glob(os.path.join(index_dir, "segments", "part=*")))
+        part_ids = [int(os.path.basename(d).split("=")[1]) for d in part_dirs]
+        groups = [list(g) for g in np.array_split(part_ids, min(n_shards, max(1, len(part_ids)))) if len(g)]
+        dict_t = pq.read_table(
+            sorted(glob_.glob(os.path.join(index_dir, "dictionary", "*.parquet"))),
+            columns=["term", "df"],
+        )
+        global_df = dict(zip(dict_t["term"].to_pylist(), dict_t["df"].to_numpy()))
+        df_ref = ray.put(global_df)
+        self.shards = [
+            DocShardActor.remote(index_dir, [int(p) for p in g], df_ref) for g in groups
+        ]
+        ray.get([s.ping.remote() for s in self.shards])
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.cfg = IndexConfig.from_json(meta["config"])
+
+    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR"):
+        from ..functions import scoring
+
+        parts = ray.get([s.search.remote(query, k, mode) for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        if ids.size == 0:
+            return ids.astype(np.int64), scores
+        idx = scoring.topk_indices(scores, ids, k)
+        return ids[idx], scores[idx]
+
+
 class QueryEvaluator:
     """Actor-pool batch evaluator: one LocalIndex per actor, queries
     streamed through ``map_batches``."""

@@ -119,7 +119,12 @@ class LocalIndex:
     """Loads an index directory into memory (terms optionally
     restricted to a shard predicate) and evaluates BM25 queries."""
 
-    def __init__(self, index_dir: str, term_filter=None, load_positions: bool = False):
+    def __init__(self, index_dir: str, term_filter=None, load_positions: bool = False,
+                 parts: list[int] | None = None, global_df: dict | None = None):
+        """``parts``: restrict to those segment partitions (a doc-range
+        shard — used by DocShardedSearcher); requires ``global_df``
+        (term -> corpus-wide df from the dictionary) so idf stays
+        global and scores remain identical to unsharded evaluation."""
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.cfg = IndexConfig.from_json(self.meta["config"])
@@ -127,9 +132,17 @@ class LocalIndex:
         self.avgdl = float(self.meta["avgdl"])
         self.terms: dict[str, _TermSegments] = {}
         self.has_positions = load_positions and self.cfg.positions
-        seg_files = sorted(
-            glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
-        )
+        if parts is not None:
+            want = {f"part={p:05d}" for p in parts}
+            seg_files = sorted(
+                f for f in glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
+                if os.path.basename(os.path.dirname(f)) in want
+            )
+        else:
+            seg_files = sorted(
+                glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
+            )
+        self._global_df = global_df
         cols = ["term", "bucket", "first_doc", "last_doc", "df", "max_tf",
                 "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes"]
         if self.has_positions:
@@ -159,7 +172,11 @@ class LocalIndex:
         for term, segs in rows.items():
             segs.sort(key=lambda s: (s[0], s[1]))
             self.terms[term] = _TermSegments(
-                df=sum(s[3] for s in segs),
+                df=(
+                    int(self._global_df[term])
+                    if self._global_df is not None
+                    else sum(s[3] for s in segs)
+                ),
                 first_doc=[s[1] for s in segs],
                 last_doc=[s[2] for s in segs],
                 seg_df=[s[3] for s in segs],
@@ -171,11 +188,20 @@ class LocalIndex:
                 pos_bytes=[s[9] for s in segs] if self.has_positions else None,
             )
         self._tscores: dict[str, np.ndarray] = {}
-        # doc stats (doclen per doc_id) — doc_id is dense, so a flat array
-        self.doclen = np.zeros(self.N, dtype=np.int32)
-        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
-            t = pq.read_table(f, columns=["doc_id", "doclen"])
-            self.doclen[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
+        self._index_dir = index_dir
+        self._doclen: np.ndarray | None = None
+
+    @property
+    def doclen(self) -> np.ndarray:
+        """Doclen-per-doc_id flat array, loaded lazily — only the
+        phrase/tf-idf paths need it (BM25 uses the per-posting stream),
+        so doc-shard actors never pay the O(N) load."""
+        if self._doclen is None:
+            self._doclen = np.zeros(self.N, dtype=np.int32)
+            for f in sorted(glob.glob(os.path.join(self._index_dir, "docs", "*.parquet"))):
+                t = pq.read_table(f, columns=["doc_id", "doclen"])
+                self._doclen[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
+        return self._doclen
 
     # ---- scoring ----
 

@@ -103,3 +103,19 @@ def test_phrase_search(ray_session, tmp_path):
     # phrase containing a skip-listed token cannot be verified
     ids4, _y = li.phrase_search("quick http brown")
     assert ids4.tolist() == []
+
+
+def test_doc_sharded_matches_local(index_dir):
+    """Doc-range-sharded scatter-gather must equal unsharded
+    evaluation exactly (global stats; deterministic merge)."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir)
+    sharded = DocShardedSearcher(index_dir, n_shards=2)
+    for q in ["running meetings", "the of and", "caresses ponies ties", "w0017 runs", "zzznope"]:
+        for mode in ("OR", "AND"):
+            ids_l, sc_l = local.search(q, 50, mode=mode)
+            ids_s, sc_s = sharded.search(q, 50, mode=mode)
+            assert ids_l.tolist() == ids_s.tolist(), (q, mode)
+            if len(sc_l):
+                assert np.abs(sc_l - sc_s).max() < 1e-12, (q, mode)
