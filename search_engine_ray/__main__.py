@@ -53,10 +53,11 @@ def cmd_extend(a) -> int:
 
 
 def cmd_query(a) -> int:
-    from .pipelines.search import ShardedSearcher, materialize_results
+    from .pipelines.search import DocShardedSearcher, ShardedSearcher, materialize_results
     import pandas as pd
 
-    searcher = ShardedSearcher(a.index, n_shards=a.shards)
+    cls = DocShardedSearcher if a.doc_sharded else ShardedSearcher
+    searcher = cls(a.index, n_shards=a.shards)
     ids, scores = searcher.search(a.text, k=a.k, mode=a.mode)
     topk = pd.DataFrame(
         {"rank": range(1, len(ids) + 1), "doc_id": ids, "score": scores}
@@ -102,6 +103,8 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", choices=["AND", "OR"], default="OR")
     q.add_argument("--shards", type=int, default=4)
+    q.add_argument("--doc-sharded", action="store_true",
+                   help="doc-range shards (O(k) per-query network) instead of term shards")
     q.set_defaults(fn=cmd_query)
 
     bt = sub.add_parser("batch", help="evaluate a parquet of queries")
