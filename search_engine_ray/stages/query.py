@@ -147,46 +147,66 @@ class LocalIndex:
                 "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes"]
         if self.has_positions:
             cols.append("pos_bytes")
-        rows: dict[str, list] = {}
-        for f in seg_files:
-            t = pq.read_table(f, columns=cols)
-            terms = t["term"].to_pylist()
+        # vectorized ingest: one concat -> dictionary-encode terms ->
+        # lexsort (term, bucket, first_doc) -> slice per-term groups;
+        # no per-row python dict work (startup cost is what a restarted
+        # serving actor pays)
+        if seg_files:
+            # one threaded dataset read — the wave write produces many
+            # small files (one per task x partition) and sequential
+            # opens dominate load time otherwise
+            t = pq.read_table(seg_files, columns=cols)
+        else:
+            t = None
+        if t is not None and t.num_rows:
+            term_arr = t["term"].combine_chunks()
+            denc = term_arr.dictionary_encode()
+            code = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = denc.dictionary.to_pylist()
             bucket = t["bucket"].to_numpy()
             first = t["first_doc"].to_numpy()
-            last = t["last_doc"].to_numpy()
-            df = t["df"].to_numpy()
-            mtf = t["max_tf"].to_numpy()
-            mdl = t["min_doclen"].to_numpy()
-            db = t["doc_bytes"].to_pylist()
-            tb = t["tf_bytes"].to_pylist()
-            dlb = t["dl_bytes"].to_pylist()
-            pb = t["pos_bytes"].to_pylist() if self.has_positions else None
-            for i, term in enumerate(terms):
+            order = np.lexsort((first, bucket, code))
+            code = code[order]
+            bucket = bucket[order].tolist()
+            first = first[order].tolist()
+            last = t["last_doc"].to_numpy()[order].tolist()
+            df = t["df"].to_numpy()[order].tolist()
+            mtf = t["max_tf"].to_numpy()[order].tolist()
+            mdl = t["min_doclen"].to_numpy()[order].tolist()
+            take = pa.array(order)
+            db = t["doc_bytes"].combine_chunks().take(take).to_pylist()
+            tb = t["tf_bytes"].combine_chunks().take(take).to_pylist()
+            dlb = t["dl_bytes"].combine_chunks().take(take).to_pylist()
+            pb = (
+                t["pos_bytes"].combine_chunks().take(take).to_pylist()
+                if self.has_positions else None
+            )
+            change = np.empty(len(code), dtype=bool)
+            change[0] = True
+            np.not_equal(code[1:], code[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [len(code)]])
+            for s, e in zip(starts, ends):
+                term = vocab[code[s]]
                 if term_filter is not None and not term_filter(term):
                     continue
-                rows.setdefault(term, []).append(
-                    (int(bucket[i]), int(first[i]), int(last[i]), int(df[i]),
-                     int(mtf[i]), int(mdl[i]), db[i], tb[i], dlb[i],
-                     pb[i] if pb is not None else None)
+                seg_df = df[s:e]
+                self.terms[term] = _TermSegments(
+                    df=(
+                        int(self._global_df[term])
+                        if self._global_df is not None
+                        else sum(seg_df)
+                    ),
+                    first_doc=first[s:e],
+                    last_doc=last[s:e],
+                    seg_df=seg_df,
+                    max_tf=mtf[s:e],
+                    min_doclen=mdl[s:e],
+                    doc_bytes=db[s:e],
+                    tf_bytes=tb[s:e],
+                    dl_bytes=dlb[s:e],
+                    pos_bytes=pb[s:e] if pb is not None else None,
                 )
-        for term, segs in rows.items():
-            segs.sort(key=lambda s: (s[0], s[1]))
-            self.terms[term] = _TermSegments(
-                df=(
-                    int(self._global_df[term])
-                    if self._global_df is not None
-                    else sum(s[3] for s in segs)
-                ),
-                first_doc=[s[1] for s in segs],
-                last_doc=[s[2] for s in segs],
-                seg_df=[s[3] for s in segs],
-                max_tf=[s[4] for s in segs],
-                min_doclen=[s[5] for s in segs],
-                doc_bytes=[s[6] for s in segs],
-                tf_bytes=[s[7] for s in segs],
-                dl_bytes=[s[8] for s in segs],
-                pos_bytes=[s[9] for s in segs] if self.has_positions else None,
-            )
         self._tscores: dict[str, np.ndarray] = {}
         self._index_dir = index_dir
         self._doclen: np.ndarray | None = None
