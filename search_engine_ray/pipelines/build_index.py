@@ -311,6 +311,17 @@ def _finish_build(
 
     if new_parts:
         t0 = time.monotonic()
+        # adaptive bucket size: at least ~8 buckets per partition so the
+        # bucket-major merge shuffle can balance byte mass (and hive
+        # write blocks align with partitions) even when the corpus is
+        # smaller than the configured bucket
+        import dataclasses
+
+        eff_bucket = min(
+            cfg.doc_bucket_size,
+            max(1024, -(-int(N) // (8 * max(1, len(all_parts))))),
+        )
+        cfg_eff = dataclasses.replace(cfg, doc_bucket_size=eff_bucket)
         files = [f for _, g in new_parts for f in g]
         wave_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
         if builder == "actors":
@@ -319,7 +330,7 @@ def _finish_build(
                 concurrency = (1, max(1, ncpu))
             partials = wave_ds.map_batches(
                 PartialIndexBuilder,
-                fn_constructor_kwargs={"cfg": cfg, "part_bounds": part_bounds, "part_ids": part_ids},
+                fn_constructor_kwargs={"cfg": cfg_eff, "part_bounds": part_bounds, "part_ids": part_ids},
                 batch_format="pyarrow",
                 batch_size=None,
                 concurrency=concurrency,
@@ -327,11 +338,11 @@ def _finish_build(
         else:
             partials = wave_ds.map_batches(
                 build_partials_task,
-                fn_kwargs={"cfg": cfg, "part_bounds": part_bounds, "part_ids": part_ids},
+                fn_kwargs={"cfg": cfg_eff, "part_bounds": part_bounds, "part_ids": part_ids},
                 batch_format="pyarrow",
                 batch_size=None,
             )
-        merged = merge_partials(partials, cfg)
+        merged = merge_partials(partials, cfg_eff)
         wave_tmp = os.path.join(seg_root, "_wave.tmp")
         shutil.rmtree(wave_tmp, ignore_errors=True)
         merged.write_parquet(wave_tmp, partition_cols=["part"])

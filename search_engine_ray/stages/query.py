@@ -165,7 +165,10 @@ class LocalIndex:
             vocab = denc.dictionary.to_pylist()
             bucket = t["bucket"].to_numpy()
             first = t["first_doc"].to_numpy()
-            order = np.lexsort((first, bucket, code))
+            # order segments per term by first_doc alone: doc ranges are
+            # disjoint, so first_doc fully orders them — robust to
+            # differing (adaptive) bucket sizes across build waves
+            order = np.lexsort((first, code))
             code = code[order]
             bucket = bucket[order].tolist()
             first = first[order].tolist()
@@ -482,7 +485,7 @@ def load_logical_postings(index_dir: str, with_positions: bool = True) -> dict:
             )
     result = {}
     for term, segs in out.items():
-        segs.sort(key=lambda s: (s[0], s[1]))
+        segs.sort(key=lambda s: s[1])  # first_doc orders disjoint ranges
         ids = np.concatenate([vb.delta_decode(vb.decode(s[2])) for s in segs])
         tfs = np.concatenate([vb.decode(s[3]).astype(np.int64) for s in segs])
         positions = None
