@@ -311,17 +311,19 @@ def _finish_build(
 
     if new_parts:
         t0 = time.monotonic()
-        # adaptive bucket size: at least ~8 buckets per partition so the
-        # bucket-major merge shuffle can balance byte mass (and hive
-        # write blocks align with partitions) even when the corpus is
-        # smaller than the configured bucket
+        # adaptive bucket size ONLY for corpora smaller than ~2 buckets:
+        # a single bucket defeats bucket-major byte balancing and makes
+        # every hive-write task emit a file per partition. Corpora with
+        # plenty of natural buckets keep the configured size — extra
+        # buckets would just multiply segment rows and query-time
+        # segment concatenation.
         import dataclasses
 
-        eff_bucket = min(
-            cfg.doc_bucket_size,
-            max(1024, -(-int(N) // (8 * max(1, len(all_parts))))),
-        )
-        cfg_eff = dataclasses.replace(cfg, doc_bucket_size=eff_bucket)
+        if int(N) <= 2 * cfg.doc_bucket_size:
+            eff_bucket = max(1024, -(-int(N) // 16))
+            cfg_eff = dataclasses.replace(cfg, doc_bucket_size=eff_bucket)
+        else:
+            cfg_eff = cfg
         files = [f for _, g in new_parts for f in g]
         wave_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
         if builder == "actors":
