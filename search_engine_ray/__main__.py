@@ -70,9 +70,11 @@ def cmd_query(a) -> int:
 def cmd_batch(a) -> int:
     import ray.data
 
+from .io import read_parquet_clean
+
     from .pipelines.search import evaluate_queries
 
-    qds = ray.data.read_parquet(a.queries)
+    qds = read_parquet_clean(a.queries)
     res = evaluate_queries(qds, a.index, mode=a.mode)
     res.write_parquet(a.out)
     print(f"wrote {a.out}")

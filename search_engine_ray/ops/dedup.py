@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..io import read_parquet_clean
+
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens
 
@@ -32,7 +34,7 @@ def dedup_exact(sf_dir: str):
     KVS key collision where last-write-wins — made deterministic)."""
     from ray.data.aggregate import Min, Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
         ds.groupby("text")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
@@ -120,7 +122,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     buckets = ds.map_batches(signatures, batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -139,7 +141,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     cand_tbl = cand.to_pandas()
 
     # exact verify with a broadcast shingle map (candidates are few)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sh_map = {}
     for t in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
         toks = _tokens_per_doc(t)
@@ -190,7 +192,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4, k: int = 3):
             {"doc_id": pa.array(out_doc, pa.int64()), "sh": pa.array(out_sh, pa.string())}
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sh_ds = ds.map_batches(shingles, batch_format="pyarrow")
 
     sizes = {
@@ -279,7 +281,7 @@ def dedup_simhash(sf_dir: str):
             out.append(f"{h64:016x}")
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.string())})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(sim, batch_format="pyarrow")
 
 
@@ -320,7 +322,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4))
 
 

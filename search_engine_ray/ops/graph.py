@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..io import read_parquet_clean
+
 from ..pipelines.pagerank import pagerank
 
 _EPOCHS = 4
@@ -24,7 +26,7 @@ _PRED = "l_orderkey % 5 = 0"
 
 
 def _edges(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 

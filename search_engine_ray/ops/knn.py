@@ -17,6 +17,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..io import read_parquet_clean
+
 _N_QUERIES = 5
 _TOP_K = 5
 
@@ -52,7 +54,7 @@ def knn_cosine(sf_dir: str):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
 
     # per-batch partial top-k would go here at scale; at sf sizes a
@@ -79,8 +81,12 @@ WITH q AS (
     SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
 s AS (
+    -- cast to DOUBLE[] so both the arithmetic and the output dtype
+    -- match the Ray side's float64 (FLOAT[] would yield a float32 sim)
     SELECT q.qid, e.vec_id,
-           round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+           CAST(round(list_cosine_similarity(
+               list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS sim
     FROM q CROSS JOIN embeddings e
     WHERE e.vec_id <> q.qid
 ),
@@ -130,7 +136,7 @@ def knn_lsh(sf_dir: str, n_planes: int = 8):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
 
     def topk(group: pa.Table) -> pa.Table:
@@ -201,7 +207,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
 
     def topk(group: pa.Table) -> pa.Table:
@@ -229,7 +235,7 @@ def embedding_norms(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(norms, batch_format="pyarrow")
 
 

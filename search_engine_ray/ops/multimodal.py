@@ -21,12 +21,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..io import read_parquet_clean
+
 _FRAME = 1000   # bytes per fake "frame"
 _EVERY = 3      # sample every k-th frame
 
 
 def _payloads(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.table(
             {

@@ -20,9 +20,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..io import read_parquet_clean
+
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -132,9 +134,9 @@ def flame_fold_by_key(sf_dir: str):
 
 SQL_FOLD_BY_KEY = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM({_SQL_REV_E4}) AS sum_disc_e4,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_SQL_REV_E4}) AS BIGINT) AS sum_disc_e4,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -181,16 +183,20 @@ def flame_join_broadcast(sf_dir: str):
     cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
 
     class AttachSegment:
+        """Vectorized broadcast probe: the small side is shipped ONCE via
+        ray.put as (keys, values) arrays, loaded per actor in __init__;
+        each batch is matched with pc.index_in + take (no Python loop)."""
+
         def __init__(self):
-            self.lookup = ray.get(cust_ref)
+            lookup = ray.get(cust_ref)
+            self.keys = pa.array(list(lookup.keys()), pa.int64())
+            self.vals = pa.array(list(lookup.values()), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            seg = np.array(
-                [self.lookup.get(k) for k in t["o_custkey"].to_pylist()], dtype=object
-            )
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "c_mktsegment": pc.take(self.vals, idx),
                     "price_cents": _cents(t["o_totalprice"]),
                 }
             )
@@ -207,7 +213,7 @@ def flame_join_broadcast(sf_dir: str):
 
 SQL_JOIN_BROADCAST = """
 SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -241,7 +247,7 @@ def flame_join_hash(sf_dir: str):
 
 SQL_JOIN_HASH = f"""
 SELECT o.o_orderstatus, COUNT(*) AS n_lines,
-       SUM({_SQL_REV_E4.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS rev_e4
+       CAST(SUM({_SQL_REV_E4.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS BIGINT) AS rev_e4
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
 """
@@ -293,10 +299,29 @@ LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
 # ---- intersection() (FlameRDD.intersection, flame/Worker.java:191-223) ----
 
 def flame_intersection(sf_dir: str):
-    custs_with_orders = _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    cust_keys = set(_read(sf_dir, "customer", columns=["c_custkey"]).unique("c_custkey"))
-    keys = sorted(k for k in custs_with_orders if k in cust_keys)
-    return pa.table({"key": pa.array(keys, pa.int64())})
+    """Distributed semi-join: dedup each side with a groupby (shuffle on
+    the key), inner-join the two distinct sets. Nothing but the final
+    result ever reaches the driver — both sides can be arbitrarily large."""
+    from ray.data.aggregate import Count
+
+    def distinct_keys(table: str, col: str):
+        return (
+            _read(sf_dir, table, columns=[col])
+            .map_batches(
+                lambda t, c=col: pa.table({"key": pc.cast(t[c], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .groupby("key")
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+
+    left = distinct_keys("orders", "o_custkey")
+    right = distinct_keys("customer", "c_custkey")
+    return (
+        left.join(right, join_type="inner", num_partitions=4, on=("key",))
+        .sort("key")
+    )
 
 
 SQL_INTERSECTION = """
@@ -333,14 +358,15 @@ def flame_fold_global(sf_dir: str):
         lambda t: pa.table({"rev_e4": _rev_e4(t)}),
         batch_format="pyarrow",
     )
-    total = pre.sum("rev_e4")
-    n = pre.count()
-    return pa.table({"rev_e4": pa.array([int(total)], pa.int64()),
-                     "n": pa.array([n], pa.int64())})
+    from ray.data.aggregate import Sum, Count
+
+    agg = pre.aggregate(Sum("rev_e4", alias_name="rev_e4"), Count(alias_name="n"))
+    return pa.table({"rev_e4": pa.array([int(agg["rev_e4"])], pa.int64()),
+                     "n": pa.array([int(agg["n"])], pa.int64())})
 
 
 SQL_FOLD_GLOBAL = f"""
-SELECT SUM({_SQL_REV_E4}) AS rev_e4,
+SELECT CAST(SUM({_SQL_REV_E4}) AS BIGINT) AS rev_e4,
        COUNT(*) AS n
 FROM lineitem
 """
@@ -375,7 +401,7 @@ def events_window(sf_dir: str):
 SQL_EVENTS_WINDOW = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -433,7 +459,7 @@ def flame_group_by(sf_dir: str):
 
 SQL_GROUP_BY = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders GROUP BY 1
 """
 
@@ -502,7 +528,7 @@ def events_json_extract(sf_dir: str):
 
 SQL_EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -517,7 +543,7 @@ def asof_join(sf_dir: str):
     prior 'click' event. Partitioning assumption: all rows of one user
     fit one group (true unless a single key is pathologically hot; salt
     by time-bucket then, with a second boundary-fix pass)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
     ds = ds.map_batches(
@@ -574,7 +600,7 @@ def events_sessionize(sf_dir: str):
     """Per user: sessions split at >30min inactivity gaps; one row per
     session with start/end/n_events. groupby(user) + per-group sorted
     diff — the sessionization pattern for event streams."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 

@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..io import read_parquet_clean
+
 from ..config import IndexConfig, SKIP_WORDS
 from ..corpus import (
     TRANSCRIPTS_FROM_DOCUMENTS_SQL,
@@ -78,7 +80,7 @@ def transcripts_dir(sf_dir: str) -> str:
     out = os.path.join(_CACHE_ROOT, f"tr-{fp}")
     if not is_complete(out, fp):
         os.makedirs(_CACHE_ROOT, exist_ok=True)
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         with atomic_dir(out, fp, stage="transcripts") as ck:
             ds.map_batches(
                 transcripts_from_documents_batch, batch_format="pyarrow"
@@ -491,7 +493,7 @@ def conv_stats(sf_dir: str):
         )
 
     return (
-        ray.data.read_parquet(tdir)
+        read_parquet_clean(tdir)
         .map_batches(pre, batch_format="pyarrow")
         .groupby("conv_id")
         .aggregate(
@@ -507,9 +509,9 @@ def conv_stats(sf_dir: str):
 SQL_CONV_STATS = f"""
 WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL})
 SELECT conv_id, COUNT(*) AS n_turns,
-       SUM(len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
-                           x -> x <> ''))) AS total_tokens,
-       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns,
+       CAST(SUM(len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                           x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
        MIN(CAST(turn_idx AS BIGINT)) AS first_turn,
        MAX(CAST(turn_idx AS BIGINT)) AS last_turn
 FROM tr0 GROUP BY conv_id

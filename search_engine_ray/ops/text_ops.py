@@ -14,6 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..io import read_parquet_clean
+
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
 from ..functions.analysis import split_tokens
 
@@ -35,7 +37,7 @@ toks_idx AS (
 
 
 def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---- term statistics (df + collection tf) — the dictionary build as a
@@ -139,10 +141,10 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
                        x -> x <> '')) AS n_tokens,
-       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 6) AS alpha_ratio,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 6) AS digit_ratio
+       CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio,
+       CAST(round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS DOUBLE) AS digit_ratio
 FROM documents
 """
 
@@ -224,7 +226,7 @@ def fingerprint(sf_dir: str):
 def english_filter(sf_dir: str):
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).select(["doc_id"]),
         batch_format="pyarrow",

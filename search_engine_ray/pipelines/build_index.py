@@ -41,6 +41,8 @@ import numpy as np
 import ray
 import ray.data
 
+from ..io import read_parquet_clean
+
 from ..config import IndexConfig
 from ..stages.doc_ids import assign_doc_ids, assign_doc_ids_files
 from ..stages.index_build import PartialIndexBuilder, build_partials_task
@@ -138,7 +140,7 @@ def build_index(
             if ids is None:
                 timings["docs_path"] = "sort"
                 ds = (
-                    ray.data.read_parquet(_expand(source))
+                    read_parquet_clean(_expand(source))
                     if isinstance(source, (str, list))
                     else source
                 )
@@ -197,7 +199,7 @@ def extend_index(
         ids = assign_doc_ids_files(new_files, cfg, offset=n_old)
         if ids is None:
             ids = assign_doc_ids(
-                ray.data.read_parquet(new_files), cfg, offset=n_old
+                read_parquet_clean(new_files), cfg, offset=n_old
             )
         ext_tag = f"ext{len(manifest.get('extensions', [])):03d}-{ext_fp[:8]}"
         stage = os.path.join(docs_dir, "_ext.tmp")
@@ -325,7 +327,7 @@ def _finish_build(
         else:
             cfg_eff = cfg
         files = [f for _, g in new_parts for f in g]
-        wave_ds = ray.data.read_parquet(files, columns=["doc_id", "doclen", "text", "role", "tool"])
+        wave_ds = read_parquet_clean(files, columns=["doc_id", "doclen", "text", "role", "tool"])
         if builder == "actors":
             if concurrency is None:
                 ncpu = int(ray.cluster_resources().get("CPU", 4))
@@ -413,7 +415,7 @@ def _finish_build(
         else:
             from ray.data.aggregate import Sum, Max, Count
 
-            seg_ds = ray.data.read_parquet(
+            seg_ds = read_parquet_clean(
                 seg_root, columns=["term", "df", "max_tf"]
             )
             dictionary = seg_ds.groupby("term").aggregate(

@@ -36,6 +36,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def arrow_of(obj):
+    import pyarrow as pa
+    import ray
+
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    return pa.concat_tables(
+        [ray.get(r) for r in obj.to_arrow_refs()], promote_options="permissive"
+    )
+
+
+def dtype_check(name: str, ga, want_arrow) -> list[str]:
+    """Driver-style dtype sensitivity: Ray vs DuckDB arrow types must
+    agree per column (int64 vs int128/float32 etc. breaks the hash)."""
+    import pyarrow as pa
+
+    problems = []
+    for field in want_arrow.schema:
+        if field.name not in ga.schema.names:
+            continue
+        gt = ga.schema.field(field.name).type
+        wt = field.type
+        norm = lambda t: (
+            "ts" if pa.types.is_timestamp(t) else
+            "str" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else str(t)
+        )
+        if norm(gt) != norm(wt):
+            problems.append(f"{name}: column {field.name}: dtype ray={gt} sql={wt}")
+    return problems
+
+
 def compare(name: str, got, want) -> list[str]:
     problems = []
     got, want = to_pandas(got), to_pandas(want)
@@ -97,12 +130,14 @@ def main():
             print(f"[rows-only] {name}: {len(df)} rows, cols={sorted(df.columns)}")
             continue
         try:
-            want = con.execute(oracles[name]).fetchdf()
+            want_arrow = con.execute(oracles[name]).arrow()
+            want = want_arrow.to_pandas()
         except Exception as ex:
             print(f"[FAIL] {name}: SQL raised {type(ex).__name__}: {ex}")
             n_bad += 1
             continue
-        problems = compare(name, got, want)
+        got = arrow_of(got)
+        problems = compare(name, got, want) + dtype_check(name, got, want_arrow)
         if problems:
             n_bad += 1
             for p in problems:
