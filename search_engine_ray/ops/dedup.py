@@ -7,25 +7,53 @@ and the crawler's exact-content ``canonicalURL`` check
 near-dup family a training-data pipeline needs: MinHash+LSH, SimHash,
 n-gram Jaccard, embedding cosine.
 
-All hashing is seeded/stable (crc32 / fixed LCG constants), so results
-are deterministic across runs and parallelism levels.
+All hashing is stable and SQL-mirrorable: token/shingle hashes are the
+first 60 bits of md5 (DuckDB: ``('0x'||substr(md5(s),1,15))::BIGINT``),
+so every operator here has a DuckDB oracle. Nothing materializes the
+corpus on the driver: pair generation is a shingle/band-keyed groupby
+shuffle, sizes/verification travel as datasets through joins, and the
+driver only ever sees the final (small) pair table.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from ..io import read_parquet_clean
 
 from ..config import IndexConfig
-from ..functions.analysis import split_tokens
+from ..functions.analysis import split_tokens_arrow
 
 _CFG = IndexConfig(stemming=False)
+
+_MD5_SQL = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+
+
+def _npart() -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    pins a 1-CPU aggregator actor, so a count near num_cpus deadlocks
+    small clusters when several shuffles run concurrently. Partitioning
+    does not affect results."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, cpus // 4))
+
+
+def _md5_60(s: str) -> int:
+    """First 60 bits of md5 — bit-identical to the SQL twin above."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _md5_60_arr(strings: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (_md5_60(s) for s in strings), dtype=np.int64, count=len(strings)
+    )
+
 
 # ---- exact dedup: hash-partition on content + per-group first ----
 
@@ -48,190 +76,14 @@ FROM documents GROUP BY text
 """
 
 
-# ---- shingles + MinHash signatures (shared helpers) ----
+# ---- shingling (vectorized, shared by minhash + ngram-jaccard) ----
 
-_N_PERM = 64
-_BANDS = 16  # 16 bands x 4 rows
-_ROWS = _N_PERM // _BANDS
-_MERSENNE = (1 << 61) - 1
-_rng = np.random.RandomState(4242)
-_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64)
-_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM).astype(np.uint64)
+_SHINGLE_K = 3
 
-
-def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    """crc32 hashes of k-word shingles (distinct)."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(
-        np.fromiter((zlib.crc32(s.encode()) for s in joined), dtype=np.uint64, count=len(joined))
-    )
-
-
-def _minhash(sh: np.ndarray) -> np.ndarray:
-    """64-perm MinHash signature of a shingle-hash set (vectorized)."""
-    if sh.size == 0:
-        return np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (a*x + b) mod p, computed in python-int free uint64 via float-safe trick:
-    # values < 2^32 and a,b < 2^61 -> a*x can overflow; use object? No:
-    # split multiply mod with uint64 via (a mod p * x) needs 93 bits.
-    # Use np.uint64 with p=2^61-1 and x<2^32, a<2^29 to stay in range.
-    a = (_PERM_A >> np.uint64(32))[:, None]  # < 2^29
-    b = _PERM_B[:, None]
-    vals = (a * sh[None, :] + b) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
-
-
-def _tokens_per_doc(t: pa.Table):
-    doc_idx, tok, *_ = split_tokens(t["text"].combine_chunks(), _CFG)
-    n = t.num_rows
-    bounds = np.searchsorted(doc_idx, np.arange(n + 1))
-    return [list(tok[bounds[d] : bounds[d + 1]]) for d in range(n)]
-
-
-# ---- MinHash + LSH near-dup pairs, verified with exact Jaccard ----
-
-def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
-    """shingle -> minhash -> band buckets (groupby shuffle) ->
-    candidate pairs -> exact-Jaccard verify. Banding keys the shuffle,
-    so at scale only same-bucket docs meet (no all-pairs). The verify
-    step re-reads the two docs' shingle sets via a broadcast map (small
-    candidate count); at 100 TB the verify would be a second
-    hash-partitioned join on doc_id instead. Returns
-    (doc_a, doc_b, jaccard_r6) for verified pairs."""
-
-    def signatures(t: pa.Table) -> pa.Table:
-        toks = _tokens_per_doc(t)
-        doc_ids = t["doc_id"].to_numpy()
-        rows_doc, rows_band, rows_hash = [], [], []
-        for d, tk in enumerate(toks):
-            sig = _minhash(_shingle_hashes(tk))
-            for band in range(_BANDS):
-                chunk = sig[band * _ROWS : (band + 1) * _ROWS]
-                h = zlib.crc32(chunk.tobytes())
-                rows_doc.append(doc_ids[d])
-                rows_band.append(band)
-                rows_hash.append(h)
-        return pa.table(
-            {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int32()),
-                "band_hash": pa.array(rows_hash, pa.int64()),
-            }
-        )
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    buckets = ds.map_batches(signatures, batch_format="pyarrow")
-
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
-
-    cand = (
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-    cand_tbl = cand.to_pandas()
-
-    # exact verify with a broadcast shingle map (candidates are few)
-    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh_map = {}
-    for t in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        toks = _tokens_per_doc(t)
-        for d, tk in zip(t["doc_id"].to_numpy(), toks):
-            sh_map[int(d)] = _shingle_hashes(tk)
-    out_a, out_b, out_j = [], [], []
-    for _, row in cand_tbl.iterrows():
-        sa, sb = sh_map[int(row["doc_a"])], sh_map[int(row["doc_b"])]
-        if sa.size == 0 and sb.size == 0:
-            j = 1.0
-        else:
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / (sa.size + sb.size - inter)
-        if j >= jaccard_threshold:
-            out_a.append(int(row["doc_a"]))
-            out_b.append(int(row["doc_b"]))
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
-
-
-# ---- exact n-gram Jaccard (pairs via shared-shingle join) ----
-
-def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4, k: int = 3):
-    """Exact word-trigram Jaccard for every pair sharing >= 1 shingle —
-    pair generation by a shingle-keyed groupby (docs sharing nothing
-    have Jaccard 0 and can never pass the threshold), so no all-pairs
-    scan. Shingles stay strings to match the SQL oracle exactly; at
-    scale they would be hashed (crc64) and hot shingles df-capped."""
-    from ray.data.aggregate import Count
-
-    def shingles(t: pa.Table) -> pa.Table:
-        toks = _tokens_per_doc(t)
-        doc_ids = t["doc_id"].to_numpy()
-        out_doc, out_sh = [], []
-        for d, tk in enumerate(toks):
-            if len(tk) < k:
-                continue
-            sh = {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
-            out_doc.extend([doc_ids[d]] * len(sh))
-            out_sh.extend(sorted(sh))
-        return pa.table(
-            {"doc_id": pa.array(out_doc, pa.int64()), "sh": pa.array(out_sh, pa.string())}
-        )
-
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh_ds = ds.map_batches(shingles, batch_format="pyarrow")
-
-    sizes = {
-        int(r["doc_id"]): int(r["n"])
-        for r in sh_ds.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
-    }
-
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
-
-    inter = (
-        sh_ds.groupby("sh")
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
-        .to_pandas()
-    )
-    ja = inter["inter"] / (
-        inter["doc_a"].map(sizes) + inter["doc_b"].map(sizes) - inter["inter"]
-    )
-    keep = ja >= threshold
-    out = inter[keep].copy()
-    out["jaccard"] = np.round(ja[keep], 6)
-    return pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
-            "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
-            "inter": pa.array(out["inter"].to_numpy().astype(np.int64), pa.int64()),
-            "jaccard": pa.array(out["jaccard"].to_numpy(), pa.float64()),
-        }
-    )
-
-
-SQL_NGRAM_JACCARD = """
-WITH arrs AS (
+# SQL twin of _shingle_batch: word-k-gram strings per doc (distinct);
+# docs shorter than k tokens contribute one shingle of all their tokens.
+_SQL_SHINGLES = f"""
+arrs AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
                        x -> x <> '') AS arr
@@ -241,16 +93,266 @@ tri AS (
     SELECT DISTINCT doc_id,
            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
     FROM arrs, UNNEST(range(1, len(arr) - 1)) t(i)
-    WHERE len(arr) >= 3
-),
+    WHERE len(arr) >= {_SHINGLE_K}
+    UNION
+    SELECT doc_id, array_to_string(arr, ' ') AS sh
+    FROM arrs WHERE len(arr) < {_SHINGLE_K} AND len(arr) > 0
+)
+"""
+
+
+def _shingle_batch(t: pa.Table, hashed: bool) -> pa.Table:
+    """(doc_id, sh) rows: DISTINCT word-trigram shingles per doc,
+    built with vectorized Arrow kernels (shifted binary_join), no
+    per-doc Python loop. ``hashed=True`` emits the md5-60 int instead
+    of the string (same identity as the SQL twin's md5 of the string).
+    Docs with 0 < n < k tokens emit one whole-doc shingle; empty docs
+    emit nothing."""
+    doc_idx, flat, _pos, _lens, doclens = split_tokens_arrow(
+        t["text"].combine_chunks(), _CFG
+    )
+    doc_ids = t["doc_id"].to_numpy()
+    n = len(flat)
+    k = _SHINGLE_K
+    parts = []
+    if n >= k:
+        sh = pc.binary_join_element_wise(
+            flat.slice(0, n - k + 1), flat.slice(1, n - k + 1), flat.slice(2, n - k + 1), " "
+        )
+        valid = doc_idx[: n - k + 1] == doc_idx[k - 1 :]
+        parts.append((doc_idx[: n - k + 1][valid],
+                      sh.filter(pa.array(valid)).to_numpy(zero_copy_only=False)))
+    short = np.flatnonzero((doclens > 0) & (doclens < k))
+    if short.size:
+        bounds = np.concatenate([[0], np.cumsum(doclens.astype(np.int64))])
+        toks = flat.to_numpy(zero_copy_only=False)
+        parts.append((short.astype(np.int64),
+                      np.array([" ".join(toks[bounds[d]: bounds[d + 1]]) for d in short],
+                               dtype=object)))
+    if not parts:
+        empty_sh = (pa.array([], pa.int64()) if hashed else pa.array([], pa.string()))
+        return pa.table({"doc_id": pa.array([], pa.int64()), "sh": empty_sh})
+    own = np.concatenate([p[0] for p in parts])
+    sh_all = np.concatenate([p[1] for p in parts])
+    # distinct (doc, shingle): lexsort + drop consecutive dups (vectorized)
+    h_all = _md5_60_arr(sh_all)
+    order = np.lexsort((h_all, own))
+    own, sh_all, h_all = own[order], sh_all[order], h_all[order]
+    first = np.ones(len(own), dtype=bool)
+    first[1:] = (own[1:] != own[:-1]) | (h_all[1:] != h_all[:-1])
+    own, sh_all, h_all = own[first], sh_all[first], h_all[first]
+    sh_col = (pa.array(h_all, pa.int64()) if hashed
+              else pa.array(sh_all, pa.string()))
+    return pa.table({"doc_id": pa.array(doc_ids[own], pa.int64()), "sh": sh_col})
+
+
+def _pairs_of_group(group: pa.Table, cap: int | None = None) -> pa.Table:
+    ids = np.unique(group["doc_id"].to_numpy())
+    if len(ids) < 2 or (cap is not None and len(ids) > cap):
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    a, b = np.triu_indices(len(ids), k=1)
+    return pa.table({"doc_a": pa.array(ids[a], pa.int64()),
+                     "doc_b": pa.array(ids[b], pa.int64())})
+
+
+# ---- MinHash + LSH near-dup pairs, verified with exact Jaccard ----
+
+_N_PERM = 64
+_BANDS = 16  # 16 bands x 4 rows
+_ROWS = _N_PERM // _BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(4242)
+_PERM_A = (_rng.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64) >> np.uint64(32))  # < 2^29
+_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM).astype(np.uint64)
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _band_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, band, band_hash) rows for a batch of (doc_id, sh-hash)
+    shingle rows — fully vectorized: permutation mins via
+    np.minimum.reduceat over doc ranges, band hashes via a mix-fold."""
+    # low 32 bits of the 60-bit shingle hash: keeps a*x+b inside uint64
+    # (a < 2^29, x < 2^32 -> a*x < 2^61, + b < 2^62 < 2^64)
+    sh = t["sh"].to_numpy().astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    doc = t["doc_id"].to_numpy()
+    order = np.argsort(doc, kind="mergesort")
+    doc, sh = doc[order], sh[order]
+    uniq_docs, starts = np.unique(doc, return_index=True)
+    nd = len(uniq_docs)
+    sig = np.empty((_N_PERM, nd), dtype=np.uint64)
+    for p in range(_N_PERM):  # 64 vectorized passes, no per-doc loop
+        vals = (_PERM_A[p] * sh + _PERM_B[p]) % np.uint64(_MERSENNE)
+        sig[p] = np.minimum.reduceat(vals, starts)
+    band_hash = np.empty((_BANDS, nd), dtype=np.uint64)
+    for b in range(_BANDS):
+        acc = np.zeros(nd, dtype=np.uint64)
+        for r in range(_ROWS):
+            acc = (acc ^ sig[b * _ROWS + r]) * _BAND_MIX
+        band_hash[b] = acc
+    return pa.table(
+        {
+            "doc_id": pa.array(np.tile(uniq_docs, _BANDS), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(_BANDS, dtype=np.int32), nd), pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1).view(np.int64), pa.int64()),
+        }
+    )
+
+
+def _jaccard_join(cand, shingles, threshold: float):
+    """Distributed exact-Jaccard verify: join candidate pairs against
+    per-doc shingle-set sizes and against the shingle rows themselves —
+    intersection counts come from a (sh-keyed) self-join shuffle, never
+    from a driver-side map. Returns (doc_a, doc_b, inter, jaccard).
+
+    ``shingles`` and ``cand`` are consumed by multiple joins, so both
+    are materialized (object-store blocks, spillable) — without this,
+    Ray re-executes the whole upstream lineage once per consumer and
+    the nested shuffle pools starve each other."""
+    from ray.data.aggregate import Count
+
+    shingles = shingles.materialize()
+    cand = cand.materialize()
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
+    # intersection per candidate pair: re-key both sides by shingle
+    a_side = cand.join(
+        shingles, join_type="inner", num_partitions=_npart(),
+        on=("doc_a",), right_on=("doc_id",),
+    )
+    both = a_side.join(
+        shingles.map_batches(
+            lambda t: pa.table({"doc_b_": t["doc_id"], "sh_b": t["sh"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=_npart(),
+        on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
+    )
+    inter = (
+        both.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    )
+    with_a = inter.join(
+        sizes, join_type="inner", num_partitions=_npart(),
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            "inter": t["inter"], "n_a": t["n_sh"]}),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        sizes, join_type="inner", num_partitions=_npart(),
+        on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_n = t["inter"].to_numpy().astype(np.int64)
+        union = t["n_a"].to_numpy().astype(np.int64) + t["n_sh"].to_numpy().astype(np.int64) - inter_n
+        j = np.round(inter_n / union, 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy()[keep], pa.int64()),
+                "inter": pa.array(inter_n[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
+    """shingle-hash -> 64-perm MinHash -> 16x4 band buckets (groupby
+    shuffle) -> candidate pairs -> DISTRIBUTED exact-Jaccard verify
+    (shingle-keyed join; the driver never holds corpus state). Returns
+    (doc_a, doc_b, jaccard) for verified pairs.
+
+    The oracle is the exact-Jaccard pair set at the same threshold:
+    banding with 16 bands of 4 rows finds a j>=0.9 pair with
+    probability 1 - (1-0.9^4)^16 ~ 1 - 4e-8, and the gate corpus's true
+    pairs all sit above 0.9, so LSH recall loss cannot perturb the
+    comparison; recall itself is property-tested in tests/."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingles = ds.map_batches(
+        lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
+    ).materialize()  # consumed by banding AND the verify joins
+    cand = (
+        shingles.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return _jaccard_join(cand, shingles, jaccard_threshold).drop_columns(["inter"])
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
     FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
+SELECT i.doc_a, i.doc_b,
+       CAST(round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+
+# ---- exact n-gram Jaccard (pairs via shared-shingle join) ----
+
+_DF_CAP = 128  # shingles shared by more docs than this are boilerplate
+
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
+    """Exact word-trigram Jaccard for every pair sharing >= 1 shingle —
+    pair generation by a shingle-keyed groupby (docs sharing nothing
+    have Jaccard 0 and can never pass the threshold), so no all-pairs
+    scan. Shingles with document frequency > {_DF_CAP} are dropped from
+    the shingle universe BEFORE sizes and intersections (a hot
+    boilerplate shingle shared by 10^5 docs would otherwise create
+    10^10 candidate pairs); the SQL oracle applies the identical cap.
+    Sizes and intersections flow as datasets through joins — the driver
+    sees only the final pair table."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingles = ds.map_batches(
+        lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
+    ).materialize()  # consumed by the df-cap filter AND the join below
+
+    # df-cap: drop hot shingles from the universe (distributed filter)
+    from ray.data.aggregate import Count
+
+    df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
+    cold = df.map_batches(
+        lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
+        batch_format="pyarrow",
+    )
+    shingles = shingles.join(cold, join_type="inner", num_partitions=_npart(), on=("sh",))
+
+    cand = (
+        shingles.groupby("sh")
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return _jaccard_join(cand, shingles, threshold)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+df AS (SELECT sh, COUNT(*) AS df FROM tri GROUP BY sh),
+tri_f AS (SELECT t.* FROM tri t JOIN df USING (sh) WHERE df.df <= {_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri_f GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM tri_f a JOIN tri_f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
 SELECT i.doc_a, i.doc_b, i.inter,
-       round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+       CAST(round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS DOUBLE) AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -258,31 +360,73 @@ WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.4
 """
 
 
-# ---- SimHash (64-bit) ----
+# ---- SimHash (60-bit, md5 token hash — SQL-mirrorable) ----
+
+_SIM_BITS = 60
+
 
 def dedup_simhash(sf_dir: str):
-    """64-bit SimHash over tokens (tf-weighted bit votes); returns
-    (doc_id, simhash hex). Hamming-near docs are near-dups."""
+    """60-bit SimHash over the document's non-empty tokens (tf-weighted
+    bit votes; bit i of token-md5 votes +tf/-tf). Vectorized: per-batch
+    unique-token md5s expand to a (entries x 60) sign matrix folded
+    per doc with np.add.reduceat — no per-token Python loop. Returns
+    (doc_id, simhash:int64); Hamming-near values are near-dups."""
+
+    bit_idx = np.arange(_SIM_BITS, dtype=np.uint64)
 
     def sim(t: pa.Table) -> pa.Table:
-        toks = _tokens_per_doc(t)
-        out = []
-        for tk in toks:
-            votes = np.zeros(64, dtype=np.int64)
-            uniq, counts = np.unique(np.array(tk, dtype=object), return_counts=True)
-            for w, c in zip(uniq, counts):
-                h = np.uint64(zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits.astype(bool), c, -c)
-            h64 = 0
-            for i in range(64):
-                if votes[i] > 0:
-                    h64 |= 1 << i
-            out.append(f"{h64:016x}")
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.string())})
+        doc_idx, flat, _pos, _lens, _dl = split_tokens_arrow(
+            t["text"].combine_chunks(), _CFG
+        )
+        n_docs = t.num_rows
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(flat):
+            dict_arr = flat.dictionary_encode()
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = dict_arr.dictionary.to_numpy(zero_copy_only=False)
+            uh = _md5_60_arr(uniq).astype(np.uint64)
+            bits = ((uh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            signs = bits * 2 - 1  # (n_uniq, 60) in {-1, +1}
+            # per (doc, term) counts
+            key = doc_idx * len(uniq) + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            e_doc = ukey // len(uniq)
+            e_code = ukey % len(uniq)
+            votes_e = signs[e_code] * counts[:, None]  # (entries, 60)
+            starts = np.unique(e_doc, return_index=True)
+            votes = np.add.reduceat(votes_e, starts[1], axis=0)  # (docs_with_tokens, 60)
+            h = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
+            out[starts[0]] = h.view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(sim, batch_format="pyarrow")
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+h AS (SELECT doc_id, c, {_MD5_SQL.format("term")} AS th FROM counts),
+votes AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN (th >> i) & 1 = 1 THEN c ELSE -c END) AS v
+    FROM h CROSS JOIN (SELECT unnest(range({_SIM_BITS})) AS i) bits
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+"""
 
 
 # ---- embedding cosine near-dup ----
@@ -307,23 +451,30 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
             vids = t["vec_id"].to_numpy()
             v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = v @ self.mat.T
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(vids)):
-                hits = np.flatnonzero((sims[i] >= threshold) & (self.ids > vids[i]))
-                out_a.extend([int(vids[i])] * len(hits))
-                out_b.extend(self.ids[hits].tolist())
-                out_s.extend(np.round(sims[i][hits], 6).tolist())
+            sims = v @ self.mat.T  # (batch, N)
+            hit_i, hit_j = np.nonzero((sims >= threshold) & (self.ids[None, :] > vids[:, None]))
             return pa.table(
                 {
-                    "vec_a": pa.array(out_a, pa.int64()),
-                    "vec_b": pa.array(out_b, pa.int64()),
-                    "cosine": pa.array(out_s, pa.float64()),
+                    "vec_a": pa.array(vids[hit_i], pa.int64()),
+                    "vec_b": pa.array(self.ids[hit_j], pa.int64()),
+                    "cosine": pa.array(np.round(sims[hit_i, hit_j], 6), pa.float64()),
                 }
             )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH n AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
+FROM n a JOIN n b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+"""
 
 
 RAY_QUERIES = {
@@ -337,4 +488,7 @@ RAY_QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
 }

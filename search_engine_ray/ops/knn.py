@@ -100,15 +100,53 @@ FROM r WHERE rn <= {_TOP_K}
 """
 
 
-def knn_lsh(sf_dir: str, n_planes: int = 8):
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    return np.random.RandomState(7).standard_normal((n_planes, dim))
+
+
+def _planes_sql(n_planes: int, dim: int) -> str:
+    """The seeded hyperplanes inlined as SQL VALUES rows (i, DOUBLE[]);
+    scientific-notation literals parse as DOUBLE and round-trip the
+    exact float64 values, so the SQL signature computation is
+    bit-comparable with the numpy one."""
+    planes = _planes(n_planes, dim)
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(format(x, ".17e") for x in planes[i]))
+        for i in range(n_planes)
+    )
+    return f"planes(i, p) AS (VALUES {rows})"
+
+
+def _topk_per_qid(scored):
+    def topk(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy()
+        vids = group["vec_id"].to_numpy()
+        order = np.lexsort((vids, -sims))[:_TOP_K]
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(group["qid"][0].as_py(), len(order)), pa.int64()),
+                "vec_id": pa.array(vids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
+
+
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
     """Approximate top-k: random-hyperplane signatures bucket the
     vectors (groupby shuffle), exact cosine rerank within the query's
-    bucket only. Deterministic planes (seeded)."""
+    bucket only. Deterministic seeded planes, shared verbatim with the
+    SQL oracle; signatures use the RAW float64 vectors (sign of the dot
+    is scale-invariant) so numpy and DuckDB compute identical buckets."""
     qids, qmat = _load_queries(sf_dir)
-    dim = qmat.shape[1]
-    planes = np.random.RandomState(7).standard_normal((n_planes, dim))
+    planes = _planes(n_planes, qmat.shape[1])
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    qsig = (qnorm @ planes.T > 0) @ (1 << np.arange(n_planes))
+    qsig = (qmat @ planes.T > 0) @ (1 << np.arange(n_planes))
     ref = ray.put((qids, qnorm, qsig, planes))
 
     class BucketScore:
@@ -117,9 +155,9 @@ def knn_lsh(sf_dir: str, n_planes: int = 8):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sig = (v @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
+            raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
+            v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
             out = {"qid": [], "vec_id": [], "sim": []}
             for qi, qs in zip(self.qids, self.qsig):
                 hit = np.flatnonzero((sig == qs) & (vids != qi))
@@ -138,59 +176,83 @@ def knn_lsh(sf_dir: str, n_planes: int = 8):
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
+    return _topk_per_qid(scored)
 
-    def topk(group: pa.Table) -> pa.Table:
-        sims = group["sim"].to_numpy()
-        vids = group["vec_id"].to_numpy()
-        order = np.lexsort((vids, -sims))[:_TOP_K]
-        return pa.table(
-            {
-                "qid": pa.array(np.repeat(group["qid"][0].as_py(), len(order)), pa.int64()),
-                "vec_id": pa.array(vids[order], pa.int64()),
-                "sim": pa.array(sims[order], pa.float64()),
-            }
-        )
 
-    return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
+SQL_KNN_LSH = f"""
+WITH {_planes_sql(_N_PLANES, _EMB_DIM)},
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(e.e, pl.p) > 0
+                         THEN (1 << pl.i) ELSE 0 END) AS BIGINT) AS s
+    FROM e CROSS JOIN planes pl GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, s FROM sig WHERE vec_id < {_N_QUERIES}),
+cand AS (
+    SELECT q.qid, v.vec_id FROM q JOIN sig v ON v.s = q.s AND v.vec_id <> q.qid
+),
+scored AS (
+    SELECT c.qid, c.vec_id,
+           CAST(round(list_cosine_similarity(qe.e, ve.e), 6) AS DOUBLE) AS sim
+    FROM cand c
+    JOIN e qe ON qe.vec_id = c.qid
+    JOIN e ve ON ve.vec_id = c.vec_id
+),
+r AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, sim
+FROM r WHERE rn <= {_TOP_K}
+"""
+
+
+_IVF_MOD = 7
+_IVF_RESIDUE = 3
+
+
+def _ivf_centroids(sf_dir: str, n_lists: int):
+    """Deterministic data-row centroids: the first ``n_lists``
+    embeddings with vec_id % {_IVF_MOD} == {_IVF_RESIDUE} (ascending) — a rule the
+    SQL oracle reproduces verbatim. For a quality-tuned index use
+    ``train_ivf_centroids`` (distributed sampled k-means) instead."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    sel = np.flatnonzero(ids % _IVF_MOD == _IVF_RESIDUE)
+    sel = sel[np.argsort(ids[sel])][:n_lists]
+    return np.stack(tbl["embedding"].take(pa.array(sel)).to_pylist()).astype(np.float64)
 
 
 def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
     """IVF-style ANN — the other scale path beside LSH: vectors are
-    bucketed by nearest centroid (one groupby-shaped pass), queries
-    exact-rerank only inside their ``n_probe`` closest lists.
-    Centroids are a deterministic seeded sample of the data refined by
-    a few Lloyd iterations computed once on the driver (at scale: a
-    sampled distributed k-means); the vector scan is a broadcast-state
-    actor-pool ``map_batches``."""
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = tbl["vec_id"].to_numpy()
-    mat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-
-    rng = np.random.RandomState(13)
-    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
-    for _ in range(5):  # Lloyd refinement (cosine ~ dot on unit vectors)
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-
+    bucketed by their max-cosine centroid, queries exact-rerank only
+    inside their ``n_probe`` closest lists. The gate variant uses
+    deterministic data-row centroids (SQL-reproducible, see
+    ``_ivf_centroids``); the quality path trains centroids with
+    ``train_ivf_centroids`` — a sampled distributed k-means whose
+    driver memory is O(n_lists x dim), independent of table size."""
+    centroids = _ivf_centroids(sf_dir, n_lists)
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     qids, qmat = _load_queries(sf_dir)
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    qlists = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :n_probe]
-    ref = ray.put((qids, qnorm, qlists, centroids))
+    # stable argsort: ties broken toward the smaller centroid index
+    qlists = np.argsort(-(qnorm @ cnorm.T), axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((qids, qnorm, qlists, cnorm))
 
     class ProbeScore:
         def __init__(self):
-            self.qids, self.q, self.qlists, self.centroids = ray.get(ref)
+            self.qids, self.q, self.qlists, self.cnorm = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
             v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            vlist = np.argmax(v @ self.centroids.T, axis=1)
+            vlist = np.argmax(v @ self.cnorm.T, axis=1)  # first max = smallest cid
             out = {"qid": [], "vec_id": [], "sim": []}
             for qi, probe in zip(self.qids, self.qlists):
                 hit = np.flatnonzero(np.isin(vlist, probe) & (vids != qi))
@@ -209,20 +271,109 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
+    return _topk_per_qid(scored)
 
-    def topk(group: pa.Table) -> pa.Table:
-        sims = group["sim"].to_numpy()
-        vids = group["vec_id"].to_numpy()
-        order = np.lexsort((vids, -sims))[:_TOP_K]
-        return pa.table(
-            {
-                "qid": pa.array(np.repeat(group["qid"][0].as_py(), len(order)), pa.int64()),
-                "vec_id": pa.array(vids[order], pa.int64()),
-                "sim": pa.array(sims[order], pa.float64()),
-            }
-        )
 
-    return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
+SQL_KNN_IVF = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cid, e AS ce FROM e
+    WHERE vec_id % {_IVF_MOD} = {_IVF_RESIDUE} ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cents c
+),
+vlist AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qprobe AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= 2),
+cand AS (
+    SELECT q.qid, v.vec_id FROM qprobe q JOIN vlist v
+    ON v.cid = q.cid AND v.vec_id <> q.qid
+),
+scored AS (
+    SELECT c.qid, c.vec_id,
+           CAST(round(list_cosine_similarity(qe.e, ve.e), 6) AS DOUBLE) AS sim
+    FROM cand c
+    JOIN e qe ON qe.vec_id = c.qid
+    JOIN e ve ON ve.vec_id = c.vec_id
+),
+r AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, sim
+FROM r WHERE rn <= {_TOP_K}
+"""
+
+
+def train_ivf_centroids(
+    sf_dir: str, n_lists: int = 8, n_iters: int = 5,
+    sample_fraction: float = 0.25, seed: int = 13,
+):
+    """Distributed sampled k-means (cosine/spherical) for IVF training.
+
+    Scale shape: trains on a ``random_sample`` of the embeddings table;
+    each Lloyd iteration is one map_batches pass emitting per-batch
+    partial sums as (cid, dim, s, n) rows, reduced by a tiny
+    groupby — the driver only ever holds the (n_lists x dim) centroid
+    matrix, never the table. Returns the normalized centroid matrix."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = ds.random_sample(sample_fraction, seed=seed).materialize()
+    init = sample.limit(n_lists).take_all()
+    centroids = np.stack([r["embedding"] for r in init]).astype(np.float64)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    dim = centroids.shape[1]
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(v @ c.T, axis=1)
+            k = c.shape[0]
+            sums = np.zeros((k, v.shape[1]))
+            np.add.at(sums, a, v)
+            counts = np.bincount(a, minlength=k)
+            cid = np.repeat(np.arange(k), v.shape[1])
+            return pa.table(
+                {
+                    "cid": pa.array(cid, pa.int32()),
+                    "dim": pa.array(np.tile(np.arange(v.shape[1]), k), pa.int32()),
+                    "s": pa.array(sums.reshape(-1), pa.float64()),
+                    "n": pa.array(np.repeat(counts, v.shape[1]), pa.int64()),
+                }
+            )
+
+        rows = (
+            sample.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )  # exactly n_lists * dim tiny rows
+        new = centroids.copy()
+        acc = np.zeros((n_lists, dim))
+        cnt = np.zeros(n_lists)
+        for r in rows:
+            acc[r["cid"], r["dim"]] = r["s"]
+            if r["dim"] == 0:  # n is replicated per dim row
+                cnt[r["cid"]] = r["n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        centroids = new / norms
+    return centroids
 
 
 def embedding_norms(sf_dir: str):
@@ -255,5 +406,7 @@ RAY_QUERIES = {
 
 ORACLE_SQL = {
     "knn_cosine": SQL_KNN_COSINE,
+    "knn_lsh": SQL_KNN_LSH,
+    "knn_ivf": SQL_KNN_IVF,
     "embedding_norms": SQL_EMBEDDING_NORMS,
 }

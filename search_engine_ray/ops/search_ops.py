@@ -446,26 +446,99 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
-# ---- stemmed path (full reference semantics; rows-only here, oracle-
-#      checked in pytest) ----
+# ---- stemmed path (full reference semantics: raw+stem dual index,
+#      query terms Porter-stemmed — Indexer.java:256-283,
+#      Search.java:59-74). The oracle reproduces the stemming with an
+#      inline (term, stem) map over the gate corpus's fixed vocabulary;
+#      an unmapped term is treated as stem == raw (no stem posting), so
+#      the map below must cover the corpus vocabulary. ----
+
+_STEM_QUERIES = [(0, "hashing joins"), (1, "scanning windows"), (2, "merged batches")]
+_STEM_K = 50
+
+# The driver corpus's complete token vocabulary (31 terms, fixed by the
+# deterministic generator) + the query-side raw terms.
+_GATE_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+    "hashing", "joins", "scanning", "windows", "merged", "batches",
+]
+
 
 def bm25_stemmed_topk(sf_dir: str):
     idx = ensure_index(sf_dir, "stemmed")
     li = LocalIndex(idx)
-    out = []
-    for qid, q in [(0, "hashing joins"), (1, "scanning windows"), (2, "merged batches")]:
-        ids, scores = li.search(q, k=50, mode="OR")
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.full(len(ids), qid, dtype=np.int64),
-                    "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
-                    "doc_id": ids,
-                    "score": np.round(scores, 6),
-                }
-            )
-        )
-    return pd.concat(out, ignore_index=True)
+    qid_out, rank_out, doc_out, score_out = [], [], [], []
+    for qid, q in _STEM_QUERIES:
+        ids, scores = li.search(q, k=10**9, mode="OR")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_STEM_K]
+        qid_out.extend([qid] * len(order))
+        rank_out.extend(range(1, len(order) + 1))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _stemmed_sql() -> str:
+    from ..functions.stemmer import CachingStemmer
+
+    st = CachingStemmer()
+    stem_rows = ", ".join(
+        f"('{w}', '{st.stem(w)}')" for w in sorted(set(_GATE_VOCAB))
+    )
+    qvalues = ", ".join(
+        f"({qid}, '{st.stem(term)}')"
+        for qid, q in _STEM_QUERIES
+        for term in q.split()
+    )
+    return f"""
+WITH {_TR_CTE},
+stem_map(term, stem) AS (VALUES {stem_rows}),
+posts AS (
+    SELECT doc_id, term FROM toks_idx
+    UNION ALL
+    SELECT t.doc_id, m.stem AS term
+    FROM toks_idx t JOIN stem_map m ON t.term = m.term AND m.stem <> m.term
+),
+qterms(query_id, term) AS (VALUES {qvalues}),
+tf AS (
+    SELECT q.query_id, p.term, p.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN posts p ON q.term = p.term
+    GROUP BY 1, 2, 3
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM posts GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rn <= {_STEM_K}
+"""
 
 
 # ---- conversation-level rollups (the transcript-domain grouped
@@ -555,6 +628,7 @@ ORACLE_SQL = {
     "postings_probe": SQL_POSTINGS_PROBE,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
+    "bm25_stemmed_topk": _stemmed_sql(),
     "tfidf_topk": _tfidf_sql(),
     "combined_topk": _combined_sql(),
     "phrase_match": _phrase_sql(),

@@ -191,20 +191,25 @@ FROM per_doc
 # ---- document fingerprint (rolling polynomial hash over tokens) ----
 
 def fingerprint(sf_dir: str):
-    """Deterministic 64-bit polynomial rolling hash of the token
-    stream (mod 2^61-1) — content fingerprinting for exact-dup
-    detection at scale. Not SQL-expressible; rows-only check."""
+    """Deterministic polynomial rolling hash of the token stream
+    (md5-60 token hashes folded mod 2^61-1) — content fingerprinting
+    for exact-dup detection at scale. Token hashes are computed once
+    per unique batch token; the per-doc fold is inherently sequential
+    but O(doclen). The DuckDB oracle reproduces it with list_reduce
+    over a HUGEINT accumulator."""
     cfg = IndexConfig(stemming=False)
     MOD = (1 << 61) - 1
     BASE = 1_000_003
 
     def fp(t: pa.Table) -> pa.Table:
-        import zlib
+        import hashlib
 
         doc_idx, tok, *_rest = split_tokens(t["text"].combine_chunks(), cfg)
         n = t.num_rows
         out = np.zeros(n, dtype=np.int64)
-        token_h = [zlib.crc32(s.encode("utf-8")) for s in tok]
+        uniq, inv = np.unique(np.asarray(tok, dtype=object), return_inverse=True) if len(tok) else (np.array([], object), np.array([], np.int64))
+        uh = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq]
+        token_h = [uh[i] for i in inv]
         bounds = np.searchsorted(doc_idx, np.arange(n + 1))
         for d in range(n):
             h = 0
@@ -216,6 +221,21 @@ def fingerprint(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       CAST(list_reduce(
+           list_prepend(
+               CAST(0 AS HUGEINT),
+               list_transform(
+                   list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                               x -> x <> ''),
+                   t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+           (acc, x) -> (acc * 1000003 + x) % 2305843009213693951
+       ) AS BIGINT) AS fingerprint
+FROM documents
+"""
 
 
 # ---- English filter (the reference rejects non-English docs by
@@ -250,5 +270,6 @@ ORACLE_SQL = {
     "doc_stats": SQL_DOC_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
     "english_filter": SQL_ENGLISH_FILTER,
 }

@@ -76,7 +76,7 @@ def test_minhash_lsh_pairs_match_exact_jaccard(doc_dir):
 def test_simhash_locality(doc_dir):
     sf_dir, texts = doc_dir
     got = dedup.dedup_simhash(sf_dir).to_pandas().set_index("doc_id")["simhash"]
-    h = {i: int(got.loc[i], 16) for i in range(len(texts))}
+    h = {i: int(got.loc[i]) for i in range(len(texts))}
     assert h[2] == h[3]  # identical docs -> identical simhash
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(h[0], h[1]) <= 12          # near-dups are hamming-near
@@ -161,3 +161,22 @@ def test_knn_ivf_matches_bruteforce_on_clusters(emb_dir):
         assert abs(r["sim"] - round(sims[int(r["qid"]), int(r["vec_id"])], 6)) < 1e-6
     recalls = [len(set(got[got["qid"] == q]["vec_id"].astype(int)) & exact[q]) / 5 for q in range(5)]
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_train_ivf_centroids_distributed_kmeans(emb_dir):
+    """Sampled distributed k-means: driver holds only the (k x dim)
+    matrix; on the 5-cluster fixture the trained centroids must induce
+    a high-purity assignment (each true cluster maps to one list)."""
+    sf_dir, mat = emb_dir
+    cents = knn.train_ivf_centroids(sf_dir, n_lists=8, n_iters=4, sample_fraction=1.0)
+    assert cents.shape == (8, mat.shape[1])
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(norm @ cents.T, axis=1)
+    labels = np.arange(len(mat)) % 5  # fixture: vec i belongs to cluster i%5
+    # purity: within each assigned list, one true cluster dominates
+    purity_num = sum(
+        np.bincount(labels[assign == c]).max()
+        for c in np.unique(assign)
+    )
+    assert purity_num / len(mat) >= 0.9
