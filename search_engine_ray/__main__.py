@@ -7,6 +7,7 @@
     python -m search_engine_ray extend --source DIR --index DIR [-p N]
     python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR]
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
+    python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N]
 
 Owns the Ray session (the only places allowed to: CLI, bench.py, test
 fixture — never library code / __ray_entry__.py).
@@ -68,16 +69,20 @@ def cmd_query(a) -> int:
 
 
 def cmd_batch(a) -> int:
-    import ray.data
-
-from .io import read_parquet_clean
-
+    from .io import read_parquet_clean
     from .pipelines.search import evaluate_queries
 
     qds = read_parquet_clean(a.queries)
     res = evaluate_queries(qds, a.index, mode=a.mode)
     res.write_parquet(a.out)
     print(f"wrote {a.out}")
+    return 0
+
+
+def cmd_serve(a) -> int:
+    from .serve import serve
+
+    serve(a.index, port=a.port, n_shards=a.shards)
     return 0
 
 
@@ -115,6 +120,12 @@ def main(argv=None) -> int:
     bt.add_argument("--out", required=True)
     bt.add_argument("--mode", choices=["AND", "OR"], default="AND")
     bt.set_defaults(fn=cmd_batch)
+
+    sv = sub.add_parser("serve", help="HTTP /search endpoint over doc shards")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--shards", type=int, default=4)
+    sv.set_defaults(fn=cmd_serve)
 
     a = p.parse_args(argv)
     ray = _init_ray()

@@ -64,6 +64,8 @@ class IndexConfig:
     max_text_len: int = MAX_TEXT_LEN
     max_word_len: int = MAX_WORD_LEN
     stemming: bool = True          # index raw + Porter-stemmed terms (Indexer.java:256-283)
+    strip_html: bool = False       # bracket-counting tag stripper (extract_html, Indexer.java:71-105);
+                                   # off by default: transcripts are plain text
     positions: bool = True         # store varbyte position blocks (split_page_locs capability)
     index_role_tool: bool = False  # prepend role/tool tokens (analog of URL-token indexing, Indexer.java:236-238)
     doc_bucket_size: int = 1 << 17

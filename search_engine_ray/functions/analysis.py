@@ -34,6 +34,45 @@ from .stemmer import CachingStemmer
 _SPLIT_PATTERN = "[^0-9a-z]+"
 
 
+def strip_html(text: str) -> str:
+    """Tag stripping with the reference's ``extract_html`` semantics
+    (`/root/reference/src/cis5550/jobs/Indexer.java:71-105`): a
+    bracket-depth counter (clamped at zero) drops everything inside
+    ``<...>`` regions — including nested brackets — while a ``>`` seen
+    at depth zero stays ordinary text; a tag always acts as a word
+    boundary (the reference flushes the current word at every ``<``),
+    which blanking tags to spaces preserves through the tokenizer.
+
+    Vectorized: depth is cumsum-with-floor
+    (``prefix - running_min(min(prefix, 0))``), no per-char Python."""
+    if "<" not in text:
+        return text
+    arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    is_open = arr == ord("<")
+    is_close = arr == ord(">")
+    prefix = np.cumsum(is_open.astype(np.int64) - is_close.astype(np.int64))
+    depth_after = prefix - np.minimum.accumulate(np.minimum(prefix, 0))
+    depth_before = np.empty_like(depth_after)
+    depth_before[0] = 0
+    depth_before[1:] = depth_after[:-1]
+    keep = (depth_before == 0) & ~is_open & ~(is_close & (depth_before > 0))
+    out = np.where(keep, arr, np.uint32(ord(" ")))
+    return out.tobytes().decode("utf-32-le")
+
+
+def strip_html_array(texts: pa.Array) -> pa.Array:
+    """Batch wrapper: skipped entirely for chunks without any '<'."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    has_tag = pc.match_substring(pc.fill_null(texts, ""), "<")
+    if not pc.any(has_tag).as_py():
+        return texts
+    vals = texts.to_pylist()
+    return pa.array(
+        [None if v is None else strip_html(v) for v in vals], pa.string()
+    )
+
+
 class TokenizedBatch:
     """Exploded token arrays for one batch of documents.
 
@@ -74,6 +113,10 @@ def split_tokens_arrow(texts: pa.Array, cfg: IndexConfig):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
     clipped = pc.utf8_slice_codeunits(texts, 0, cfg.max_text_len)
+    if cfg.strip_html:
+        # truncate-then-strip, the reference's order
+        # (split_page_locs, Indexer.java:133-138)
+        clipped = strip_html_array(clipped)
     lowered = pc.utf8_lower(clipped)
     token_lists = pc.split_pattern_regex(lowered, _SPLIT_PATTERN)
 

@@ -1,0 +1,167 @@
+"""HTTP query serving — the network-facing tier.
+
+Parity with the reference's routed webserver endpoint
+(`/root/reference/src/cis5550/jobs/Search.java:198` ``GET /search`` →
+JSON with CORS headers, results materialized per hit from the KVS,
+`Search.java:330-345`), rebuilt on the Ray serving stack: the route
+handler fans the query out through a ``DocShardedSearcher`` (actors
+hold the index shards; per-query network is O(k)) and materializes
+snippets with row-group-pruned parquet point reads — no O(N) doc
+table lives in the web tier.
+
+Stdlib ``ThreadingHTTPServer`` only (no external framework in this
+container); at cluster scale the same handler body drops into any
+HTTP front end (e.g. Ray Serve) unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .config import DEFAULT_TOP_K
+
+
+class DocStore:
+    """doc_id -> (conv_id, turn_idx, snippet) via parquet point reads.
+
+    Keeps only (file, min_doc, max_doc) ranges in memory; each lookup
+    reads just the row groups whose doc_id statistics overlap the
+    requested ids (``filters=`` push-down), so web-tier memory is
+    independent of corpus size."""
+
+    def __init__(self, index_dir: str, snippet_len: int = 160):
+        self.snippet_len = snippet_len
+        self.ranges: list[tuple[int, int, str]] = []
+        for f in sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))):
+            md = pq.read_metadata(f)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for c in range(row_group.num_columns):
+                    col = row_group.column(c)
+                    if col.path_in_schema == "doc_id" and col.statistics and col.statistics.has_min_max:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is None:
+                t = pq.read_table(f, columns=["doc_id"])
+                if t.num_rows == 0:
+                    continue
+                ids = t["doc_id"].to_numpy()
+                lo, hi = int(ids.min()), int(ids.max())
+            self.ranges.append((int(lo), int(hi), f))
+        self.ranges.sort()
+
+    def lookup(self, doc_ids: np.ndarray) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        want = np.sort(np.asarray(doc_ids, dtype=np.int64))
+        for lo, hi, f in self.ranges:
+            sel = want[(want >= lo) & (want <= hi)]
+            if sel.size == 0:
+                continue
+            t = pq.read_table(
+                f,
+                columns=["doc_id", "conv_id", "turn_idx", "text"],
+                filters=[("doc_id", "in", sel.tolist())],
+            )
+            for i in range(t.num_rows):
+                did = int(t["doc_id"][i].as_py())
+                out[did] = {
+                    "conv_id": t["conv_id"][i].as_py(),
+                    "turn_idx": int(t["turn_idx"][i].as_py()),
+                    "snippet": (t["text"][i].as_py() or "")[: self.snippet_len],
+                }
+        return out
+
+
+class SearchServer:
+    """``GET /search?query=...&k=...&mode=AND|OR`` -> JSON
+    ``{"query": ..., "results": [{rank, doc_id, score, conv_id,
+    turn_idx, snippet}, ...]}``; ``GET /healthz`` -> ok."""
+
+    def __init__(self, index_dir: str, searcher=None, port: int = 0):
+        if searcher is None:
+            from .pipelines.search import DocShardedSearcher
+
+            searcher = DocShardedSearcher(index_dir)
+        self.searcher = searcher
+        self.docs = DocStore(index_dir)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                # CORS parity with the reference route (Search.java:201-202)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Credentials", "true")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/healthz":
+                    self._json(200, {"ok": True})
+                    return
+                if u.path != "/search":
+                    self._json(404, {"error": "unknown route"})
+                    return
+                qs = parse_qs(u.query)
+                query = (qs.get("query") or [""])[0]
+                if not query:
+                    self._json(400, {"error": "missing query parameter"})
+                    return
+                k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
+                mode = (qs.get("mode") or ["OR"])[0].upper()
+                ids, scores = outer.searcher.search(query, k=k, mode=mode)
+                meta = outer.docs.lookup(ids)
+                results = [
+                    {
+                        "rank": r + 1,
+                        "doc_id": int(d),
+                        "score": float(s),
+                        **meta.get(int(d), {}),
+                    }
+                    for r, (d, s) in enumerate(zip(ids, scores))
+                ]
+                self._json(200, {"query": query, "results": results})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(index_dir: str, port: int = 8080, n_shards: int = 4):
+    """Blocking entry point: build the sharded searcher and serve."""
+    from .pipelines.search import DocShardedSearcher
+
+    srv = SearchServer(index_dir, DocShardedSearcher(index_dir, n_shards), port)
+    print(f"serving index {index_dir} on http://127.0.0.1:{srv.port}/search")
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()

@@ -119,3 +119,42 @@ def test_doc_sharded_matches_local(index_dir):
             assert ids_l.tolist() == ids_s.tolist(), (q, mode)
             if len(sc_l):
                 assert np.abs(sc_l - sc_s).max() < 1e-12, (q, mode)
+
+
+def test_http_search_endpoint(index_dir):
+    """GET /search returns the same top-k as LocalIndex, with snippets
+    (reference parity: Search.java:198's routed JSON endpoint)."""
+    import json as json_
+    import urllib.request
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    local = LocalIndex(index_dir)
+    srv = SearchServer(index_dir, DocShardedSearcher(index_dir, n_shards=2)).start()
+    try:
+        for q in ["hash join", "the of and", "running caresses"]:
+            url = f"http://127.0.0.1:{srv.port}/search?query={q.replace(' ', '+')}&k=10&mode=OR"
+            with urllib.request.urlopen(url) as resp:
+                assert resp.status == 200
+                assert resp.headers["Access-Control-Allow-Origin"] == "*"
+                payload = json_.loads(resp.read())
+            ids, scores = local.search(q, k=10, mode="OR")
+            got_ids = [r["doc_id"] for r in payload["results"]]
+            got_scores = [r["score"] for r in payload["results"]]
+            assert got_ids == ids.tolist()
+            assert np.allclose(got_scores, scores)
+            for r in payload["results"]:
+                assert "snippet" in r and "conv_id" in r and "turn_idx" in r
+                assert r["rank"] >= 1
+        # error + health routes
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/healthz") as resp:
+            assert json_.loads(resp.read()) == {"ok": True}
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/search")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
