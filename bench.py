@@ -75,6 +75,34 @@ def ensure_corpus(sf: float, scale: int = 1) -> tuple[str, int]:
     return out, turns
 
 
+def _burn(k: int) -> float:
+    t0 = time.monotonic()
+    x = 0
+    for i in range(k):
+        x += i * i
+    return time.monotonic() - t0
+
+
+def host_calibration(procs: int = 32, n: int = 3_000_000) -> dict:
+    """~2s pure-Python CPU burn (no Ray): single-core time + aggregate
+    multiple at ``procs`` processes. This VM's effective capacity swings
+    with hypervisor steal (measured 25.1x at round-1 calibration vs
+    9.2x under heavy steal), so every bench payload carries the
+    capacity it ran under — absolute numbers across rounds must be
+    normalized by this, and the scaling pair is only meaningful when
+    both levels sit inside the linear region."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    _burn(n)
+    one = time.monotonic() - t0
+    t0 = time.monotonic()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn, [n] * procs)
+    agg = procs * one / (time.monotonic() - t0)
+    return {"one_core_s": round(one, 3), f"agg{procs}_x": round(agg, 1)}
+
+
 def _warm_workers():
     """Force Ray worker-process startup + package import before timing —
     steady-state throughput is the metric; one-time cluster warmup is
@@ -155,7 +183,68 @@ def bench_gate_ops(sf_dir: str) -> dict:
     return out
 
 
-def run_main(sf_dir: str, num_cpus: int) -> None:
+def bench_big(num_cpus: int) -> dict:
+    """2.4M-turn section (same corpus the scaling bench uses): fresh
+    full build throughput + doc-sharded serving p95 at 20x the default
+    size — catches regressions that only show at depth (BASELINE.md
+    previously carried these numbers out-of-band)."""
+    import numpy as np
+
+    from search_engine_ray.corpus import make_queries
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    corpus_dir, turns = ensure_corpus(0.1, scale=20)
+    tag = f"big-{turns}"
+    build_s = bench_build(corpus_dir, tag)
+    idx = os.path.join(BENCH_ROOT, f"idx-{tag}")
+    qdf = make_queries(N_QUERIES)
+    searcher = DocShardedSearcher(idx, n_shards=8)
+    for q, k in zip(qdf["query"], qdf["k"]):
+        searcher.search(q, int(k), mode="OR")  # warm pass
+    lat = []
+    for q, k in zip(qdf["query"], qdf["k"]):
+        t0 = time.monotonic()
+        searcher.search(q, int(k), mode="OR")
+        lat.append(time.monotonic() - t0)
+    return {
+        "turns": turns,
+        "build_sec": round(build_s, 3),
+        "turns_per_sec": round(turns / build_s, 1),
+        "serving_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+        "serving_mean_ms": round(float(np.mean(lat)) * 1000, 2),
+    }
+
+
+def scaling_small(pair: str = "4,16") -> dict:
+    """One-rep 4->16 CPU pair on the default (120k-turn) corpus, in
+    fresh child processes — a cheap per-round regression signal for the
+    scaling criterion. The authoritative 2.4M-turn pair (min of 2 reps)
+    stays in `bench.py --scaling` / BASELINE.md; the small corpus is
+    fixed-cost-heavier, so this efficiency reads a little lower."""
+    corpus_dir, turns = ensure_corpus(0.1)
+    cpus_lo, cpus_hi = (int(x) for x in pair.split(","))
+    secs = {}
+    for n in (cpus_lo, cpus_hi):
+        out = os.path.join(BENCH_ROOT, f"scale-small-{n}.json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--corpus", corpus_dir, "--cpus", str(n), "--out", out,
+             "--reps", "1"],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            secs[n] = json.load(f)["seconds"]
+    eff = (secs[cpus_lo] / secs[cpus_hi]) / (cpus_hi / cpus_lo)
+    return {
+        "pair": [cpus_lo, cpus_hi],
+        "turns": turns,
+        "seconds": {str(n): round(s, 3) for n, s in secs.items()},
+        "efficiency": round(eff, 3),
+    }
+
+
+def run_main(sf_dir: str, num_cpus: int, fast: bool = False) -> None:
     ray = _quiet_ray(num_cpus)
     sf = _sf_of(sf_dir)
     corpus_dir, turns = ensure_corpus(sf)
@@ -166,9 +255,14 @@ def run_main(sf_dir: str, num_cpus: int) -> None:
     queries["index_build"] = round(build_s, 3)
     queries.update(bench_queries(tag))
     queries.update(bench_gate_ops(sf_dir))
+    big = None if fast else bench_big(num_cpus)
+    ray.shutdown()
+    scaling = None if fast else scaling_small()
 
+    # "value" stays the small-section total (comparable across rounds);
+    # the deep sections ride alongside without inflating it
     total = sum(v for k, v in queries.items() if not k.endswith("_ms"))
-    print(json.dumps({
+    payload = {
         "metric": "index-build + BM25 query over transcript corpus",
         "value": round(total, 3),
         "unit": "sec",
@@ -178,11 +272,17 @@ def run_main(sf_dir: str, num_cpus: int) -> None:
         "turns": turns,
         "turns_per_sec": round(turns / build_s, 1),
         "query_p95_ms": queries["query_p95_ms"],
-    }))
-    ray.shutdown()
+    }
+    if big is not None:
+        payload["big_2p4m"] = big
+    if scaling is not None:
+        payload["scaling_small"] = scaling
+    payload["host_calibration"] = host_calibration()
+    print(json.dumps(payload))
 
 
 def run_child(corpus_dir: str, num_cpus: int, out_path: str, reps: int = 2) -> None:
+    """Child process: fresh Ray at num_cpus, min-of-reps build time."""
     ray = _quiet_ray(num_cpus)
     tag = f"scale-{num_cpus}"
     secs = min(bench_build(corpus_dir, f"{tag}-{r}") for r in range(reps))
@@ -228,6 +328,7 @@ def run_scaling(sf_dir: str, pair: str) -> None:
         "turns": turns,
         "throughput_turns_per_sec": {str(n): round(t, 1) for n, t in thr.items()},
         "scaling_efficiency": round(eff, 3),
+        "host_calibration": host_calibration(),
     }))
 
 
@@ -239,17 +340,20 @@ def main():
     p.add_argument("--child", action="store_true")
     p.add_argument("--corpus")
     p.add_argument("--out")
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--fast", action="store_true",
+                   help="skip the 2.4M-turn and small-scaling sections")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     a = p.parse_args()
     os.makedirs(BENCH_ROOT, exist_ok=True)
     if a.child:
-        run_child(a.corpus, a.cpus, a.out)
+        run_child(a.corpus, a.cpus, a.out, a.reps)
     elif a.scaling:
         run_scaling(a.sf_dir, a.pair)
     else:
-        run_main(a.sf_dir, a.cpus)
+        run_main(a.sf_dir, a.cpus, a.fast)
 
 
 if __name__ == "__main__":

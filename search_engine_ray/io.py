@@ -25,7 +25,10 @@ def _first_file(path) -> str:
     if isinstance(path, (list, tuple)):
         return _first_file(path[0])
     if os.path.isdir(path):
-        hits = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        hits = sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            or _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if hits:
             return hits[0]
     return path

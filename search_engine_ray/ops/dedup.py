@@ -199,37 +199,11 @@ def _band_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _jaccard_join(cand, shingles, threshold: float):
-    """Distributed exact-Jaccard verify: join candidate pairs against
-    per-doc shingle-set sizes and against the shingle rows themselves —
-    intersection counts come from a (sh-keyed) self-join shuffle, never
-    from a driver-side map. Returns (doc_a, doc_b, inter, jaccard).
-
-    ``shingles`` and ``cand`` are consumed by multiple joins, so both
-    are materialized (object-store blocks, spillable) — without this,
-    Ray re-executes the whole upstream lineage once per consumer and
-    the nested shuffle pools starve each other."""
-    from ray.data.aggregate import Count
-
-    shingles = shingles.materialize()
-    cand = cand.materialize()
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
-    # intersection per candidate pair: re-key both sides by shingle
-    a_side = cand.join(
-        shingles, join_type="inner", num_partitions=_npart(),
-        on=("doc_a",), right_on=("doc_id",),
-    )
-    both = a_side.join(
-        shingles.map_batches(
-            lambda t: pa.table({"doc_b_": t["doc_id"], "sh_b": t["sh"]}),
-            batch_format="pyarrow",
-        ),
-        join_type="inner", num_partitions=_npart(),
-        on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
-    )
-    inter = (
-        both.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
-    )
+def _sizes_and_threshold(inter, sizes, threshold: float):
+    """Shared verify tail: join per-pair intersection counts with the
+    two per-doc set sizes (both datasets, never driver state) and
+    threshold the Jaccard inside map_batches. Returns
+    (doc_a, doc_b, inter, jaccard)."""
     with_a = inter.join(
         sizes, join_type="inner", num_partitions=_npart(),
         on=("doc_a",), right_on=("doc_id",),
@@ -260,6 +234,42 @@ def _jaccard_join(cand, shingles, threshold: float):
     return with_b.map_batches(finish, batch_format="pyarrow")
 
 
+def _jaccard_join(cand, shingles, threshold: float):
+    """Distributed exact-Jaccard verify for EXTERNAL candidate pairs
+    (LSH banding): join candidates against the shingle rows twice —
+    intersection counts come from a (sh-keyed) join shuffle, never from
+    a driver-side map. Returns (doc_a, doc_b, inter, jaccard).
+
+    ``shingles`` and ``cand`` are consumed by multiple joins, so both
+    are materialized (object-store blocks, spillable) — without this,
+    Ray re-executes the whole upstream lineage once per consumer and
+    the nested shuffle pools starve each other."""
+    from ray.data.dataset import MaterializedDataset
+    from ray.data.aggregate import Count
+
+    if not isinstance(shingles, MaterializedDataset):
+        shingles = shingles.materialize()
+    cand = cand.materialize()
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
+    # intersection per candidate pair: re-key both sides by shingle
+    a_side = cand.join(
+        shingles, join_type="inner", num_partitions=_npart(),
+        on=("doc_a",), right_on=("doc_id",),
+    )
+    both = a_side.join(
+        shingles.map_batches(
+            lambda t: pa.table({"doc_b_": t["doc_id"], "sh_b": t["sh"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=_npart(),
+        on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
+    )
+    inter = (
+        both.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    )
+    return _sizes_and_threshold(inter, sizes, threshold)
+
+
 def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     """shingle-hash -> 64-perm MinHash -> 16x4 band buckets (groupby
     shuffle) -> candidate pairs -> DISTRIBUTED exact-Jaccard verify
@@ -275,12 +285,15 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by banding AND the verify joins
+    from ray.data.aggregate import Count
+
     cand = (
         shingles.map_batches(_band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="_nb"))  # native dedup of pair rows
+        .drop_columns(["_nb"])
     )
     return _jaccard_join(cand, shingles, jaccard_threshold).drop_columns(["inter"])
 
@@ -330,15 +343,21 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
         lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
         batch_format="pyarrow",
     )
-    shingles = shingles.join(cold, join_type="inner", num_partitions=_npart(), on=("sh",))
+    shingles = shingles.join(
+        cold, join_type="inner", num_partitions=_npart(), on=("sh",)
+    ).materialize()  # consumed by sizes AND pair generation
 
-    cand = (
+    # pairs come one-per-shared-shingle, so counting pair rows IS the
+    # intersection size — no second shingle join needed here (unlike the
+    # LSH path, whose candidates arrive without multiplicity)
+    inter = (
         shingles.groupby("sh")
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="inter"))
     )
-    return _jaccard_join(cand, shingles, threshold)
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
+    return _sizes_and_threshold(inter, sizes, threshold)
 
 
 SQL_NGRAM_JACCARD = f"""

@@ -215,6 +215,7 @@ def evaluate_queries(
         fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
         batch_format="pyarrow",
         concurrency=concurrency,
+        max_restarts=0,
     )
 
 
