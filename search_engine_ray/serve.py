@@ -85,15 +85,23 @@ class DocStore:
 class SearchServer:
     """``GET /search?query=...&k=...&mode=AND|OR`` -> JSON
     ``{"query": ..., "results": [{rank, doc_id, score, conv_id,
-    turn_idx, snippet}, ...]}``; ``GET /healthz`` -> ok."""
+    turn_idx, snippet}, ...]}`` (plus ``"spellcheck": [...]`` when the
+    query was corrected, mirroring the reference response shape,
+    `Search.java:340-341`); ``GET /healthz`` -> ok."""
 
-    def __init__(self, index_dir: str, searcher=None, port: int = 0):
+    def __init__(self, index_dir: str, searcher=None, port: int = 0,
+                 spellcheck: bool = True):
         if searcher is None:
             from .pipelines.search import DocShardedSearcher
 
             searcher = DocShardedSearcher(index_dir)
         self.searcher = searcher
         self.docs = DocStore(index_dir)
+        self.speller = None
+        if spellcheck:
+            from .functions.spellcheck import SpellChecker
+
+            self.speller = SpellChecker.from_index(index_dir)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -126,7 +134,15 @@ class SearchServer:
                     return
                 k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
                 mode = (qs.get("mode") or ["OR"])[0].upper()
-                ids, scores = outer.searcher.search(query, k=k, mode=mode)
+                corrected = None
+                run_query = query
+                if outer.speller is not None:
+                    words = query.split()
+                    fixed, changed = outer.speller.correct_query(words)
+                    if changed:
+                        corrected = fixed
+                        run_query = " ".join(fixed)
+                ids, scores = outer.searcher.search(run_query, k=k, mode=mode)
                 meta = outer.docs.lookup(ids)
                 results = [
                     {
@@ -137,7 +153,12 @@ class SearchServer:
                     }
                     for r, (d, s) in enumerate(zip(ids, scores))
                 ]
-                self._json(200, {"query": query, "results": results})
+                payload = {"query": query, "results": results}
+                if corrected is not None:
+                    # reference parity: corrected words echoed only when
+                    # they differ from the query (Search.java:340-341)
+                    payload["spellcheck"] = corrected
+                self._json(200, payload)
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.httpd.server_address[1]
