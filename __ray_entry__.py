@@ -22,6 +22,7 @@ from search_engine_ray.ops import knn
 from search_engine_ray.ops import search_ops
 from search_engine_ray.ops import graph
 from search_engine_ray.ops import multimodal
+from search_engine_ray.ops import prepare
 
 
 def entry() -> Any:
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(search_ops.RAY_QUERIES)
     out.update(graph.RAY_QUERIES)
     out.update(multimodal.RAY_QUERIES)
+    out.update(prepare.RAY_QUERIES)
     return out
 
 
@@ -52,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_ops.ORACLE_SQL)
     out.update(graph.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    out.update(prepare.ORACLE_SQL)
     return out

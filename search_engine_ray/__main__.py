@@ -40,7 +40,12 @@ def cmd_build(a) -> int:
     from .pipelines.build_index import build_index
 
     cfg = IndexConfig(stemming=not a.no_stemming, positions=not a.no_positions)
-    meta = build_index(a.source, a.index, cfg, n_partitions=a.partitions)
+    source = a.source
+    if a.format and a.format != "parquet":
+        from .sources.transcripts import read_transcripts
+
+        source = read_transcripts(a.source, format=a.format)
+    meta = build_index(source, a.index, cfg, n_partitions=a.partitions)
     print(json.dumps(meta, indent=1))
     return 0
 
@@ -96,6 +101,8 @@ def main(argv=None) -> int:
     b.add_argument("-p", "--partitions", type=int, default=8)
     b.add_argument("--no-stemming", action="store_true")
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                   help="transcript source format (default: parquet)")
     b.set_defaults(fn=cmd_build)
 
     e = sub.add_parser("extend", help="append new turns to an existing index")

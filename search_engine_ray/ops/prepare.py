@@ -1,0 +1,124 @@
+"""End-to-end corpus preparation — the composed cleanup pass a
+training-data pipeline runs before indexing/training.
+
+Chains the individually-gated operators into one streaming pipeline
+over ``documents``:
+
+1. language filter (keep ``lang = 'en'``) — `text_ops.english_filter`'s
+   predicate;
+2. quality gate (alpha_ratio >= 0.5, n_tokens >= 5) —
+   `text_ops.text_quality`'s features;
+3. exact dedup: keep the smallest doc_id per identical text;
+4. near-dup removal: drop the ``doc_b`` side of every verified
+   MinHash-LSH pair (Jaccard >= 0.5) — `dedup.dedup_minhash_lsh`.
+
+Everything stays a Dataset end-to-end (filters inside map_batches,
+dedups via groupby / the distributed LSH verify); the only driver-side
+object is the final surviving (doc_id) table the gate compares. The
+oracle reproduces the identical chain in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..io import read_parquet_clean
+
+from ..config import IndexConfig
+from ..functions.analysis import split_tokens_arrow
+from .dedup import _SQL_SHINGLES, dedup_minhash_lsh
+
+_CFG = IndexConfig(stemming=False)
+
+_MIN_ALPHA = 0.5
+_MIN_TOKENS = 5
+
+
+def prepare_corpus(sf_dir: str):
+    """Returns the surviving (doc_id) rows after the full cleanup
+    chain, ascending."""
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        *_, doclens = split_tokens_arrow(text, _CFG)
+        ok = (
+            (alpha / np.maximum(n_chars, 1) >= _MIN_ALPHA)
+            & (doclens.astype(np.int64) >= _MIN_TOKENS)
+        )
+        return t.filter(pa.array(ok))
+
+    from ray.data.aggregate import Min
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    clean = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).drop_columns(["lang"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(keep_quality, batch_format="pyarrow")
+    )
+    # exact dedup: smallest doc_id per identical text
+    exact = clean.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+    # near-dup removal: the verified LSH pair set over the FULL corpus
+    # (pairs are computed corpus-wide; a pair whose doc_a was itself
+    # dropped earlier still votes out its doc_b — the conservative
+    # "drop every later near-copy" policy, mirrored in SQL)
+    drop = dedup_minhash_lsh(sf_dir).map_batches(
+        lambda t: pa.table({"doc_b": t["doc_b"]}), batch_format="pyarrow"
+    ).materialize()
+    drop_ids = pa.array(
+        sorted({r["doc_b"] for r in drop.take_all()}), pa.int64()
+    )  # near-dup victims are a tiny fraction; broadcast as a filter set
+
+    def not_dropped(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t["doc_id"], value_set=drop_ids))
+        return pa.table({"doc_id": t.filter(keep)["doc_id"]})
+
+    return (
+        exact.map_batches(not_dropped, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_PREPARE_CORPUS = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+neardups AS (
+    SELECT DISTINCT i.doc_b
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5
+),
+quality AS (
+    SELECT doc_id, text FROM documents
+    WHERE lang = 'en'
+      AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+          / greatest(length(text), 1) >= {_MIN_ALPHA}
+      AND len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                          x -> x <> '')) >= {_MIN_TOKENS}
+),
+exact AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text)
+SELECT doc_id FROM exact
+WHERE doc_id NOT IN (SELECT doc_b FROM neardups)
+ORDER BY doc_id
+"""
+
+
+RAY_QUERIES = {"prepare_corpus": prepare_corpus}
+ORACLE_SQL = {"prepare_corpus": SQL_PREPARE_CORPUS}

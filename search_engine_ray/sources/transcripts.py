@@ -1,0 +1,83 @@
+"""Transcript ingestion from parquet / JSONL / CSV.
+
+The reference ingests from its KVS tables (range-partitioned scan) and
+raw HTTP fetches; the rebuild's canonical source is Parquet
+(``io.read_parquet_clean``), and this module widens ingestion to the
+other formats transcript dumps actually arrive in — newline-delimited
+JSON and CSV — normalizing every source to the ``input_hint`` schema::
+
+    conv_id: string, turn_idx: int32, role: string,
+    text: string, tool: string, ts: timestamp[us]
+
+All readers are Ray Data native (streaming, no driver materialize);
+the coercion runs as a vectorized ``map_batches``. ``build_index``
+accepts the returned Dataset directly.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..io import read_parquet_clean
+
+SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _coerce(t: pa.Table) -> pa.Table:
+    cols = {}
+    for field in SCHEMA:
+        if field.name not in t.column_names:
+            raise ValueError(f"transcript source missing column {field.name!r}")
+        col = t[field.name]
+        if pa.types.is_timestamp(field.type) and (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
+            col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        cols[field.name] = pc.cast(col, field.type)
+    return pa.table(cols)
+
+
+def _detect(path: str) -> str:
+    p = path
+    if os.path.isdir(path):
+        hits = sorted(_glob.glob(os.path.join(path, "*")))
+        files = [h for h in hits if os.path.isfile(h) and not h.endswith("_DONE")]
+        if not files:
+            raise ValueError(f"no files under {path}")
+        p = files[0]
+    ext = os.path.splitext(p)[1].lower()
+    return {
+        ".parquet": "parquet",
+        ".json": "jsonl", ".jsonl": "jsonl",
+        ".csv": "csv",
+    }.get(ext, "parquet")
+
+
+def read_transcripts(path, format: str | None = None) -> "ray.data.Dataset":
+    """Streaming Dataset of transcript turns in the canonical schema.
+    ``format``: 'parquet' | 'jsonl' | 'csv'; auto-detected from the
+    file extension when omitted."""
+    fmt = format or _detect(path if isinstance(path, str) else path[0])
+    if fmt == "parquet":
+        ds = read_parquet_clean(path)
+    elif fmt == "jsonl":
+        ds = ray.data.read_json(path)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path)
+    else:
+        raise ValueError(f"unknown transcript format {fmt!r}")
+    return ds.map_batches(_coerce, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Multi-format transcript ingestion: jsonl/csv sources produce an
+index logically identical to the parquet build."""
+
+import csv
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.corpus import write_transcripts
+from search_engine_ray.pipelines.build_index import build_index
+from search_engine_ray.sources.transcripts import read_transcripts
+from search_engine_ray.stages.query import LocalIndex, load_logical_postings
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sources")
+    pdir = root / "parquet"
+    write_transcripts(str(pdir), n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    rows = []
+    for f in sorted(pdir.glob("*.parquet")):
+        t = pq.read_table(f)
+        for i in range(t.num_rows):
+            r = {c: t[c][i].as_py() for c in t.column_names}
+            r["ts"] = r["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            rows.append(r)
+    jdir = root / "jsonl"
+    jdir.mkdir()
+    with open(jdir / "part-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cdir = root / "csv"
+    cdir.mkdir()
+    with open(cdir / "part-0.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    return root
+
+
+def _build(src_ds_or_path, out):
+    build_index(src_ds_or_path, str(out), IndexConfig(doc_bucket_size=512), n_partitions=1)
+    return str(out)
+
+
+def test_jsonl_and_csv_match_parquet(corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("idx")
+    base = _build(str(corpus / "parquet"), out / "parquet")
+    want = load_logical_postings(base)
+    for fmt in ("jsonl", "csv"):
+        ds = read_transcripts(str(corpus / fmt))
+        assert ds.count() == 200
+        idx = _build(ds, out / fmt)
+        got = load_logical_postings(idx)
+        assert set(got) == set(want), fmt
+        for term in want:
+            assert got[term][0].tolist() == want[term][0].tolist(), (fmt, term)
+            assert got[term][1].tolist() == want[term][1].tolist(), (fmt, term)
+        li = LocalIndex(idx)
+        ids, scores = li.search("hash join", k=10, mode="OR")
+        base_ids, base_scores = LocalIndex(base).search("hash join", k=10, mode="OR")
+        assert ids.tolist() == base_ids.tolist()
+
+
+def test_missing_column_raises(corpus, ray_session):
+    import pyarrow as pa
+    from search_engine_ray.sources.transcripts import _coerce
+
+    with pytest.raises(ValueError, match="missing column"):
+        _coerce(pa.table({"conv_id": pa.array(["a"], pa.string())}))
