@@ -131,7 +131,8 @@ def _shingle_batch(t: pa.Table, hashed: bool) -> pa.Table:
                                dtype=object)))
     if not parts:
         empty_sh = (pa.array([], pa.int64()) if hashed else pa.array([], pa.string()))
-        return pa.table({"doc_id": pa.array([], pa.int64()), "sh": empty_sh})
+        return pa.table({"doc_id": pa.array([], pa.int64()), "sh": empty_sh,
+                         "n_sh": pa.array([], pa.int64())})
     own = np.concatenate([p[0] for p in parts])
     sh_all = np.concatenate([p[1] for p in parts])
     # distinct (doc, shingle): lexsort + drop consecutive dups (vectorized)
@@ -143,7 +144,12 @@ def _shingle_batch(t: pa.Table, hashed: bool) -> pa.Table:
     own, sh_all, h_all = own[first], sh_all[first], h_all[first]
     sh_col = (pa.array(h_all, pa.int64()) if hashed
               else pa.array(sh_all, pa.string()))
-    return pa.table({"doc_id": pa.array(doc_ids[own], pa.int64()), "sh": sh_col})
+    # per-doc distinct-shingle count, attached to every row: a doc's
+    # shingles all come from THIS call, so set sizes need no shuffle
+    # (the ngram path recomputes sizes post-df-cap instead)
+    n_per_doc = np.bincount(own, minlength=len(doc_ids))
+    return pa.table({"doc_id": pa.array(doc_ids[own], pa.int64()), "sh": sh_col,
+                     "n_sh": pa.array(n_per_doc[own], pa.int64())})
 
 
 def _pairs_of_group(group: pa.Table, cap: int | None = None) -> pa.Table:
@@ -236,38 +242,63 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
 
 def _jaccard_join(cand, shingles, threshold: float):
     """Distributed exact-Jaccard verify for EXTERNAL candidate pairs
-    (LSH banding): join candidates against the shingle rows twice —
-    intersection counts come from a (sh-keyed) join shuffle, never from
-    a driver-side map. Returns (doc_a, doc_b, inter, jaccard).
+    (LSH banding): join candidates against the (doc_id, sh, n_sh)
+    shingle rows twice — intersection counts AND both set sizes fall
+    out of one (doc_a, doc_b) groupby over the joined rows (sizes ride
+    on every shingle row, computed shuffle-free in the shingle map), so
+    no size join and no driver-side state. Returns
+    (doc_a, doc_b, inter, jaccard).
 
     ``shingles`` and ``cand`` are consumed by multiple joins, so both
     are materialized (object-store blocks, spillable) — without this,
     Ray re-executes the whole upstream lineage once per consumer and
     the nested shuffle pools starve each other."""
     from ray.data.dataset import MaterializedDataset
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
     if not isinstance(shingles, MaterializedDataset):
         shingles = shingles.materialize()
     cand = cand.materialize()
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(
         shingles, join_type="inner", num_partitions=_npart(),
         on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            "sh": t["sh"], "n_a": t["n_sh"]}),
+        batch_format="pyarrow",
     )
     both = a_side.join(
         shingles.map_batches(
-            lambda t: pa.table({"doc_b_": t["doc_id"], "sh_b": t["sh"]}),
+            lambda t: pa.table({"doc_b_": t["doc_id"], "sh_b": t["sh"],
+                                "n_b": t["n_sh"]}),
             batch_format="pyarrow",
         ),
         join_type="inner", num_partitions=_npart(),
         on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
     )
-    inter = (
-        both.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    inter = both.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter"),
+        Min("n_a", alias_name="n_a"),   # constant per doc; Min just picks it
+        Min("n_b", alias_name="n_b"),
     )
-    return _sizes_and_threshold(inter, sizes, threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_n = t["inter"].to_numpy().astype(np.int64)
+        union = (t["n_a"].to_numpy().astype(np.int64)
+                 + t["n_b"].to_numpy().astype(np.int64) - inter_n)
+        j = np.round(inter_n / union, 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy()[keep], pa.int64()),
+                "inter": pa.array(inter_n[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
