@@ -407,6 +407,56 @@ GROUP BY 1, 2
 """
 
 
+# ---- sliding-window aggregate: each event lands in every window
+#      covering it (flat_map to window starts -> groupby) — the
+#      overlapping-window sibling of events_window's tumbling variant;
+#      window 3h sliding by 1h ----
+
+_SLIDE_HOURS = 3
+
+
+def events_window_sliding(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        h = hour.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        n = len(h)
+        # event at hour H belongs to windows starting H-2..H (3h span)
+        starts = (
+            np.repeat(h, _SLIDE_HOURS)
+            - np.tile(
+                (np.arange(_SLIDE_HOURS) * np.timedelta64(1, "h")).astype("timedelta64[us]"),
+                n,
+            )
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.timestamp("us")),
+                "value_cents": pa.array(
+                    np.repeat(_cents(t["value"]).to_numpy(), _SLIDE_HOURS), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum, Count
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_WINDOW_SLIDING = f"""
+SELECT date_trunc('hour', ts) - INTERVAL (o.o) HOUR AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events, (SELECT unnest(range({_SLIDE_HOURS})) AS o) o
+GROUP BY 1
+"""
+
+
 # ---- flatMap() (FlameRDD.flatMap, flame/Worker.java:45-81):
 #      one row -> many rows; token counts over part names ----
 
@@ -669,6 +719,7 @@ RAY_QUERIES = {
     "flame_take": flame_take,
     "flame_map_partitions": flame_map_partitions,
     "events_window": events_window,
+    "events_window_sliding": events_window_sliding,
     "asof_join": asof_join,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
@@ -692,6 +743,7 @@ ORACLE_SQL = {
     "flame_take": SQL_TAKE,
     "flame_map_partitions": SQL_MAP_PARTITIONS,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "asof_join": SQL_ASOF_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_extract": SQL_EVENTS_JSON,

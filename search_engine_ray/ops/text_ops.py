@@ -238,6 +238,44 @@ FROM documents
 """
 
 
+# ---- BPE-ish token counting (training-data budgeting): GPT-2-style
+#      pretokenizer regex, simplified to RE2 (no lookahead) so Arrow's
+#      count_substring_regex and DuckDB's regexp_extract_all — both
+#      RE2 — count identically ----
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def token_count_bpe(sf_dir: str):
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace-delimited count
+    and the BPE-ish pretokenization count — the two token budgets a
+    training pipeline tracks. Fully vectorized (RE2 kernels)."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, r"\S+"), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ---- English filter (the reference rejects non-English docs by
 #      country/language-code URL tokens, `/root/reference/src/cis5550/
 #      tools/EnglishFilter.java:97-105`; the transcript analog filters
@@ -262,6 +300,7 @@ RAY_QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": fingerprint,
+    "token_count_bpe": token_count_bpe,
     "english_filter": english_filter,
 }
 
@@ -271,5 +310,6 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "english_filter": SQL_ENGLISH_FILTER,
 }
