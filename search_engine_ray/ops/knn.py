@@ -379,6 +379,58 @@ def train_ivf_centroids(
     return centroids
 
 
+def embedding_quantize(sf_dir: str):
+    """Per-vector int8 scalar quantization (min/max affine) — the
+    memory-scale path for ANN: 4x smaller than float32, 8x smaller than
+    float64. Returns (vec_id, qmin, qscale, code_sum) where code_sum is
+    the deterministic checksum of the uint8 codes (the codes themselves
+    are what a real index stores; the scalar triple is what the oracle
+    can hash). Rounding is floor(x + 0.5) on BOTH sides — numpy's
+    half-even and SQL's half-away would disagree on boundary values.
+    Dequantization error/recall is pytest-checked."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        mn = v.min(axis=1)
+        mx = v.max(axis=1)
+        scale = np.maximum(mx - mn, 1e-12) / 255.0
+        codes = np.floor((v - mn[:, None]) / scale[:, None] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
+                "qmin": pa.array(np.round(mn, 6), pa.float64()),
+                "qscale": pa.array(np.round(scale, 6), pa.float64()),
+                "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def dequantize_codes(codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.ndarray:
+    """Inverse of embedding_quantize's code computation."""
+    return codes.astype(np.float64) * qscale[:, None] + qmin[:, None]
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+mm AS (
+    SELECT vec_id, e, list_min(e) AS mn,
+           greatest(list_max(e) - list_min(e), 1e-12) / 255.0 AS sc
+    FROM e
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(round(mn, 6) AS DOUBLE) AS qmin,
+       CAST(round(sc, 6) AS DOUBLE) AS qscale,
+       CAST(list_sum(list_transform(e, x -> CAST(floor((x - mn) / sc + 0.5) AS BIGINT))) AS BIGINT) AS code_sum
+FROM mm
+"""
+
+
 def embedding_norms(sf_dir: str):
     def norms(t: pa.Table) -> pa.Table:
         v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
@@ -405,6 +457,7 @@ RAY_QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "embedding_norms": embedding_norms,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLE_SQL = {
@@ -412,4 +465,5 @@ ORACLE_SQL = {
     "knn_lsh": SQL_KNN_LSH,
     "knn_ivf": SQL_KNN_IVF,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

