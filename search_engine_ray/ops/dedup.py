@@ -527,12 +527,83 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 """
 
 
+# ---- embedding near-dup, LSH-bucketed (the scale path) ----
+
+_EMB_PLANES = 4  # coarse buckets: 2^4 = 16; each bucket all-pairs locally
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
+    """Near-dup pairs via random-hyperplane bucketing: vectors shuffle
+    to their sign-signature bucket (groupby), all-pairs cosine runs
+    only WITHIN a bucket — O(sum b_i^2) instead of O(N^2). Approximate
+    by design (a pair split across buckets is missed; recall rises
+    with fewer planes / multiple tables); the oracle reproduces the
+    identical bucketing, so the gate checks the mechanism exactly."""
+    from .knn import _planes
+
+    planes = _planes(_EMB_PLANES, 64)
+    pref = ray.put(planes)
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        sig = (v @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
+        return t.append_column("sig", pa.array(sig.astype(np.int64), pa.int64()))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy()
+        v = np.stack(g["embedding"].to_pylist()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(vids)
+        vids, v = vids[order], v[order]
+        sims = v @ v.T
+        a, b = np.triu_indices(len(vids), k=1)
+        keep = sims[a, b] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(vids[a[keep]].astype(np.int64), pa.int64()),
+                "vec_b": pa.array(vids[b[keep]].astype(np.int64), pa.int64()),
+                "cosine": pa.array(np.round(sims[a[keep], b[keep]], 6), pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    from .knn import _planes_sql
+
+    return f"""
+WITH {_planes_sql(_EMB_PLANES, 64)},
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, e,
+           CAST(SUM(CASE WHEN list_dot_product(e.e, pl.p) > 0
+                         THEN (1 << pl.i) ELSE 0 END) AS BIGINT) AS s
+    FROM e CROSS JOIN planes pl GROUP BY vec_id, e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
+FROM sig a JOIN sig b ON a.s = b.s AND b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+"""
+
+
 RAY_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLE_SQL = {
@@ -541,4 +612,5 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
 }
