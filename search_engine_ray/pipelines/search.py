@@ -117,10 +117,19 @@ class DocShardActor:
     at cluster scale (the term-sharded path ships posting arrays)."""
 
     def __init__(self, index_dir: str, parts: list[int], global_df: dict):
+        self._args = (index_dir, parts)
         self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
 
     def search(self, query: str, k: int, mode: str):
         return self.index.search(query, k, mode=mode)
+
+    def reload(self, parts: list[int], global_df: dict) -> bool:
+        """Swap in the current on-disk state (after extend_index) —
+        rebuilds the in-memory postings for this shard's partitions."""
+        index_dir, _ = self._args
+        self._args = (index_dir, parts)
+        self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
+        return True
 
     def ping(self) -> bool:
         return True
@@ -133,27 +142,68 @@ class DocShardedSearcher:
     a concatenate + the shared deterministic top-k."""
 
     def __init__(self, index_dir: str, n_shards: int = 4):
-        import glob as glob_
-        import json
+        self.index_dir = index_dir
+        self.n_shards = n_shards
+        self.shards: list = []
+        self._start()
 
-        from ..stages.query import shard_of  # noqa: F401  (term-shard sibling)
+    @staticmethod
+    def _layout(index_dir: str, n_shards: int):
+        import glob as glob_
 
         part_dirs = sorted(glob_.glob(os.path.join(index_dir, "segments", "part=*")))
         part_ids = [int(os.path.basename(d).split("=")[1]) for d in part_dirs]
-        groups = [list(g) for g in np.array_split(part_ids, min(n_shards, max(1, len(part_ids)))) if len(g)]
+        groups = [
+            list(g)
+            for g in np.array_split(part_ids, min(n_shards, max(1, len(part_ids))))
+            if len(g)
+        ]
         dict_t = pq.read_table(
             sorted(glob_.glob(os.path.join(index_dir, "dictionary", "*.parquet"))),
             columns=["term", "df"],
         )
         global_df = dict(zip(dict_t["term"].to_pylist(), dict_t["df"].to_numpy()))
+        return groups, global_df
+
+    def _start(self):
+        import json
+
+        groups, global_df = self._layout(self.index_dir, self.n_shards)
         df_ref = ray.put(global_df)
+        self._groups = groups
         self.shards = [
-            DocShardActor.remote(index_dir, [int(p) for p in g], df_ref) for g in groups
+            DocShardActor.remote(self.index_dir, [int(p) for p in g], df_ref)
+            for g in groups
         ]
         ray.get([s.ping.remote() for s in self.shards])
-        with open(os.path.join(index_dir, "meta.json")) as f:
+        with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.cfg = IndexConfig.from_json(meta["config"])
+
+    def refresh(self) -> bool:
+        """Pick up on-disk changes (extend_index appended partitions /
+        df changed): existing actors reload in place; extra partitions
+        get new actors; the dictionary df broadcast is re-shipped. Old
+        in-memory state serves until each actor's reload returns, so
+        queries never fail during a refresh."""
+        import json
+
+        groups, global_df = self._layout(self.index_dir, self.n_shards)
+        df_ref = ray.put(global_df)
+        calls = []
+        for i, g in enumerate(groups):
+            if i < len(self.shards):
+                calls.append(self.shards[i].reload.remote([int(p) for p in g], df_ref))
+            else:
+                actor = DocShardActor.remote(self.index_dir, [int(p) for p in g], df_ref)
+                self.shards.append(actor)
+                calls.append(actor.ping.remote())
+        self._groups = groups
+        ray.get(calls)
+        with open(os.path.join(self.index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.cfg = IndexConfig.from_json(meta["config"])
+        return True
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR"):
         from ..functions import scoring
@@ -165,6 +215,30 @@ class DocShardedSearcher:
             return ids.astype(np.int64), scores
         idx = scoring.topk_indices(scores, ids, k)
         return ids[idx], scores[idx]
+
+    def search_many(self, queries: list[tuple[str, int]], mode: str = "OR"):
+        """Pipelined multi-query evaluation: ALL (query x shard) calls
+        are launched before any result is gathered, so shard actors
+        work on query i+1 while the driver merges query i — higher
+        throughput than sequential search() at identical results."""
+        from ..functions import scoring
+
+        futures = [
+            [s.search.remote(q, k, mode) for s in self.shards] for q, k in queries
+        ]
+        out = []
+        for (q, k), futs in zip(queries, futures):
+            parts = ray.get(futs)
+            ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+            scores = (
+                np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+            )
+            if ids.size == 0:
+                out.append((ids.astype(np.int64), scores))
+                continue
+            idx = scoring.topk_indices(scores, ids, k)
+            out.append((ids[idx], scores[idx]))
+        return out
 
 
 class QueryEvaluator:

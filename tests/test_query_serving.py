@@ -158,3 +158,59 @@ def test_http_search_endpoint(index_dir):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_search_many_matches_sequential(index_dir):
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    sharded = DocShardedSearcher(index_dir, n_shards=2)
+    queries = [("running meetings", 20), ("the of and", 10), ("caresses ponies", 15)]
+    batch = sharded.search_many(queries, mode="OR")
+    for (q, k), (ids_b, sc_b) in zip(queries, batch):
+        ids_s, sc_s = sharded.search(q, k, mode="OR")
+        assert ids_b.tolist() == ids_s.tolist(), q
+        assert np.allclose(sc_b, sc_s)
+
+
+def test_doc_sharded_refresh_after_extend(ray_session, tmp_path):
+    """build -> serve -> extend -> refresh: the serving tier picks up
+    appended docs without restart and stays rank-identical to a fresh
+    LocalIndex over the extended index."""
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index, extend_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    base = str(tmp_path / "base")
+    write_transcripts(base, n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, IndexConfig(doc_bucket_size=512), n_partitions=2)
+
+    sharded = DocShardedSearcher(idx, n_shards=2)
+    before_ids, _ = sharded.search("hash join", k=30, mode="OR")
+
+    # extension: later conv ids (append-only key order)
+    ext = str(tmp_path / "ext")
+    write_transcripts(ext, n_convs=20, turns_per_conv=5, seed=99, n_files=1)
+    import glob as g
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc_
+    import pyarrow as pa_
+    fixed = str(tmp_path / "ext_fixed")
+    import os as os_
+    os_.makedirs(fixed)
+    for f in sorted(g.glob(ext + "/*.parquet")):
+        t = pq.read_table(f)
+        conv = pc_.replace_substring(t["conv_id"], "conv-000000", "conv-990000")
+        t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv)
+        pq.write_table(t, fixed + "/" + os_.path.basename(f))
+    extend_index(idx, fixed, n_partitions=1)
+
+    assert sharded.refresh()
+    after_ids, after_sc = sharded.search("hash join", k=30, mode="OR")
+    fresh = LocalIndex(idx)
+    want_ids, want_sc = fresh.search("hash join", k=30, mode="OR")
+    assert after_ids.tolist() == want_ids.tolist()
+    assert np.allclose(after_sc, want_sc)
+    # the extension actually changed the result set vs before
+    assert fresh.N > 200
