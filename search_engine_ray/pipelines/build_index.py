@@ -407,10 +407,14 @@ def _finish_build(
     if not is_complete(dict_dir, dict_fp):
         t0 = time.monotonic()
         seg_files = _glob.glob(os.path.join(seg_root, "part=*", "*.parquet"))
-        seg_bytes = sum(os.path.getsize(f) for f in seg_files)
-        if seg_bytes <= 128 * 1024 * 1024:
-            # small index: one driver-side Arrow group_by beats a whole
-            # distributed job (a groupby job's fixed cost is seconds)
+        # decide local-vs-distributed on the bytes of the COLUMNS the
+        # dictionary actually reads (term/df/max_tf) — total file size
+        # is dominated by posting blobs the read prunes away (a 195 MB
+        # segment set carries ~3 MB of term stats; the distributed
+        # groupby's fixed job cost is seconds)
+        stat_bytes = _column_bytes(seg_files, ("term", "df", "max_tf"))
+        if stat_bytes <= 256 * 1024 * 1024:
+            # small term-stats: one driver-side Arrow group_by
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -471,6 +475,23 @@ def _pq_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.read_metadata(path).num_rows
+
+
+def _column_bytes(files: list[str], columns: tuple[str, ...]) -> int:
+    """Total compressed bytes of the given columns across parquet files
+    (footer metadata only — no data read)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for c in range(row_group.num_columns):
+                col = row_group.column(c)
+                if col.path_in_schema in columns:
+                    total += col.total_compressed_size
+    return total
 
 
 def _file_doc_range(path: str) -> tuple[int, int]:
