@@ -72,15 +72,21 @@ class _LRUBytes:
         self.put(key, arr, int(getattr(arr, "nbytes", 64)))
 
 
-# default per-LocalIndex memo budget (scores + decoded postings)
-CACHE_BUDGET_BYTES = 256 << 20
+# default per-LocalIndex memo budget (scores + decoded postings).
+# Sized for a serving actor owning a few GB of heap: hot-term decoded
+# postings are ~24 B/posting and score arrays 8 B/posting, so 1 GB
+# holds the working set of a 50-query reference mix over millions of
+# docs; a too-small budget causes eviction thrash (re-decoding a hot
+# term costs seconds at 10^6 postings).
+CACHE_BUDGET_BYTES = 1 << 30
 
 
 class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_cache", "_key")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_cache", "_key",
+                 "_ub")
 
     def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes,
                  dl_bytes=None, pos_bytes=None):
@@ -96,6 +102,7 @@ class _TermSegments:
         self.pos_bytes = pos_bytes
         self._cache: _LRUBytes | None = None
         self._key = None
+        self._ub: float | None = None
 
     def attach_cache(self, cache: "_LRUBytes", term: str) -> None:
         self._cache = cache
@@ -135,11 +142,14 @@ class _TermSegments:
     def upper_bound(self, N: int, avgdl: float, k1: float, b: float) -> float:
         """Max possible BM25 contribution of this term to any doc —
         block-max metadata (max_tf, min_doclen) per segment, global df
-        for the idf. Used by the MaxScore OR-mode pruning."""
-        return max(
-            scoring.bm25_upper_bound(self.max_tf[i], self.min_doclen[i], N, self.df, avgdl, k1, b)
-            for i in range(len(self.max_tf))
-        )
+        for the idf. Used by the MaxScore OR-mode pruning. Memoized:
+        (N, avgdl, k1, b) are fixed for the life of the index."""
+        if self._ub is None:
+            self._ub = max(
+                scoring.bm25_upper_bound(self.max_tf[i], self.min_doclen[i], N, self.df, avgdl, k1, b)
+                for i in range(len(self.max_tf))
+            )
+        return self._ub
 
     def decode_positions(self):
         """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
@@ -488,20 +498,26 @@ def score_decoded_terms(
                 if score_cache is not None:
                     score_cache[t] = sc
             all_scores.append(sc)
-        ids = np.concatenate(all_ids)
-        sc = np.concatenate(all_scores)
-        if N <= max(1 << 24, 4 * ids.size):
-            # dense accumulation (bincount is fast C); per-query memory
-            # is O(N) so this is the small-shard path — the sorted-merge
-            # path below handles shards too large for a dense vector
-            acc = np.bincount(ids, weights=sc, minlength=N)
-            hits = np.bincount(ids, minlength=N)
-            doc_ids = np.flatnonzero(hits)
-            scores = acc[doc_ids]
+        if len(decoded) == 1:
+            # single-term: the posting list IS the candidate set —
+            # no accumulation pass at all
+            doc_ids, scores = all_ids[0], all_scores[0]
         else:
-            doc_ids, inv = np.unique(ids, return_inverse=True)
-            scores = np.zeros(doc_ids.size, dtype=np.float64)
-            np.add.at(scores, inv, sc)
+            ids = np.concatenate(all_ids)
+            sc = np.concatenate(all_scores)
+            if N <= max(1 << 24, 4 * ids.size):
+                # dense accumulation (bincount is fast C); per-query
+                # memory is O(N) so this is the small-shard path — the
+                # sorted-merge path below handles shards too large for
+                # a dense vector. BM25 term scores are strictly
+                # positive, so nonzero accumulated score == hit.
+                acc = np.bincount(ids, weights=sc, minlength=N)
+                doc_ids = np.flatnonzero(acc)
+                scores = acc[doc_ids]
+            else:
+                doc_ids, inv = np.unique(ids, return_inverse=True)
+                scores = np.zeros(doc_ids.size, dtype=np.float64)
+                np.add.at(scores, inv, sc)
     if stopword_only:
         scores = scores * STOPWORD_PENALTY
     idx = scoring.topk_indices(scores, doc_ids, k)
