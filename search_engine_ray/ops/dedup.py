@@ -527,6 +527,116 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 """
 
 
+# ---- near-dup clusters: connected components over verified pairs ----
+
+def dedup_clusters(sf_dir: str, max_iters: int = 16):
+    """Groups verified near-dup pairs into components: every doc in a
+    pair gets ``cluster_id`` = the smallest doc_id reachable through
+    the pair graph (the canonical representative a pipeline keeps).
+
+    Distributed min-label propagation: labels and (bidirectional)
+    edges are datasets; each round is one join (edge source -> current
+    label), one groupby-min per target, and one label update — no
+    driver-side graph. Near-dup components have tiny diameter, so this
+    converges in a few rounds (checked via a changed-count aggregate,
+    capped at ``max_iters``). The oracle computes the same closure with
+    a recursive CTE."""
+    from ray.data.aggregate import Min, Count
+
+    pairs = dedup_minhash_lsh(sf_dir).drop_columns(["jaccard"]).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([t["doc_b"].to_numpy(), t["doc_a"].to_numpy()]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    labels = (
+        edges.groupby("src").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        .map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # propagate: each node offers its label to every neighbor
+        offered = (
+            edges.join(labels, join_type="inner", num_partitions=_npart(),
+                       on=("src",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"node": t["dst"], "offer": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("offer", alias_name="offer"))
+        )
+        merged = labels.join(
+            offered, join_type="left_outer", num_partitions=_npart(), on=("node",)
+        )
+
+        def take_min(t: pa.Table) -> pa.Table:
+            lab = t["label"].to_numpy()
+            off = pc.fill_null(t["offer"], np.iinfo(np.int64).max).to_numpy()
+            new = np.minimum(lab, off)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "label": pa.array(new, pa.int64()),
+                    "changed": pa.array((new != lab).astype(np.int64), pa.int64()),
+                }
+            )
+
+        updated = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        n_changed = updated.sum("changed") or 0
+        labels = updated.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+vpairs AS (
+    SELECT i.doc_a, i.doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM vpairs
+    UNION ALL SELECT doc_b, doc_a FROM vpairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 # ---- embedding near-dup, LSH-bucketed (the scale path) ----
 
 _EMB_PLANES = 4  # coarse buckets: 2^4 = 16; each bucket all-pairs locally
@@ -603,6 +713,7 @@ RAY_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
@@ -612,5 +723,6 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
 }

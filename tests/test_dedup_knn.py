@@ -211,3 +211,22 @@ def test_embedding_quantize_roundtrip(emb_dir):
         d[q] = -2
         approx = np.argsort(-d)[:5]
         assert all(int(a) % 5 == q % 5 for a in approx), (q, approx)
+
+
+def test_dedup_clusters_transitive(ray_session, tmp_path):
+    """A~B and B~C near-dups must land in ONE cluster labeled min(id),
+    even when A~C alone would not pair (transitivity via label
+    propagation)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today again"
+    texts = [
+        base,                                   # 0
+        base + " extra",                        # 1 ~ 0
+        base + " extra more",                   # 2 ~ 1
+        "totally different content about ray data pipelines and arrow compute kernels",
+        "totally different content about ray data pipelines and arrow compute kernels",  # 4 == 3
+    ]
+    _write_documents(tmp_path, texts)
+    got = dedup.dedup_clusters(str(tmp_path)).to_pandas()
+    cl = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert cl[0] == cl[1] == cl[2] == 0
+    assert cl[3] == cl[4] == 3
