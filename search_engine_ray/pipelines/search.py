@@ -31,6 +31,16 @@ from ..functions.analysis import analyze_query
 from ..stages.query import LocalIndex, score_decoded_terms, shard_of
 
 
+def _load_global_df(index_dir: str) -> dict:
+    """term -> corpus-wide df from the on-disk dictionary (the global
+    idf broadcast; re-readable by a restarted actor)."""
+    dict_t = pq.read_table(
+        sorted(glob.glob(os.path.join(index_dir, "dictionary", "*.parquet"))),
+        columns=["term", "df"],
+    )
+    return dict(zip(dict_t["term"].to_pylist(), dict_t["df"].to_numpy()))
+
+
 @ray.remote
 class IndexShardActor:
     """Holds the posting lists of one term shard, loaded once."""
@@ -109,25 +119,34 @@ class ShardedSearcher:
         )
 
 
-@ray.remote
+@ray.remote(max_restarts=2, max_task_retries=1)
 class DocShardActor:
     """Holds ALL terms for a doc-range subset of partitions; answers a
     query with its local top-k. Per-query network is O(k), never
     O(postings) — the serving shape for hot-term / OR-heavy workloads
-    at cluster scale (the term-sharded path ships posting arrays)."""
+    at cluster scale (the term-sharded path ships posting arrays).
 
-    def __init__(self, index_dir: str, parts: list[int], global_df: dict):
+    Self-healing: constructor args are plain values (the global-df
+    broadcast is re-read from the on-disk dictionary when not given),
+    so a crashed actor restarts from the checkpointed index and the
+    in-flight query retries transparently."""
+
+    def __init__(self, index_dir: str, parts: list[int], global_df: dict | None = None):
         self._args = (index_dir, parts)
+        if global_df is None:
+            global_df = _load_global_df(index_dir)
         self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
 
     def search(self, query: str, k: int, mode: str):
         return self.index.search(query, k, mode=mode)
 
-    def reload(self, parts: list[int], global_df: dict) -> bool:
+    def reload(self, parts: list[int], global_df: dict | None = None) -> bool:
         """Swap in the current on-disk state (after extend_index) —
         rebuilds the in-memory postings for this shard's partitions."""
         index_dir, _ = self._args
         self._args = (index_dir, parts)
+        if global_df is None:
+            global_df = _load_global_df(index_dir)
         self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
         return True
 
@@ -158,21 +177,17 @@ class DocShardedSearcher:
             for g in np.array_split(part_ids, min(n_shards, max(1, len(part_ids))))
             if len(g)
         ]
-        dict_t = pq.read_table(
-            sorted(glob_.glob(os.path.join(index_dir, "dictionary", "*.parquet"))),
-            columns=["term", "df"],
-        )
-        global_df = dict(zip(dict_t["term"].to_pylist(), dict_t["df"].to_numpy()))
-        return groups, global_df
+        return groups, _load_global_df(index_dir)
 
     def _start(self):
         import json
 
-        groups, global_df = self._layout(self.index_dir, self.n_shards)
-        df_ref = ray.put(global_df)
+        groups, _ = self._layout(self.index_dir, self.n_shards)
         self._groups = groups
+        # actors load the df broadcast from disk themselves: restart-safe
+        # (an ObjectRef constructor arg dies with the driver's ref)
         self.shards = [
-            DocShardActor.remote(self.index_dir, [int(p) for p in g], df_ref)
+            DocShardActor.remote(self.index_dir, [int(p) for p in g])
             for g in groups
         ]
         ray.get([s.ping.remote() for s in self.shards])
@@ -188,14 +203,13 @@ class DocShardedSearcher:
         queries never fail during a refresh."""
         import json
 
-        groups, global_df = self._layout(self.index_dir, self.n_shards)
-        df_ref = ray.put(global_df)
+        groups, _ = self._layout(self.index_dir, self.n_shards)
         calls = []
         for i, g in enumerate(groups):
             if i < len(self.shards):
-                calls.append(self.shards[i].reload.remote([int(p) for p in g], df_ref))
+                calls.append(self.shards[i].reload.remote([int(p) for p in g]))
             else:
-                actor = DocShardActor.remote(self.index_dir, [int(p) for p in g], df_ref)
+                actor = DocShardActor.remote(self.index_dir, [int(p) for p in g])
                 self.shards.append(actor)
                 calls.append(actor.ping.remote())
         self._groups = groups

@@ -214,3 +214,24 @@ def test_doc_sharded_refresh_after_extend(ray_session, tmp_path):
     assert np.allclose(after_sc, want_sc)
     # the extension actually changed the result set vs before
     assert fresh.N > 200
+
+
+def test_doc_shard_actor_self_heals(index_dir):
+    """Killing a shard actor mid-serving must not break the tier: the
+    actor restarts from the checkpointed index (constructor args are
+    plain values + on-disk df broadcast) and the retried query returns
+    identical results."""
+    import ray as ray_
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir)
+    sharded = DocShardedSearcher(index_dir, n_shards=2)
+    want_ids, want_sc = local.search("running meetings", 20, mode="OR")
+    ids0, _ = sharded.search("running meetings", 20, mode="OR")
+    assert ids0.tolist() == want_ids.tolist()
+
+    ray_.kill(sharded.shards[0], no_restart=False)
+    ids1, sc1 = sharded.search("running meetings", 20, mode="OR")
+    assert ids1.tolist() == want_ids.tolist()
+    assert np.allclose(sc1, want_sc)
