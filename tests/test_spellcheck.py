@@ -102,3 +102,16 @@ def test_from_index_and_endpoint(ray_session, tmp_path):
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abcdefgh", min_size=1, max_size=8))
+def test_correct_always_within_distance_1(word):
+    from search_engine_ray.functions.spellcheck import _within1
+
+    sc = _sc([("abcd", 5), ("efgh", 5), ("abab", 3), ("hash", 9)])
+    out = sc.correct(word)
+    assert out == word or (_within1(word, out) and out in sc.df)
