@@ -701,6 +701,76 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+# ---- grouped top-k (window-function parity: top-3 orders per
+#      customer by price, deterministic tie-break) ----
+
+def grouped_topk(sf_dir: str, k: int = 3):
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        price = _cents(g["o_totalprice"]).to_numpy()
+        okey = g["o_orderkey"].to_numpy()
+        order = np.lexsort((okey, -price))[:k]
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.repeat(g["o_custkey"][0].as_py(), len(order)), pa.int64()
+                ),
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "price_cents": pa.array(price[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_GROUPED_TOPK = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents, rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---- per-group exact percentiles (discrete: the value AT the rank,
+#      so float equality with SQL's quantile_disc is exact) ----
+
+def events_percentiles(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def pct(g: pa.Table) -> pa.Table:
+        v = np.sort(_cents(g["value"]).to_numpy())
+        n = len(v)
+        # quantile_disc semantics: element at ceil(q*n) - 1 (1-based rank)
+        pick = lambda q: int(v[max(int(np.ceil(q * n)) - 1, 0)])
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+                "p50_cents": pa.array([pick(0.5)], pa.int64()),
+                "p95_cents": pa.array([pick(0.95)], pa.int64()),
+                "p99_cents": pa.array([pick(0.99)], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(pct, batch_format="pyarrow")
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.95) AS p95_cents,
+       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -720,6 +790,8 @@ RAY_QUERIES = {
     "flame_map_partitions": flame_map_partitions,
     "events_window": events_window,
     "events_window_sliding": events_window_sliding,
+    "grouped_topk": grouped_topk,
+    "events_percentiles": events_percentiles,
     "asof_join": asof_join,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
@@ -744,6 +816,8 @@ ORACLE_SQL = {
     "flame_map_partitions": SQL_MAP_PARTITIONS,
     "events_window": SQL_EVENTS_WINDOW,
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
+    "grouped_topk": SQL_GROUPED_TOPK,
+    "events_percentiles": SQL_EVENTS_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_extract": SQL_EVENTS_JSON,

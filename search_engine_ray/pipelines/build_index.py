@@ -243,6 +243,35 @@ def extend_index(
     )
 
 
+def compact_index(
+    index_dir: str,
+    n_partitions: int = 4,
+    concurrency=None,
+    builder: str = "tasks",
+) -> dict:
+    """Rebuild the segment layout from the (unchanged) docs store into
+    ``n_partitions`` fresh partitions. After many ``extend_index``
+    calls an index accumulates one small partition per extension —
+    query-time segment concatenation and per-partition overhead grow
+    with each; compaction restores the target layout. Logical postings
+    are unchanged (tested); the docs store and its doc_ids are not
+    touched. Crash-safe: segment removal happens partition-by-partition
+    through the same inventory mechanism (a killed compaction leaves a
+    mix of old and freshly built partitions, and the next run finishes
+    the job)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        cfg = IndexConfig.from_json(json.load(f)["config"])
+    seg_root = os.path.join(index_dir, "segments")
+    # invalidate every partition: with the manifests gone, inventory
+    # re-partitions the whole docs store into n_partitions groups
+    for d in _glob.glob(os.path.join(seg_root, "part=*")):
+        shutil.rmtree(d, ignore_errors=True)
+    return _finish_build(
+        index_dir, cfg, n_partitions, None, concurrency, builder,
+        {"compacted": True},
+    )
+
+
 def _sweep_orphan_extensions(docs_dir: str, manifest: dict) -> None:
     """Delete ``ext-<fp12>-*.parquet`` docs files whose fingerprint is
     not recorded in ``manifest['extensions']`` — leftovers of an apply

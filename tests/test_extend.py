@@ -72,3 +72,36 @@ def test_extend_rejects_out_of_order_keys(ray_session, tmp_path, split_corpus):
     build_index(b, idx, cfg, n_partitions=2)
     with pytest.raises(ValueError, match="must sort after"):
         extend_index(idx, a, n_partitions=2)
+
+
+def test_compact_after_extends(ray_session, tmp_path, split_corpus):
+    """Several extends accumulate small partitions; compaction restores
+    the target layout with bit-identical logical postings and results."""
+    from search_engine_ray.pipelines.build_index import compact_index
+
+    full, a, b = split_corpus
+    cfg = IndexConfig(doc_bucket_size=128)
+    idx = str(tmp_path / "idx_compact")
+    build_index(a, idx, cfg, n_partitions=2)
+    extend_index(idx, b, n_partitions=2)
+    parts_before = len(glob.glob(os.path.join(idx, "segments", "part=*")))
+    assert parts_before >= 4  # base 2 + extension 2
+
+    before = load_logical_postings(idx)
+    li_before = LocalIndex(idx)
+    q_before = {q: li_before.search(q, 50, mode="OR") for q in ["running", "the of and"]}
+
+    meta = compact_index(idx, n_partitions=2)
+    assert meta["timings"]["compacted"]
+    parts_after = len(glob.glob(os.path.join(idx, "segments", "part=*")))
+    assert parts_after == 2
+
+    after = load_logical_postings(idx)
+    assert set(after) == set(before)
+    for term in before:
+        assert after[term][0].tolist() == before[term][0].tolist(), term
+        assert after[term][1].tolist() == before[term][1].tolist(), term
+    li = LocalIndex(idx)
+    for q, (ids, sc) in q_before.items():
+        ids2, sc2 = li.search(q, 50, mode="OR")
+        assert ids2.tolist() == ids.tolist()
