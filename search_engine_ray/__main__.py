@@ -84,6 +84,14 @@ def cmd_batch(a) -> int:
     return 0
 
 
+def cmd_compact(a) -> int:
+    from .pipelines.build_index import compact_index
+
+    meta = compact_index(a.index, n_partitions=a.partitions)
+    print(json.dumps(meta, indent=1))
+    return 0
+
+
 def cmd_serve(a) -> int:
     from .serve import serve
 
@@ -127,6 +135,11 @@ def main(argv=None) -> int:
     bt.add_argument("--out", required=True)
     bt.add_argument("--mode", choices=["AND", "OR"], default="AND")
     bt.set_defaults(fn=cmd_batch)
+
+    cp = sub.add_parser("compact", help="rebuild segment layout after extends")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("-p", "--partitions", type=int, default=8)
+    cp.set_defaults(fn=cmd_compact)
 
     sv = sub.add_parser("serve", help="HTTP /search endpoint over doc shards")
     sv.add_argument("--index", required=True)

@@ -258,7 +258,8 @@ def _jaccard_join(cand, shingles, threshold: float):
 
     if not isinstance(shingles, MaterializedDataset):
         shingles = shingles.materialize()
-    cand = cand.materialize()
+    # cand feeds exactly one join, so it stays lazy — its banding
+    # shuffle fuses into the same streaming job as the verify joins
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(
         shingles, join_type="inner", num_partitions=_npart(),
