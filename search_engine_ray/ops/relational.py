@@ -640,6 +640,70 @@ WHERE e.event_type = 'purchase'
 """
 
 
+# ---- range (interval) join: purchases x clicks of the same user
+#      within a trailing 1h window — the range-join sibling of
+#      asof_join (ONE hash-partition on the key + per-group sorted
+#      window sweep, no all-pairs) ----
+
+_RANGE_US = 3_600 * 1_000_000  # 1 hour
+
+
+def range_join(sf_dir: str):
+    """All (purchase, click) pairs per user with
+    purchase.ts - 1h <= click.ts <= purchase.ts. Partitioning
+    assumption: one user's events fit one group (salt by time-bucket
+    with a boundary pass if a key is pathologically hot)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        is_p = typ == "purchase"
+        p_ts, p_id = ts[is_p], eid[is_p]
+        c_order = np.argsort(ts[~is_p], kind="mergesort")
+        c_ts, c_id = ts[~is_p][c_order], eid[~is_p][c_order]
+        # for each purchase: clicks in [p_ts - 1h, p_ts] via two
+        # searchsorted sweeps over the sorted click timeline
+        lo = np.searchsorted(c_ts, p_ts - _RANGE_US, side="left")
+        hi = np.searchsorted(c_ts, p_ts, side="right")
+        counts = hi - lo
+        purch_out = np.repeat(p_id, counts)
+        total = int(counts.sum())
+        click_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            + np.repeat(lo, counts)
+        )
+        return pa.table(
+            {
+                "purchase_event_id": pa.array(purch_out, pa.int64()),
+                "click_event_id": pa.array(c_id[click_idx], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 # ---- session windows (gap-and-islands; streaming-shaped capability
 #      beyond the tumbling events_window) ----
 
@@ -793,6 +857,7 @@ RAY_QUERIES = {
     "grouped_topk": grouped_topk,
     "events_percentiles": events_percentiles,
     "asof_join": asof_join,
+    "range_join": range_join,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
 }
@@ -819,6 +884,7 @@ ORACLE_SQL = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_extract": SQL_EVENTS_JSON,
 }
