@@ -177,7 +177,13 @@ _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 def _band_rows(t: pa.Table) -> pa.Table:
     """(doc_id, band, band_hash) rows for a batch of (doc_id, sh-hash)
     shingle rows — fully vectorized: permutation mins via
-    np.minimum.reduceat over doc ranges, band hashes via a mix-fold."""
+    np.minimum.reduceat over doc ranges, band hashes via a mix-fold.
+
+    MUST be fed doc-complete batches (all of a doc's shingle rows in
+    one call): a doc split across batches would get partial-minimum
+    signatures. ``_bands_from_docs`` guarantees this by banding
+    straight off the documents table (one input row = one whole doc);
+    do not map this over a re-blocked shingle dataset."""
     # low 32 bits of the 60-bit shingle hash: keeps a*x+b inside uint64
     # (a < 2^29, x < 2^32 -> a*x < 2^61, + b < 2^62 < 2^64)
     sh = t["sh"].to_numpy().astype(np.uint64) & np.uint64(0xFFFFFFFF)
@@ -238,6 +244,10 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
         )
 
     return with_b.map_batches(finish, batch_format="pyarrow")
+
+
+def _bands_from_docs(t: pa.Table) -> pa.Table:
+    return _band_rows(_shingle_batch(t, hashed=True))
 
 
 def _jaccard_join(cand, shingles, threshold: float):

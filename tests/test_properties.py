@@ -82,3 +82,44 @@ def test_analyze_query_total(q):
     for t in terms:
         assert t and len(t) <= cfg.max_word_len
         assert t == t.lower()
+
+
+def test_shingle_batch_matches_naive():
+    """Vectorized Arrow shingling == naive per-doc implementation
+    (distinct trigram strings; short docs one whole-doc shingle)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from search_engine_ray.ops.dedup import _shingle_batch
+
+    token = st.text(alphabet="abc12", min_size=1, max_size=4)
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)) * 7, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = _shingle_batch(t, hashed=True)
+        got_sets: dict[int, set] = {}
+        for d, h in zip(got["doc_id"].to_pylist(), got["sh"].to_pylist()):
+            got_sets.setdefault(d, set()).add(h)
+        for i, text in enumerate(texts):
+            toks = [w for w in text.lower().split() if w]
+            if not toks:
+                want = set()
+            elif len(toks) < 3:
+                want = {" ".join(toks)}
+            else:
+                want = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+            want_h = {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in want}
+            assert got_sets.get(i * 7, set()) == want_h, (i, text)
+
+    check()
