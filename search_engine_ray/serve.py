@@ -29,6 +29,43 @@ import pyarrow.parquet as pq
 from .config import DEFAULT_TOP_K
 
 
+# Minimal static search page (parity with the reference's HTML/JS
+# client, `/root/reference/src/cis5550/client/` — served by the same
+# process rather than a separate static host).
+_FRONTEND = """<!doctype html>
+<html><head><meta charset="utf-8"><title>transcript search</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:48rem;margin:2rem auto;padding:0 1rem}
+ input[type=text]{width:70%;padding:.5rem;font-size:1rem}
+ button{padding:.5rem 1rem;font-size:1rem}
+ .hit{margin:.8rem 0;padding:.5rem;border-left:3px solid #888}
+ .meta{color:#666;font-size:.85rem}
+ .spell{color:#a40;margin:.5rem 0}
+</style></head>
+<body>
+<h1>transcript search</h1>
+<form id="f"><input type="text" id="q" placeholder="query" autofocus>
+<button>Search</button></form>
+<div id="spell" class="spell"></div><div id="out"></div>
+<script>
+document.getElementById('f').addEventListener('submit', async (ev) => {
+  ev.preventDefault();
+  const q = document.getElementById('q').value;
+  const r = await fetch('/search?query=' + encodeURIComponent(q) + '&k=20');
+  const j = await r.json();
+  document.getElementById('spell').textContent =
+    j.spellcheck ? 'searched instead for: ' + j.spellcheck.join(' ') : '';
+  document.getElementById('out').innerHTML = (j.results || []).map(h =>
+    '<div class="hit"><div class="meta">#' + h.rank + ' doc ' + h.doc_id +
+    ' (' + (h.conv_id || '') + ' / turn ' + (h.turn_idx ?? '') + ') score ' +
+    h.score.toFixed(4) + '</div><div>' +
+    (h.snippet || '').replace(/</g, '&lt;') + '</div></div>').join('') ||
+    '<p>no results</p>';
+});
+</script></body></html>
+"""
+
+
 class DocStore:
     """doc_id -> (conv_id, turn_idx, snippet) via parquet point reads.
 
@@ -123,6 +160,14 @@ class SearchServer:
                 u = urlparse(self.path)
                 if u.path == "/healthz":
                     self._json(200, {"ok": True})
+                    return
+                if u.path in ("/", "/index.html"):
+                    body = _FRONTEND.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if u.path != "/search":
                     self._json(404, {"error": "unknown route"})

@@ -235,3 +235,24 @@ def test_doc_shard_actor_self_heals(index_dir):
     ids1, sc1 = sharded.search("running meetings", 20, mode="OR")
     assert ids1.tolist() == want_ids.tolist()
     assert np.allclose(sc1, want_sc)
+
+
+def test_http_frontend_page(index_dir):
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+
+    local = LocalIndex(index_dir)
+
+    class LocalSearcher:
+        def search(self, q, k, mode):
+            return local.search(q, k, mode=mode)
+
+    srv = SearchServer(index_dir, LocalSearcher(), spellcheck=False).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as resp:
+            assert resp.status == 200
+            body = resp.read().decode()
+        assert "<form" in body and "/search?query=" in body
+    finally:
+        srv.stop()
