@@ -72,20 +72,31 @@ def prepare_corpus(sf_dir: str):
     # near-dup removal: the verified LSH pair set over the FULL corpus
     # (pairs are computed corpus-wide; a pair whose doc_a was itself
     # dropped earlier still votes out its doc_b — the conservative
-    # "drop every later near-copy" policy, mirrored in SQL)
-    drop = dedup_minhash_lsh(sf_dir).map_batches(
-        lambda t: pa.table({"doc_b": t["doc_b"]}), batch_format="pyarrow"
-    ).materialize()
-    drop_ids = pa.array(
-        sorted({r["doc_b"] for r in drop.take_all()}), pa.int64()
-    )  # near-dup victims are a tiny fraction; broadcast as a filter set
+    # "drop every later near-copy" policy, mirrored in SQL). Removal is
+    # a distributed anti-join: in a dup-heavy corpus the victim set is
+    # O(N), so it must never be collected to the driver.
+    from ray.data.aggregate import Count
+    from .dedup import _npart
 
-    def not_dropped(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(t["doc_id"], value_set=drop_ids))
-        return pa.table({"doc_id": t.filter(keep)["doc_id"]})
-
+    drop = (
+        dedup_minhash_lsh(sf_dir)
+        .map_batches(
+            lambda t: pa.table({"doc_b": t["doc_b"]}), batch_format="pyarrow"
+        )
+        .groupby("doc_b")
+        .aggregate(Count(alias_name="_marker"))
+    )
+    joined = exact.join(
+        drop, join_type="left_outer", num_partitions=_npart(),
+        on=("doc_id",), right_on=("doc_b",),
+    )
     return (
-        exact.map_batches(not_dropped, batch_format="pyarrow")
+        joined.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.filter(pc.is_null(t["_marker"]))["doc_id"]}
+            ),
+            batch_format="pyarrow",
+        )
         .sort("doc_id")
     )
 
