@@ -308,11 +308,18 @@ def evaluate_queries(
 
 
 def materialize_results(index_dir: str, topk: pd.DataFrame, snippet_len: int = 160) -> pd.DataFrame:
-    """Attach conv_id/turn_idx/text snippets to a top-k frame."""
-    docs = pq.read_table(
-        sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet"))),
-        columns=["doc_id", "conv_id", "turn_idx", "text"],
-    ).to_pandas()
-    out = topk.merge(docs, on="doc_id", how="left")
-    out["snippet"] = out["text"].str.slice(0, snippet_len)
-    return out.drop(columns=["text"]).sort_values(["query_id", "rank"] if "query_id" in out else ["rank"]).reset_index(drop=True)
+    """Attach conv_id/turn_idx/text snippets to a top-k frame via
+    row-group-pruned point reads (the web tier's DocStore) — memory is
+    O(result), independent of docs-store size."""
+    from ..serve import DocStore
+
+    meta = DocStore(index_dir, snippet_len=snippet_len).lookup(
+        topk["doc_id"].to_numpy()
+    )
+    out = topk.copy()
+    out["conv_id"] = [meta.get(int(d), {}).get("conv_id") for d in out["doc_id"]]
+    out["turn_idx"] = [meta.get(int(d), {}).get("turn_idx") for d in out["doc_id"]]
+    out["snippet"] = [meta.get(int(d), {}).get("snippet") for d in out["doc_id"]]
+    return out.sort_values(
+        ["query_id", "rank"] if "query_id" in out else ["rank"]
+    ).reset_index(drop=True)
