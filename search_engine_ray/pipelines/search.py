@@ -75,8 +75,12 @@ class ShardedSearcher:
     """Driver-side coordinator over ``n_shards`` index actors."""
 
     def __init__(self, index_dir: str, n_shards: int = 4):
+        from ..stages.query import _LRUBytes, CACHE_BUDGET_BYTES
+
         self.n_shards = n_shards
-        self._tscores: dict = {}
+        # byte-bounded like LocalIndex's memo: a varied query stream
+        # must not grow driver memory without bound
+        self._tscores = _LRUBytes(CACHE_BUDGET_BYTES)
         self.shards = [
             IndexShardActor.remote(index_dir, s, n_shards) for s in range(n_shards)
         ]
