@@ -59,20 +59,32 @@ def _md5_60_arr(strings: np.ndarray) -> np.ndarray:
 
 def dedup_exact(sf_dir: str):
     """Groups identical texts; keeps the smallest doc_id (the analog of
-    KVS key collision where last-write-wins — made deterministic)."""
+    KVS key collision where last-write-wins — made deterministic).
+    The shuffle key is the md5-60 content hash computed per batch, not
+    the text itself — at 100 TB the groupby would otherwise move every
+    document's full bytes through the exchange. The oracle groups by
+    the same hash."""
     from ray.data.aggregate import Min, Count
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_content(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "h": pa.array(_md5_60_arr(texts), pa.int64())}
+        )
+
     return (
-        ds.groupby("text")
+        ds.map_batches(hash_content, batch_format="pyarrow")
+        .groupby("h")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
-        .drop_columns(["text"])
+        .drop_columns(["h"])
     )
 
 
-SQL_DEDUP_EXACT = """
+SQL_DEDUP_EXACT = f"""
 SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY text
+FROM documents GROUP BY {_MD5_SQL.format("text")}
 """
 
 
