@@ -66,8 +66,22 @@ def prepare_corpus(sf_dir: str):
         )
         .map_batches(keep_quality, batch_format="pyarrow")
     )
-    # exact dedup: smallest doc_id per identical text
-    exact = clean.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    # exact dedup: smallest doc_id per identical text — shuffle the
+    # content hash, not the text bytes (see dedup.dedup_exact)
+    from .dedup import _md5_60_arr
+
+    def hash_content(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "h": pa.array(_md5_60_arr(texts), pa.int64())}
+        )
+
+    exact = (
+        clean.map_batches(hash_content, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .drop_columns(["h"])
+    )
 
     # near-dup removal: the verified LSH pair set over the FULL corpus
     # (pairs are computed corpus-wide; a pair whose doc_a was itself
@@ -124,7 +138,8 @@ quality AS (
       AND len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
                           x -> x <> '')) >= {_MIN_TOKENS}
 ),
-exact AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text)
+exact AS (SELECT MIN(doc_id) AS doc_id FROM quality
+          GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT)
 SELECT doc_id FROM exact
 WHERE doc_id NOT IN (SELECT doc_b FROM neardups)
 ORDER BY doc_id
