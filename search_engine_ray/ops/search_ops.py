@@ -353,6 +353,11 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 #      plugs in; ops/graph.pagerank supplies one when a graph exists) ----
 
 def combined_topk(sf_dir: str):
+    """Scale note: the per-doc prior is loaded as an O(N) driver map
+    here because the gate evaluates in-process; at cluster scale the
+    prior column rides in the docs store / per-posting stream exactly
+    like doclen (format v3), so each doc shard holds only its range.
+    """
     import pyarrow.parquet as pq
 
     import glob as glob_
