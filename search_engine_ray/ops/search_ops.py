@@ -7,10 +7,10 @@ reproduced verbatim in the oracle SQL CTE — see
 full Ray pipeline (doc-id sort, actor-pool partial build, term-shuffle
 merge, varbyte segments), and answer through the real query engine.
 
-The SQL-checked BM25 entries run the analyzer in raw mode
-(``stemming=False``) because DuckDB has no offline Porter stemmer; the
-stemmed path is exercised by ``bm25_stemmed_topk`` (rows-only here,
-rank-identical-to-oracle in tests/test_index_build.py). Scores are
+The raw-mode BM25 entries mirror the analyzer directly in SQL; the
+stemmed path (``bm25_stemmed_topk``) gets its oracle from an inline
+(term, stem) VALUES map over the gate corpus's fixed vocabulary
+(guarded by tests/test_gate_vocab.py). Scores are
 rounded to 6 decimals and re-ranked (score_r6 desc, doc_id asc) on
 BOTH sides so float summation order cannot flip the comparison.
 """
