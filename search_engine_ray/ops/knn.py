@@ -215,6 +215,87 @@ FROM r WHERE rn <= {_TOP_K}
 """
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
+    """Multi-probe variant of ``knn_lsh``: a vector is a candidate for
+    a query when their sign signatures differ in AT MOST ONE bit
+    (probing all one-bit-flip buckets) — recall rises steeply for a
+    ~(n_planes+1)x candidate budget. Deterministic; the oracle mirrors
+    the probe with bit_count(xor(s_v, s_q)) <= 1."""
+    qids, qmat = _load_queries(sf_dir)
+    planes = _planes(n_planes, qmat.shape[1])
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qsig = (qmat @ planes.T > 0) @ (1 << np.arange(n_planes))
+    ref = ray.put((qids, qnorm, qsig, planes))
+
+    class ProbeBuckets:
+        def __init__(self):
+            self.qids, self.q, self.qsig, self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = t["vec_id"].to_numpy()
+            raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
+            v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+            out = {"qid": [], "vec_id": [], "sim": []}
+            popcnt = _POPCNT8
+            for qi, qs in zip(self.qids, self.qsig):
+                ham = popcnt[np.bitwise_xor(sig.astype(np.int64), int(qs)) & 0xFF]
+                hit = np.flatnonzero((ham <= 1) & (vids != qi))
+                if hit.size:
+                    sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
+                    out["qid"].extend([int(qi)] * hit.size)
+                    out["vec_id"].extend(vids[hit].tolist())
+                    out["sim"].extend(sims.tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out["qid"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(ProbeBuckets, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    return _topk_per_qid(scored)
+
+
+SQL_KNN_LSH_MULTIPROBE = f"""
+WITH {_planes_sql(_N_PLANES, _EMB_DIM)},
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(e.e, pl.p) > 0
+                         THEN (1 << pl.i) ELSE 0 END) AS BIGINT) AS s
+    FROM e CROSS JOIN planes pl GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, s FROM sig WHERE vec_id < {_N_QUERIES}),
+cand AS (
+    SELECT q.qid, v.vec_id FROM q JOIN sig v
+    ON bit_count(xor(v.s, q.s)) <= 1 AND v.vec_id <> q.qid
+),
+scored AS (
+    SELECT c.qid, c.vec_id,
+           CAST(round(list_cosine_similarity(qe.e, ve.e), 6) AS DOUBLE) AS sim
+    FROM cand c
+    JOIN e qe ON qe.vec_id = c.qid
+    JOIN e ve ON ve.vec_id = c.vec_id
+),
+r AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, sim
+FROM r WHERE rn <= {_TOP_K}
+"""
+
+
 _IVF_MOD = 7
 _IVF_RESIDUE = 3
 
@@ -455,6 +536,7 @@ FROM embeddings
 RAY_QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh,
+    "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
@@ -463,6 +545,7 @@ RAY_QUERIES = {
 ORACLE_SQL = {
     "knn_cosine": SQL_KNN_COSINE,
     "knn_lsh": SQL_KNN_LSH,
+    "knn_lsh_multiprobe": SQL_KNN_LSH_MULTIPROBE,
     "knn_ivf": SQL_KNN_IVF,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

@@ -230,3 +230,20 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     cl = dict(zip(got["doc_id"], got["cluster_id"]))
     assert cl[0] == cl[1] == cl[2] == 0
     assert cl[3] == cl[4] == 3
+
+
+def test_knn_lsh_multiprobe_recall_dominates(emb_dir):
+    """Hamming<=1 probing must find at least everything the exact-bucket
+    variant finds, with recall of exact top-5 at least as high."""
+    sf_dir, mat = emb_dir
+    plain = knn.knn_lsh(sf_dir).to_pandas()
+    multi = knn.knn_lsh_multiprobe(sf_dir).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(5):
+        s = np.round(sims[q], 6)
+        cand = np.arange(len(mat)); mask = cand != q
+        exact = set(cand[mask][np.lexsort((cand[mask], -s[mask]))[:5]].tolist())
+        p = set(plain[plain["qid"] == q]["vec_id"].astype(int))
+        m = set(multi[multi["qid"] == q]["vec_id"].astype(int))
+        assert len(m & exact) >= len(p & exact), q
