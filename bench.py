@@ -255,9 +255,20 @@ def run_main(sf_dir: str, num_cpus: int, fast: bool = False) -> None:
     queries["index_build"] = round(build_s, 3)
     queries.update(bench_queries(tag))
     queries.update(bench_gate_ops(sf_dir))
-    big = None if fast else bench_big(num_cpus)
+    # deep sections are best-effort: a failure there must never cost
+    # the one-JSON-line contract for the sections that did run
+    big = scaling = None
+    if not fast:
+        try:
+            big = bench_big(num_cpus)
+        except Exception as ex:  # noqa: BLE001
+            big = {"error": f"{type(ex).__name__}: {ex}"}
     ray.shutdown()
-    scaling = None if fast else scaling_small()
+    if not fast:
+        try:
+            scaling = scaling_small()
+        except Exception as ex:  # noqa: BLE001
+            scaling = {"error": f"{type(ex).__name__}: {ex}"}
 
     # "value" stays the small-section total (comparable across rounds);
     # the deep sections ride alongside without inflating it
