@@ -1,0 +1,40 @@
+"""CLI smoke: the job-submission surface must work as a real process
+(catches import/arg-wiring regressions no in-process test sees)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from search_engine_ray.corpus import write_transcripts
+
+
+@pytest.mark.parametrize("fmt", ["parquet"])
+def test_cli_build_query_compact(tmp_path, fmt):
+    src = str(tmp_path / "src")
+    write_transcripts(src, n_convs=30, turns_per_conv=5, seed=42, n_files=2)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "search_engine_ray", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+            cwd="/root/repo",
+        )
+
+    r = run("build", "--source", src, "--index", idx, "-p", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout[r.stdout.index("{"):])
+    assert meta["N"] == 150
+
+    r = run("query", "--index", idx, "running meetings", "-k", "5", "--doc-sharded")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doc_id" in r.stdout and "snippet" in r.stdout
+
+    r = run("compact", "--index", idx, "-p", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout[r.stdout.index("{"):])
+    assert meta["timings"]["compacted"]
