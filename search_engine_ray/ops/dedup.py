@@ -271,10 +271,11 @@ def _jaccard_join(cand, shingles, threshold: float):
     no size join and no driver-side state. Returns
     (doc_a, doc_b, inter, jaccard).
 
-    ``shingles`` and ``cand`` are consumed by multiple joins, so both
-    are materialized (object-store blocks, spillable) — without this,
-    Ray re-executes the whole upstream lineage once per consumer and
-    the nested shuffle pools starve each other."""
+    ``shingles`` feeds BOTH joins, so it is materialized (object-store
+    blocks, spillable) — without this, Ray re-executes its upstream
+    lineage once per consumer and the nested shuffle pools starve each
+    other. ``cand`` feeds exactly one join and stays lazy, fusing the
+    banding shuffle into the same streaming job."""
     from ray.data.dataset import MaterializedDataset
     from ray.data.aggregate import Count, Min
 
@@ -338,11 +339,15 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
-    ).materialize()  # consumed by banding AND the verify joins
+    ).materialize()  # consumed by the verify joins
     from ray.data.aggregate import Count
 
+    # band rows come straight off the documents table: each input row
+    # is one whole doc, so signatures always see the full shingle set
+    # (the materialized shingle dataset may re-block rows mid-doc —
+    # see _band_rows' doc-complete requirement)
     cand = (
-        shingles.map_batches(_band_rows, batch_format="pyarrow")
+        ds.map_batches(_bands_from_docs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
