@@ -596,6 +596,68 @@ FROM tr0 GROUP BY conv_id
 """
 
 
+# ---- training-context windows: each turn + its trailing context ----
+
+_CTX_TURNS = 2  # preceding turns included in a training example
+
+
+def conv_context_windows(sf_dir: str):
+    """For every turn: the training-example context = the previous
+    {_CTX_TURNS} turns of the same conversation + the turn itself,
+    joined with single spaces. Conversation-partitioned map_groups (one
+    hash shuffle on conv_id, per-group sorted windowing) — the
+    example-construction transform an SFT pipeline runs before
+    tokenization. Output carries the md5-60 hash and length of each
+    context so the gate compares exactly without shipping megabytes of
+    concatenated text."""
+    import hashlib as _hl
+
+    tdir = transcripts_dir(sf_dir)
+
+    def windows(g: pa.Table) -> pa.Table:
+        idx = g["turn_idx"].to_numpy()
+        order = np.argsort(idx, kind="mergesort")
+        texts = g["text"].to_pylist()
+        texts = [texts[i] or "" for i in order]
+        conv = g["conv_id"][0].as_py()
+        out_hash, out_len = [], []
+        for i in range(len(texts)):
+            ctx = " ".join(texts[max(0, i - _CTX_TURNS): i + 1])
+            out_hash.append(int(_hl.md5(ctx.encode()).hexdigest()[:15], 16))
+            out_len.append(len(ctx))
+        return pa.table(
+            {
+                "conv_id": pa.array([conv] * len(texts), pa.string()),
+                "turn_idx": pa.array(idx[order].astype(np.int64), pa.int64()),
+                "context_hash": pa.array(out_hash, pa.int64()),
+                "context_chars": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    return (
+        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"])
+        .groupby("conv_id")
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+SQL_CONV_CONTEXT = f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+ctx AS (
+    SELECT conv_id, turn_idx,
+           string_agg(text, ' ') OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {_CTX_TURNS} PRECEDING AND CURRENT ROW
+           ) AS context
+    FROM tr0
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       ('0x' || substr(md5(context), 1, 15))::BIGINT AS context_hash,
+       CAST(length(context) AS BIGINT) AS context_chars
+FROM ctx
+"""
+
+
 # ---- flagship (entry()): full stemmed pipeline + batch evaluation ----
 
 def flagship(sf_dir: str):
@@ -626,6 +688,7 @@ RAY_QUERIES = {
     "combined_topk": combined_topk,
     "phrase_match": phrase_match,
     "conv_stats": conv_stats,
+    "conv_context_windows": conv_context_windows,
 }
 
 ORACLE_SQL = {
@@ -638,4 +701,5 @@ ORACLE_SQL = {
     "combined_topk": _combined_sql(),
     "phrase_match": _phrase_sql(),
     "conv_stats": SQL_CONV_STATS,
+    "conv_context_windows": SQL_CONV_CONTEXT,
 }
