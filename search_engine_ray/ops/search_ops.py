@@ -96,6 +96,7 @@ def ensure_index(sf_dir: str, variant: str = "raw") -> str:
     cfg = {
         "raw": IndexConfig(stemming=False, positions=False),
         "rawpos": IndexConfig(stemming=False, positions=True),
+        "roletool": IndexConfig(stemming=False, positions=False, index_role_tool=True),
         "stemmed": IndexConfig(),
     }[variant]
     tdir = transcripts_dir(sf_dir)
@@ -156,6 +157,61 @@ WITH {_TR_CTE}
 SELECT term, doc_id, COUNT(*) AS tf
 FROM toks_idx
 WHERE term IN ({",".join(f"'{t}'" for t in _PROBE_TERMS)})
+GROUP BY term, doc_id
+"""
+
+
+# ---- role/tool-token indexing (URL-token analog) as a checkable op ----
+
+_RT_PROBE = ["user", "assistant", "tool", "search", "hash"]
+
+
+def postings_probe_roletool(sf_dir: str):
+    """Decoded postings of probe terms from an index built with
+    ``index_role_tool=True`` — the analog of the reference's URL-token
+    indexing (host/path tokens prepended to the page text,
+    Indexer.java:236-238): every turn's role and tool ride in its token
+    stream, so facet-style queries ("assistant", "search") hit real
+    posting lists."""
+    idx = ensure_index(sf_dir, "roletool")
+    li = LocalIndex(idx)
+    terms_out, docs_out, tfs_out = [], [], []
+    for term in _RT_PROBE:
+        ids, tfs = li.term_postings(term)
+        terms_out.extend([term] * len(ids))
+        docs_out.extend(ids.tolist())
+        tfs_out.extend(tfs.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+# tokens come from 'role tool text' joined with single spaces, with the
+# 10k-char truncation applied to the JOINED string (the engine prepends
+# before tokenization)
+SQL_POSTINGS_ROLETOOL = f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+tr AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+           role || ' ' || tool || ' ' || text AS rt_text
+    FROM tr0
+),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(rt_text, 1, 10000)), '[^0-9a-z]+')) AS term
+    FROM tr
+),
+toks_idx AS (
+    SELECT * FROM toks
+    WHERE term <> '' AND length(term) <= 20 AND term NOT IN ({_SKIP_SQL})
+)
+SELECT term, doc_id, COUNT(*) AS tf
+FROM toks_idx
+WHERE term IN ({",".join(f"'{t}'" for t in _RT_PROBE)})
 GROUP BY term, doc_id
 """
 
@@ -681,6 +737,7 @@ def flagship(sf_dir: str):
 RAY_QUERIES = {
     "transcripts_docids": transcripts_docids,
     "postings_probe": postings_probe,
+    "postings_probe_roletool": postings_probe_roletool,
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_or": bm25_topk_or,
     "bm25_stemmed_topk": bm25_stemmed_topk,
@@ -694,6 +751,7 @@ RAY_QUERIES = {
 ORACLE_SQL = {
     "transcripts_docids": SQL_TRANSCRIPTS_DOCIDS,
     "postings_probe": SQL_POSTINGS_PROBE,
+    "postings_probe_roletool": SQL_POSTINGS_ROLETOOL,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
     "bm25_stemmed_topk": _stemmed_sql(),
