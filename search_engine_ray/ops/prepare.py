@@ -146,5 +146,82 @@ ORDER BY doc_id
 """
 
 
-RAY_QUERIES = {"prepare_corpus": prepare_corpus}
-ORACLE_SQL = {"prepare_corpus": SQL_PREPARE_CORPUS}
+# ---- benchmark-contamination flagging (cross-set n-gram semi-join) ----
+
+_EVAL_MOD = 50  # deterministic stand-in eval set: doc_id % 50 == 0
+
+
+def decontaminate(sf_dir: str):
+    """Training docs that share NO word-trigram with the (held-out)
+    eval set — the decontamination pass run before training. The eval
+    set here is the deterministic doc_id % {_EVAL_MOD} == 0 subset (a
+    real pipeline passes a second table; the mechanics are identical):
+    shingle both sides, semi-join on the shingle key to flag
+    contaminated docs, anti-join them away. All joins are
+    shingle/doc-keyed shuffles — no driver-side sets."""
+    from ray.data.aggregate import Count
+    from .dedup import _shingle_batch, _npart
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingles = ds.map_batches(
+        lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
+    ).materialize()
+
+    eval_sh = (
+        shingles.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
+            ).select(["sh"]),
+            batch_format="pyarrow",
+        )
+        .groupby("sh").aggregate(Count(alias_name="_e")).drop_columns(["_e"])
+        .map_batches(lambda t: pa.table({"sh_e": t["sh"]}), batch_format="pyarrow")
+    )
+    train_sh = shingles.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
+        ),
+        batch_format="pyarrow",
+    )
+    contaminated = (
+        train_sh.join(eval_sh, join_type="inner", num_partitions=_npart(),
+                      on=("sh",), right_on=("sh_e",))
+        .groupby("doc_id").aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table({"bad": t["doc_id"], "_c": t["_c"]}),
+            batch_format="pyarrow",
+        )
+    )
+    train_docs = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pc.not_equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
+        )["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    clean = train_docs.join(
+        contaminated, join_type="left_outer", num_partitions=_npart(),
+        on=("doc_id",), right_on=("bad",),
+    )
+    # anti-join: the "_c" marker column is null exactly for clean docs
+    def keep_clean(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.filter(pc.is_null(t["_c"]))["doc_id"]})
+
+    return clean.map_batches(keep_clean, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLES},
+eval_sh AS (SELECT DISTINCT sh FROM tri WHERE doc_id % {_EVAL_MOD} = 0),
+contaminated AS (
+    SELECT DISTINCT t.doc_id FROM tri t JOIN eval_sh e ON t.sh = e.sh
+    WHERE t.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+RAY_QUERIES = {"prepare_corpus": prepare_corpus, "decontaminate": decontaminate}
+ORACLE_SQL = {"prepare_corpus": SQL_PREPARE_CORPUS, "decontaminate": SQL_DECONTAMINATE}
