@@ -161,6 +161,43 @@ GROUP BY term, doc_id
 """
 
 
+# ---- filtered (faceted) retrieval: BM25 restricted by metadata ----
+
+def bm25_topk_filtered(sf_dir: str):
+    """BM25 OR top-k restricted to USER turns (doc_id % 3 == 0 in the
+    derived transcripts — the role facet): the doc_filter predicate
+    runs before the top-k cut, so a filtered search equals
+    post-filtering the full ranking — faceted retrieval without
+    per-facet indexes."""
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    user_turns = lambda ids: ids % 3 == 0
+    for qid, q in _BM25_QUERIES:
+        ids, scores = li.search(q, k=10**9, mode="OR", doc_filter=user_turns)
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_filtered_sql() -> str:
+    """The OR-mode skeleton with the user-turn facet applied before the
+    per-query rank cut (mirrors doc_filter-before-topk)."""
+    base = _bm25_sql(False)
+    marker = "FROM scored \n)"
+    assert marker in base, "bm25 skeleton changed"
+    return base.replace(marker, "FROM scored WHERE doc_id % 3 = 0\n)")
+
+
 # ---- role/tool-token indexing (URL-token analog) as a checkable op ----
 
 _RT_PROBE = ["user", "assistant", "tool", "search", "hash"]
@@ -740,6 +777,7 @@ RAY_QUERIES = {
     "postings_probe_roletool": postings_probe_roletool,
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_or": bm25_topk_or,
+    "bm25_topk_filtered": bm25_topk_filtered,
     "bm25_stemmed_topk": bm25_stemmed_topk,
     "tfidf_topk": tfidf_topk,
     "combined_topk": combined_topk,
@@ -754,6 +792,7 @@ ORACLE_SQL = {
     "postings_probe_roletool": SQL_POSTINGS_ROLETOOL,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
+    "bm25_topk_filtered": _bm25_filtered_sql(),
     "bm25_stemmed_topk": _stemmed_sql(),
     "tfidf_topk": _tfidf_sql(),
     "combined_topk": _combined_sql(),

@@ -299,8 +299,20 @@ class LocalIndex:
         ids, tfs, _dls = ts.decode()
         return ids, tfs
 
-    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
-        """Returns (doc_ids, scores) of the top-k."""
+    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND",
+               doc_filter=None):
+        """Returns (doc_ids, scores) of the top-k. ``doc_filter``: an
+        optional vectorized predicate ``ndarray[int64] -> ndarray[bool]``
+        applied to candidate doc_ids BEFORE the top-k cut (faceted /
+        metadata-restricted retrieval); scores of surviving docs are
+        unchanged, so a filtered search equals post-filtering an
+        unfiltered full ranking."""
+        if doc_filter is not None:
+            ids, scores = self.search(query, k=10**9, mode=mode)
+            keep = doc_filter(ids)
+            ids, scores = ids[keep], scores[keep]
+            idx = scoring.topk_indices(scores, ids, k)
+            return ids[idx], scores[idx]
         terms, stopword_only = analyze_query(query, self.cfg)
         contributions = []
         for t in terms:
