@@ -835,6 +835,65 @@ FROM events GROUP BY event_type
 """
 
 
+# ---- funnel analysis (sequence pattern over the event stream):
+#      per user, did a 'click' happen, and did a 'purchase' follow a
+#      click (strictly later)? one groupby(user) + per-group sorted
+#      check, then a tiny count aggregate ----
+
+def events_funnel(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        click_ts = ts[typ == "click"]
+        purch_ts = ts[typ == "purchase"]
+        has_click = click_ts.size > 0
+        converted = bool(
+            has_click and purch_ts.size and purch_ts.max() > click_ts.min()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "has_click": pa.array([int(has_click)], pa.int64()),
+                "converted": pa.array([int(converted)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum, Count
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    agg = per.aggregate(
+        Count(alias_name="n_users"),
+        Sum("has_click", alias_name="n_click"),
+        Sum("converted", alias_name="n_converted"),
+    )
+    return pa.table(
+        {
+            "n_users": pa.array([int(agg["n_users"])], pa.int64()),
+            "n_click": pa.array([int(agg["n_click"])], pa.int64()),
+            "n_converted": pa.array([int(agg["n_converted"])], pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+                THEN 1 ELSE 0 END AS has_click,
+           CASE WHEN MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                     > MIN(CASE WHEN event_type = 'click' THEN ts END)
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(has_click) AS BIGINT) AS n_click,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM per_user
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -856,6 +915,7 @@ RAY_QUERIES = {
     "events_window_sliding": events_window_sliding,
     "grouped_topk": grouped_topk,
     "events_percentiles": events_percentiles,
+    "events_funnel": events_funnel,
     "asof_join": asof_join,
     "range_join": range_join,
     "events_sessionize": events_sessionize,
@@ -883,6 +943,7 @@ ORACLE_SQL = {
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "grouped_topk": SQL_GROUPED_TOPK,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
