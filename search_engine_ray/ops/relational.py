@@ -894,6 +894,59 @@ FROM per_user
 """
 
 
+# ---- composed analytical pipeline (TPC-H Q3 shape): filter one
+#      dimension, two hash joins, grouped revenue, deterministic top-10
+#      — the multi-operator composition a reporting pipeline runs ----
+
+def analytics_q3(sf_dir: str):
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+            .select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": _rev_e4(t)}),
+        batch_format="pyarrow",
+    )
+    co = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(co, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    from ray.data.aggregate import Sum
+
+    top = (
+        j.groupby("l_orderkey")
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"],
+             "revenue_e4": pc.cast(t["revenue_e4"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANALYTICS_Q3 = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(SUM({_SQL_REV_E4.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -916,6 +969,7 @@ RAY_QUERIES = {
     "grouped_topk": grouped_topk,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
+    "analytics_q3": analytics_q3,
     "asof_join": asof_join,
     "range_join": range_join,
     "events_sessionize": events_sessionize,
@@ -944,6 +998,7 @@ ORACLE_SQL = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "analytics_q3": SQL_ANALYTICS_Q3,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
