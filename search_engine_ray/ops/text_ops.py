@@ -294,6 +294,45 @@ def english_filter(sf_dir: str):
 SQL_ENGLISH_FILTER = "SELECT doc_id FROM documents WHERE lang = 'en'"
 
 
+# ---- deterministic stratified sampling (reproducible train splits):
+#      hash-based per-stratum rates — the split is a pure function of
+#      doc_id, so reruns/resumes select identical rows on any cluster ----
+
+_SAMPLE_RATES = {"en": 50}   # percent; other languages default below
+_SAMPLE_DEFAULT = 10
+
+
+def stratified_sample(sf_dir: str):
+    import hashlib as _hl
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int(_hl.md5(str(int(d)).encode()).hexdigest()[:15], 16) % 100 for d in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        rates = np.array(
+            [_SAMPLE_RATES.get(l, _SAMPLE_DEFAULT) for l in langs], dtype=np.int64
+        )
+        keep = h < rates
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs[keep], pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(pick, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES["en"]} ELSE {_SAMPLE_DEFAULT} END
+"""
+
+
 RAY_QUERIES = {
     "term_stats": term_stats,
     "doc_stats": doc_stats,
@@ -301,6 +340,7 @@ RAY_QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": fingerprint,
     "token_count_bpe": token_count_bpe,
+    "stratified_sample": stratified_sample,
     "english_filter": english_filter,
 }
 
@@ -311,5 +351,6 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_FINGERPRINT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "english_filter": SQL_ENGLISH_FILTER,
 }
