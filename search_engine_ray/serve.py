@@ -205,6 +205,39 @@ class SearchServer:
                     payload["spellcheck"] = corrected
                 self._json(200, payload)
 
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/batch":
+                    self._json(404, {"error": "unknown route"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n))
+                    queries = [
+                        (q["query"], int(q.get("k", DEFAULT_TOP_K)))
+                        for q in req["queries"]
+                    ]
+                    mode = str(req.get("mode", "OR")).upper()
+                except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:
+                    self._json(400, {"error": f"bad batch request: {ex}"})
+                    return
+                if hasattr(outer.searcher, "search_many"):
+                    batch = outer.searcher.search_many(queries, mode=mode)
+                else:  # plain searcher: sequential fallback
+                    batch = [outer.searcher.search(q, k=k, mode=mode) for q, k in queries]
+                out = []
+                for (q, _k), (ids, scores) in zip(queries, batch):
+                    out.append(
+                        {
+                            "query": q,
+                            "results": [
+                                {"rank": r + 1, "doc_id": int(d), "score": float(s)}
+                                for r, (d, s) in enumerate(zip(ids, scores))
+                            ],
+                        }
+                    )
+                self._json(200, {"batches": out})
+
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None

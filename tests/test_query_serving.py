@@ -256,3 +256,33 @@ def test_http_frontend_page(index_dir):
         assert "<form" in body and "/search?query=" in body
     finally:
         srv.stop()
+
+
+def test_http_batch_endpoint(index_dir):
+    import json as json_
+    import urllib.request
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    local = LocalIndex(index_dir)
+    srv = SearchServer(index_dir, DocShardedSearcher(index_dir, n_shards=2),
+                       spellcheck=False).start()
+    try:
+        body = json_.dumps({
+            "queries": [{"query": "running meetings", "k": 5},
+                        {"query": "the of and", "k": 3}],
+            "mode": "OR",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/batch", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            payload = json_.loads(resp.read())
+        assert len(payload["batches"]) == 2
+        for b in payload["batches"]:
+            want_ids, _ = local.search(b["query"], k=5 if "running" in b["query"] else 3, mode="OR")
+            assert [r["doc_id"] for r in b["results"]] == want_ids.tolist()
+    finally:
+        srv.stop()
