@@ -947,6 +947,40 @@ LIMIT 10
 """
 
 
+# ---- daily active users (windowed count-distinct): dedupe
+#      (day, user) pairs with a groupby, then count per day — the
+#      two-stage exact count-distinct shape ----
+
+def events_dau(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("day")
+        .aggregate(Count(alias_name="dau"))
+    )
+
+
+SQL_EVENTS_DAU = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS dau
+FROM events GROUP BY 1
+"""
+
+
 RAY_QUERIES = {
     "flame_count": flame_count,
     "flame_filter": flame_filter,
@@ -970,6 +1004,7 @@ RAY_QUERIES = {
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
     "analytics_q3": analytics_q3,
+    "events_dau": events_dau,
     "asof_join": asof_join,
     "range_join": range_join,
     "events_sessionize": events_sessionize,
@@ -999,6 +1034,7 @@ ORACLE_SQL = {
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "analytics_q3": SQL_ANALYTICS_Q3,
+    "events_dau": SQL_EVENTS_DAU,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "events_sessionize": SQL_SESSIONIZE,
