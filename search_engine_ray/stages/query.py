@@ -400,6 +400,46 @@ class LocalIndex:
         idx = scoring.topk_indices(scores, mids, k)
         return mids[idx], scores[idx]
 
+    def explain(self, query: str, mode: str = "AND") -> dict:
+        """Query debugging surface: the analyzer's term stream, per-term
+        df / segment count / block-max upper bound, and which pruning
+        strategy the given mode would use. Read-only; no scoring."""
+        terms, stopword_only = analyze_query(query, self.cfg)
+        out_terms = []
+        for t in terms:
+            ts = self.terms.get(t)
+            if ts is None:
+                out_terms.append({"term": t, "df": 0, "segments": 0})
+                continue
+            out_terms.append(
+                {
+                    "term": t,
+                    "df": int(ts.df),
+                    "segments": len(ts.seg_df),
+                    "upper_bound": round(
+                        ts.upper_bound(self.N, self.avgdl, self.cfg.k1, self.cfg.b), 6
+                    ),
+                    "doc_range": [int(ts.first_doc[0]), int(ts.last_doc[-1])],
+                }
+            )
+        n_present = sum(1 for t in out_terms if t["df"])
+        strategy = (
+            "empty" if n_present == 0
+            else "and-range-skip" if mode == "AND"
+            else "maxscore" if n_present > 1 and self.N <= 1 << 26
+            else "single-term-fast-path" if n_present == 1
+            else "dense-accumulate"
+        )
+        return {
+            "query": query,
+            "mode": mode,
+            "terms": out_terms,
+            "stopword_only": stopword_only,
+            "strategy": strategy,
+            "N": self.N,
+            "avgdl": round(self.avgdl, 3),
+        }
+
     def search_df(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         import pandas as pd
 

@@ -286,3 +286,15 @@ def test_http_batch_endpoint(index_dir):
             assert [r["doc_id"] for r in b["results"]] == want_ids.tolist()
     finally:
         srv.stop()
+
+
+def test_explain(index_dir):
+    li = LocalIndex(index_dir)
+    ex = li.explain("running meetings", mode="OR")
+    assert ex["strategy"] in ("maxscore", "dense-accumulate")
+    assert all(t["df"] >= 0 for t in ex["terms"])
+    present = [t for t in ex["terms"] if t["df"]]
+    assert present and all("upper_bound" in t for t in present)
+    assert li.explain("zzznope", mode="OR")["strategy"] == "empty"
+    assert li.explain("running", mode="OR")["strategy"] == "single-term-fast-path"
+    assert li.explain("running meetings", mode="AND")["strategy"] == "and-range-skip"
