@@ -144,6 +144,9 @@ class DocShardActor:
     def search(self, query: str, k: int, mode: str):
         return self.index.search(query, k, mode=mode)
 
+    def explain(self, query: str, mode: str):
+        return self.index.explain(query, mode=mode)
+
     def reload(self, parts: list[int], global_df: dict | None = None) -> bool:
         """Swap in the current on-disk state (after extend_index) —
         rebuilds the in-memory postings for this shard's partitions."""
@@ -233,6 +236,13 @@ class DocShardedSearcher:
             return ids.astype(np.int64), scores
         idx = scoring.topk_indices(scores, ids, k)
         return ids[idx], scores[idx]
+
+    def explain(self, query: str, mode: str = "OR") -> dict:
+        """Query debugging through shard 0 (df/upper bounds are GLOBAL
+        on every shard; only doc_range is shard-local)."""
+        out = ray.get(self.shards[0].explain.remote(query, mode))
+        out["note"] = "per-term doc_range is shard-0-local; stats are global"
+        return out
 
     def search_many(self, queries: list[tuple[str, int]], mode: str = "OR"):
         """Pipelined multi-query evaluation: ALL (query x shard) calls

@@ -169,6 +169,16 @@ class SearchServer:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if u.path == "/explain":
+                    qs = parse_qs(u.query)
+                    query = (qs.get("query") or [""])[0]
+                    mode = (qs.get("mode") or ["OR"])[0].upper()
+                    exp = getattr(outer.searcher, "explain", None)
+                    if exp is None:
+                        self._json(501, {"error": "searcher has no explain"})
+                    else:
+                        self._json(200, exp(query, mode=mode))
+                    return
                 if u.path != "/search":
                     self._json(404, {"error": "unknown route"})
                     return

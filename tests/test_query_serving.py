@@ -298,3 +298,23 @@ def test_explain(index_dir):
     assert li.explain("zzznope", mode="OR")["strategy"] == "empty"
     assert li.explain("running", mode="OR")["strategy"] == "single-term-fast-path"
     assert li.explain("running meetings", mode="AND")["strategy"] == "and-range-skip"
+
+
+def test_http_explain_endpoint(index_dir):
+    import json as json_
+    import urllib.request
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    srv = SearchServer(index_dir, DocShardedSearcher(index_dir, n_shards=2),
+                       spellcheck=False).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/explain?query=running+meetings&mode=OR"
+        ) as resp:
+            payload = json_.loads(resp.read())
+        assert payload["strategy"] in ("maxscore", "dense-accumulate")
+        assert any(t["df"] > 0 for t in payload["terms"])
+    finally:
+        srv.stop()
