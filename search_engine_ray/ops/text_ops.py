@@ -123,13 +123,19 @@ def text_quality(sf_dir: str):
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         *_, doclens = split_tokens(text, cfg)
         denom = np.maximum(n_chars, 1).astype(np.float64)
+        # integer parts-per-million with floor(x + 0.5): numpy's and
+        # DuckDB's round() disagree at the ULP level on float64 ratios,
+        # which flips the driver's exact value hash — int ppm cannot
+        # (same pattern as knn.embedding_quantize)
+        alpha_ppm = np.floor(alpha * 1e6 / denom + 0.5).astype(np.int64)
+        digit_ppm = np.floor(digit * 1e6 / denom + 0.5).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_chars": pa.array(n_chars, pa.int64()),
                 "n_tokens": pa.array(doclens.astype(np.int64), pa.int64()),
-                "alpha_ratio": pa.array(np.round(alpha / denom, 6), pa.float64()),
-                "digit_ratio": pa.array(np.round(digit / denom, 6), pa.float64()),
+                "alpha_ppm": pa.array(alpha_ppm, pa.int64()),
+                "digit_ppm": pa.array(digit_ppm, pa.int64()),
             }
         )
 
@@ -141,10 +147,10 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
                        x -> x <> '')) AS n_tokens,
-       CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS DOUBLE) AS alpha_ratio,
-       CAST(round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS DOUBLE) AS digit_ratio
+       CAST(floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) * 1e6
+             / greatest(length(text), 1) + 0.5) AS BIGINT) AS alpha_ppm,
+       CAST(floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) * 1e6
+             / greatest(length(text), 1) + 0.5) AS BIGINT) AS digit_ppm
 FROM documents
 """
 
