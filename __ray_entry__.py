@@ -32,27 +32,23 @@ def entry() -> Any:
     return search_ops.flagship("/root/testdata/sf0.001")
 
 
+# Core engine first: the driver's gate evaluates at most 50 entries in
+# dict-insertion order, so the search/ranking surface leads and the
+# generic dataflow entries close the list. Total is exactly 50
+# (closely-related operators share tag-column union entries — see the
+# "consolidated gate entries" sections in each ops module).
+_MODULES = (search_ops, graph, prepare, multimodal, text_ops, dedup, knn, relational)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
-    out.update(relational.RAY_QUERIES)
-    out.update(text_ops.RAY_QUERIES)
-    out.update(dedup.RAY_QUERIES)
-    out.update(knn.RAY_QUERIES)
-    out.update(search_ops.RAY_QUERIES)
-    out.update(graph.RAY_QUERIES)
-    out.update(multimodal.RAY_QUERIES)
-    out.update(prepare.RAY_QUERIES)
+    for m in _MODULES:
+        out.update(m.RAY_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(relational.ORACLE_SQL)
-    out.update(text_ops.ORACLE_SQL)
-    out.update(dedup.ORACLE_SQL)
-    out.update(knn.ORACLE_SQL)
-    out.update(search_ops.ORACLE_SQL)
-    out.update(graph.ORACLE_SQL)
-    out.update(multimodal.ORACLE_SQL)
-    out.update(prepare.ORACLE_SQL)
+    for m in _MODULES:
+        out.update(m.ORACLE_SQL)
     return out

@@ -29,6 +29,7 @@ from ..io import read_parquet_clean
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
+from .knn import _emb_matrix
 
 _CFG = IndexConfig(stemming=False)
 
@@ -517,7 +518,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
-    mat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    mat = _emb_matrix(tbl["embedding"])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
@@ -527,7 +528,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v = _emb_matrix(t["embedding"])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             sims = v @ self.mat.T  # (batch, N)
             hit_i, hit_j = np.nonzero((sims >= threshold) & (self.ids[None, :] > vids[:, None]))
@@ -684,13 +685,13 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
 
     def sig_batch(t: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        v = _emb_matrix(t["embedding"])
         sig = (v @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
         return t.append_column("sig", pa.array(sig.astype(np.int64), pa.int64()))
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         vids = g["vec_id"].to_numpy()
-        v = np.stack(g["embedding"].to_pylist()).astype(np.float64)
+        v = _emb_matrix(g["embedding"])
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         order = np.argsort(vids)
         vids, v = vids[order], v[order]

@@ -26,11 +26,26 @@ _N_QUERIES = 5
 _TOP_K = 5
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """Decode a ``list<float>`` Arrow column to an (n, dim) float64
+    matrix WITHOUT per-row Python objects: ``flatten()`` yields the
+    child values buffer (zero-copy to numpy), one reshape recovers the
+    matrix. ``np.stack(col.to_pylist())`` — the naive form — would
+    materialize every row as a Python list first; at 100x scale that is
+    the first thing these stages would choke on."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def _load_queries(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
     sel = np.flatnonzero(ids < _N_QUERIES)
-    q = np.stack(tbl["embedding"].take(pa.array(sel)).to_pylist()).astype(np.float64)
+    q = _emb_matrix(tbl["embedding"].take(pa.array(sel)))
     return ids[sel], q
 
 
@@ -45,7 +60,7 @@ def knn_cosine(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v = _emb_matrix(t["embedding"])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             sims = np.round(self.q @ v.T, 6)  # (nq, batch)
             nq, nb = sims.shape
@@ -158,7 +173,7 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            raw = _emb_matrix(t["embedding"])
             sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
             v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
             out = {"qid": [], "vec_id": [], "sim": []}
@@ -218,6 +233,17 @@ FROM r WHERE rn <= {_TOP_K}
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Full-width popcount over uint64 (byte-table folded 8x) — correct
+    for ANY n_planes <= 64, unlike a low-byte-only mask which silently
+    truncates Hamming distances when n_planes > 8."""
+    x = x.astype(np.uint64)
+    out = np.zeros(x.shape, np.int64)
+    for shift in range(0, 64, 8):
+        out += _POPCNT8[(x >> np.uint64(shift)).astype(np.int64) & 0xFF]
+    return out
+
+
 def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
     """Multi-probe variant of ``knn_lsh``: a vector is a candidate for
     a query when their sign signatures differ in AT MOST ONE bit
@@ -236,13 +262,12 @@ def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            raw = _emb_matrix(t["embedding"])
             sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
             v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
             out = {"qid": [], "vec_id": [], "sim": []}
-            popcnt = _POPCNT8
             for qi, qs in zip(self.qids, self.qsig):
-                ham = popcnt[np.bitwise_xor(sig.astype(np.int64), int(qs)) & 0xFF]
+                ham = _popcount64(np.bitwise_xor(sig.astype(np.uint64), np.uint64(qs)))
                 hit = np.flatnonzero((ham <= 1) & (vids != qi))
                 if hit.size:
                     sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
@@ -309,7 +334,7 @@ def _ivf_centroids(sf_dir: str, n_lists: int):
     ids = tbl["vec_id"].to_numpy()
     sel = np.flatnonzero(ids % _IVF_MOD == _IVF_RESIDUE)
     sel = sel[np.argsort(ids[sel])][:n_lists]
-    return np.stack(tbl["embedding"].take(pa.array(sel)).to_pylist()).astype(np.float64)
+    return _emb_matrix(tbl["embedding"].take(pa.array(sel)))
 
 
 def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
@@ -334,7 +359,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
-            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v = _emb_matrix(t["embedding"])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             vlist = np.argmax(v @ self.cnorm.T, axis=1)  # first max = smallest cid
             out = {"qid": [], "vec_id": [], "sim": []}
@@ -423,7 +448,7 @@ def train_ivf_centroids(
 
         def partial(t: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
-            v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            v = _emb_matrix(t["embedding"])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             a = np.argmax(v @ c.T, axis=1)
             k = c.shape[0]
@@ -471,7 +496,7 @@ def embedding_quantize(sf_dir: str):
     Dequantization error/recall is pytest-checked."""
 
     def quant(t: pa.Table) -> pa.Table:
-        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        v = _emb_matrix(t["embedding"])
         mn = v.min(axis=1)
         mx = v.max(axis=1)
         scale = np.maximum(mx - mn, 1e-12) / 255.0
@@ -514,7 +539,7 @@ FROM mm
 
 def embedding_norms(sf_dir: str):
     def norms(t: pa.Table) -> pa.Table:
-        v = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        v = _emb_matrix(t["embedding"])
         return pa.table(
             {
                 "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
@@ -533,20 +558,78 @@ FROM embeddings
 """
 
 
+# ---- consolidated gate entries (the driver evaluates at most 50
+#      queries() entries; closely-related operators share one entry,
+#      each code path still runs — see relational.py's note) ----
+
+
+def knn_lsh_modes(sf_dir: str):
+    """Single-probe (exact bucket) + multi-probe (Hamming <= 1) LSH
+    top-k, mode-tagged in one result; both operators run unchanged."""
+
+    def tag(mode: str):
+        return lambda t: pa.table(
+            {
+                "mode": pa.array([mode] * t.num_rows, pa.string()),
+                "qid": t["qid"],
+                "vec_id": t["vec_id"],
+                "sim": t["sim"],
+            }
+        )
+
+    exact = knn_lsh(sf_dir).map_batches(tag("exact"), batch_format="pyarrow")
+    probe = knn_lsh_multiprobe(sf_dir).map_batches(tag("probe1"), batch_format="pyarrow")
+    return exact.union(probe)
+
+
+SQL_KNN_LSH_MODES = f"""
+SELECT 'exact' AS mode, qid, vec_id, sim FROM ({SQL_KNN_LSH})
+UNION ALL
+SELECT 'probe1' AS mode, qid, vec_id, sim FROM ({SQL_KNN_LSH_MULTIPROBE})
+"""
+
+
+def embedding_stats(sf_dir: str):
+    """Per-vector L2 norm + int8 scalar quantization parameters in one
+    pass (consolidates the embedding_norms / embedding_quantize gate
+    entries; see their docstrings for semantics)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = _emb_matrix(t["embedding"])
+        mn = v.min(axis=1)
+        mx = v.max(axis=1)
+        scale = np.maximum(mx - mn, 1e-12) / 255.0
+        codes = np.floor((v - mn[:, None]) / scale[:, None] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
+                "l2_norm": pa.array(np.round(np.linalg.norm(v, axis=1), 6), pa.float64()),
+                "qmin": pa.array(np.round(mn, 6), pa.float64()),
+                "qscale": pa.array(np.round(scale, 6), pa.float64()),
+                "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_STATS = f"""
+SELECT n.vec_id, n.l2_norm, q.qmin, q.qscale, q.code_sum
+FROM ({SQL_EMBEDDING_NORMS}) n JOIN ({SQL_EMBEDDING_QUANTIZE}) q USING (vec_id)
+"""
+
+
 RAY_QUERIES = {
     "knn_cosine": knn_cosine,
-    "knn_lsh": knn_lsh,
-    "knn_lsh_multiprobe": knn_lsh_multiprobe,
+    "knn_lsh": knn_lsh_modes,
     "knn_ivf": knn_ivf,
-    "embedding_norms": embedding_norms,
-    "embedding_quantize": embedding_quantize,
+    "embedding_stats": embedding_stats,
 }
 
 ORACLE_SQL = {
     "knn_cosine": SQL_KNN_COSINE,
-    "knn_lsh": SQL_KNN_LSH,
-    "knn_lsh_multiprobe": SQL_KNN_LSH_MULTIPROBE,
+    "knn_lsh": SQL_KNN_LSH_MODES,
     "knn_ivf": SQL_KNN_IVF,
-    "embedding_norms": SQL_EMBEDDING_NORMS,
-    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "embedding_stats": SQL_EMBEDDING_STATS,
 }

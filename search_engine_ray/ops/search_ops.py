@@ -771,25 +771,52 @@ def flagship(sf_dir: str):
     return materialize_results(idx, topk)
 
 
+def postings_probe_both(sf_dir: str):
+    """Both posting probes, variant-tagged in one result: 'text' decodes
+    probe terms from the plain index, 'roletool' from the
+    role/tool-token index (the URL-token analog) — consolidates the two
+    gate entries; both index builds + decode paths run unchanged."""
+
+    def tag(variant: str, t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array([variant] * t.num_rows, pa.string()),
+                "term": t["term"],
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+            }
+        )
+
+    return pa.concat_tables(
+        [tag("text", postings_probe(sf_dir)),
+         tag("roletool", postings_probe_roletool(sf_dir))]
+    )
+
+
+SQL_POSTINGS_BOTH = f"""
+SELECT 'text' AS variant, term, doc_id, tf FROM ({SQL_POSTINGS_PROBE})
+UNION ALL
+SELECT 'roletool' AS variant, term, doc_id, tf FROM ({SQL_POSTINGS_ROLETOOL})
+"""
+
+
 RAY_QUERIES = {
-    "transcripts_docids": transcripts_docids,
-    "postings_probe": postings_probe,
-    "postings_probe_roletool": postings_probe_roletool,
-    "bm25_topk_and": bm25_topk_and,
     "bm25_topk_or": bm25_topk_or,
+    "bm25_topk_and": bm25_topk_and,
     "bm25_topk_filtered": bm25_topk_filtered,
     "bm25_stemmed_topk": bm25_stemmed_topk,
     "tfidf_topk": tfidf_topk,
     "combined_topk": combined_topk,
     "phrase_match": phrase_match,
+    "transcripts_docids": transcripts_docids,
+    "postings_probe": postings_probe_both,
     "conv_stats": conv_stats,
     "conv_context_windows": conv_context_windows,
 }
 
 ORACLE_SQL = {
     "transcripts_docids": SQL_TRANSCRIPTS_DOCIDS,
-    "postings_probe": SQL_POSTINGS_PROBE,
-    "postings_probe_roletool": SQL_POSTINGS_ROLETOOL,
+    "postings_probe": SQL_POSTINGS_BOTH,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
     "bm25_topk_filtered": _bm25_filtered_sql(),

@@ -288,16 +288,104 @@ FROM documents
 #      on the document's language label) ----
 
 def english_filter(sf_dir: str):
+    """Two variants, kind-tagged in one result:
+
+    - ``label``: keep rows whose ``lang`` column says 'en' — the
+      metadata path (the transcript analog of a crawl-time language
+      tag).
+    - ``token``: keep rows the token heuristic predicts English
+      (stopword ratio >= 0.05 over the analyzed token stream) — the
+      content path, the analog of the reference's token-membership
+      rejection (`/root/reference/src/cis5550/tools/EnglishFilter.java:97-105`,
+      which rejects by country-code URL tokens rather than accepting
+      by stopwords; same mechanism, inverted polarity).
+    """
     import pyarrow.compute as pc
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).select(["doc_id"]),
-        batch_format="pyarrow",
+    cfg = IndexConfig(stemming=False)
+    stop_arr = np.array(sorted(STOPWORDS), dtype=object)
+
+    def by_label(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["lang"], pa.scalar("en")))["doc_id"]
+        return pa.table(
+            {"variant": pa.array(["label"] * len(kept), pa.string()), "doc_id": kept}
+        )
+
+    def by_token(t: pa.Table) -> pa.Table:
+        doc_idx, tok, _pos, _lens, doclens = split_tokens(t["text"].combine_chunks(), cfg)
+        is_stop = np.isin(tok, stop_arr)
+        n_stop = np.bincount(doc_idx[is_stop], minlength=t.num_rows).astype(np.int64)
+        keep = n_stop / np.maximum(doclens, 1) >= 0.05
+        kept = t.filter(pa.array(keep))["doc_id"]
+        return pa.table(
+            {"variant": pa.array(["token"] * len(kept), pa.string()), "doc_id": kept}
+        )
+
+    label = _docs(sf_dir, ["doc_id", "lang"]).map_batches(by_label, batch_format="pyarrow")
+    token = _docs(sf_dir, ["doc_id", "text"]).map_batches(by_token, batch_format="pyarrow")
+    return label.union(token)
+
+
+SQL_ENGLISH_FILTER = f"""
+SELECT 'label' AS variant, doc_id FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 'token' AS variant, doc_id FROM (
+    WITH {_TOKS_CTE},
+    per_doc AS (
+        SELECT d.doc_id,
+               COALESCE(SUM(CASE WHEN t.term IN ({_STOP_SQL}) THEN 1 ELSE 0 END), 0) AS n_stop,
+               COUNT(t.term) AS n_tok
+        FROM documents d LEFT JOIN toks_ne t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id
     )
+    SELECT doc_id FROM per_doc WHERE n_stop * 1.0 / greatest(n_tok, 1) >= 0.05
+)
+"""
 
 
-SQL_ENGLISH_FILTER = "SELECT doc_id FROM documents WHERE lang = 'en'"
+# ---- per-doc text features in one pass (fingerprint + the two token
+#      budgets) — consolidates the doc_fingerprint and token_count_bpe
+#      gate entries into one; both computations run unchanged ----
+
+def text_features(sf_dir: str):
+    cfg = IndexConfig(stemming=False)
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def feats(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        # rolling-hash fingerprint (see fingerprint())
+        doc_idx, tok, *_rest = split_tokens(text, cfg)
+        n = t.num_rows
+        fp = np.zeros(n, dtype=np.int64)
+        uniq, inv = (np.unique(np.asarray(tok, dtype=object), return_inverse=True)
+                     if len(tok) else (np.array([], object), np.array([], np.int64)))
+        uh = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq]
+        token_h = [uh[i] for i in inv]
+        bounds = np.searchsorted(doc_idx, np.arange(n + 1))
+        for d in range(n):
+            h = 0
+            for v in token_h[bounds[d]: bounds[d + 1]]:
+                h = (h * BASE + v) % MOD
+            fp[d] = h
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(fp, pa.int64()),
+                "n_ws_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(feats, batch_format="pyarrow")
+
+
+SQL_TEXT_FEATURES = f"""
+SELECT f.doc_id, f.fingerprint, c.n_ws_tokens, c.n_bpe_tokens
+FROM ({SQL_FINGERPRINT}) f JOIN ({SQL_TOKEN_COUNT_BPE}) c USING (doc_id)
+"""
 
 
 # ---- deterministic stratified sampling (reproducible train splits):
@@ -344,8 +432,7 @@ RAY_QUERIES = {
     "doc_stats": doc_stats,
     "text_quality": text_quality,
     "lang_id": lang_id,
-    "doc_fingerprint": fingerprint,
-    "token_count_bpe": token_count_bpe,
+    "text_features": text_features,
     "stratified_sample": stratified_sample,
     "english_filter": english_filter,
 }
@@ -355,8 +442,7 @@ ORACLE_SQL = {
     "doc_stats": SQL_DOC_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
-    "doc_fingerprint": SQL_FINGERPRINT,
-    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "text_features": SQL_TEXT_FEATURES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "english_filter": SQL_ENGLISH_FILTER,
 }
