@@ -48,6 +48,13 @@ DEFAULT_TOP_K = 200
 # (Search.java:24 stopword_penalty, :209-214)
 STOPWORD_PENALTY = 0.05
 
+# Content hashing for dedup/shingling. False (default) = md5-60, bit-
+# identical to the DuckDB oracle twin — every gate entry relies on it.
+# True = polars' vectorized xxhash64 (no per-string Python loop) for
+# production runs where SQL mirrorability is not needed; flips the
+# concrete hash values but not any operator's semantics.
+FAST_CONTENT_HASH = False
+
 
 @dataclass(frozen=True)
 class IndexConfig:

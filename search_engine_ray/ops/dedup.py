@@ -56,6 +56,30 @@ def _md5_60_arr(strings: np.ndarray) -> np.ndarray:
     )
 
 
+def _hash60(strings) -> np.ndarray:
+    """60-bit content hash of a string column (numpy object array,
+    pa.Array or pa.ChunkedArray).
+
+    Default: md5-60 — bit-identical to the SQL twin; every oracle-gated
+    entry depends on this path. With ``config.FAST_CONTENT_HASH`` the
+    hash is polars' vectorized xxhash64 (top 60 bits) — no per-string
+    Python loop, for production runs where SQL mirrorability is not
+    needed. Same dedup/shingle semantics either way."""
+    from .. import config as _config
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if _config.FAST_CONTENT_HASH:
+        import polars as pl
+
+        arr = strings if isinstance(strings, pa.Array) else pa.array(strings, pa.string())
+        h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+        return (h >> np.uint64(4)).astype(np.int64)
+    obj = (strings.to_numpy(zero_copy_only=False)
+           if isinstance(strings, pa.Array) else strings)
+    return _md5_60_arr(obj)
+
+
 # ---- exact dedup: hash-partition on content + per-group first ----
 
 def dedup_exact(sf_dir: str):
@@ -72,7 +96,7 @@ def dedup_exact(sf_dir: str):
     def hash_content(t: pa.Table) -> pa.Table:
         texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"doc_id": t["doc_id"], "h": pa.array(_md5_60_arr(texts), pa.int64())}
+            {"doc_id": t["doc_id"], "h": pa.array(_hash60(texts), pa.int64())}
         )
 
     return (
@@ -149,7 +173,7 @@ def _shingle_batch(t: pa.Table, hashed: bool) -> pa.Table:
     own = np.concatenate([p[0] for p in parts])
     sh_all = np.concatenate([p[1] for p in parts])
     # distinct (doc, shingle): lexsort + drop consecutive dups (vectorized)
-    h_all = _md5_60_arr(sh_all)
+    h_all = _hash60(sh_all)
     order = np.lexsort((h_all, own))
     own, sh_all, h_all = own[order], sh_all[order], h_all[order]
     first = np.ones(len(own), dtype=bool)
@@ -463,7 +487,7 @@ def dedup_simhash(sf_dir: str):
             dict_arr = flat.dictionary_encode()
             codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             uniq = dict_arr.dictionary.to_numpy(zero_copy_only=False)
-            uh = _md5_60_arr(uniq).astype(np.uint64)
+            uh = _hash60(uniq).astype(np.uint64)
             bits = ((uh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
             signs = bits * 2 - 1  # (n_uniq, 60) in {-1, +1}
             # per (doc, term) counts
@@ -666,30 +690,66 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-# ---- embedding near-dup, LSH-bucketed (the scale path) ----
+# ---- embedding near-dup, banded LSH (the scale path) ----
 
-_EMB_PLANES = 4  # coarse buckets: 2^4 = 16; each bucket all-pairs locally
+_EMB_BANDS = 4        # independent hash tables (recall: a pair matches if ANY band agrees)
+_EMB_ROWS = 8         # planes per band: 2^8 = 256 buckets/band at the gate setting
+_EMB_BUCKET_CAP = 4096  # skip degenerate buckets (mirrored by the oracle's HAVING)
+_EMB_DIM = 64
 
 
-def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
-    """Near-dup pairs via random-hyperplane bucketing: vectors shuffle
-    to their sign-signature bucket (groupby), all-pairs cosine runs
-    only WITHIN a bucket — O(sum b_i^2) instead of O(N^2). Approximate
-    by design (a pair split across buckets is missed; recall rises
-    with fewer planes / multiple tables); the oracle reproduces the
-    identical bucketing, so the gate checks the mechanism exactly."""
+def _emb_rows_for(n: int) -> int:
+    """Auto-scaled rows-per-band: 2^rows ~ N keeps the EXPECTED random
+    bucket load O(1), so total candidate pairs grow ~linearly with the
+    corpus instead of quadratically (property-tested in
+    tests/test_dedup_knn.py)."""
+    return max(_EMB_ROWS, int(np.ceil(np.log2(max(n, 2)))))
+
+
+def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int,
+                  cap: int = _EMB_BUCKET_CAP, dim: int = _EMB_DIM):
+    """Banded random-hyperplane near-dup: each vector lands in one
+    bucket PER BAND (groupby shuffle on (band, sig)); all-pairs cosine
+    runs only within a bucket, and a pair found by several bands is
+    deduplicated by a tiny (vec_a, vec_b) groupby. With b bands of r
+    planes the expected random bucket load is N/2^r — pick r ~ log2(N)
+    (``_emb_rows_for``) and per-bucket work stays O(1) per vector.
+    Buckets larger than ``cap`` are skipped entirely (boilerplate /
+    degenerate regions — same guard as the shingle df-cap; documented
+    recall trade, mirrored exactly by the SQL oracle)."""
     from .knn import _planes
+    from ray.data.aggregate import Min
 
-    planes = _planes(_EMB_PLANES, 64)
+    planes = _planes(n_bands * n_rows, dim)
     pref = ray.put(planes)
+    weights = (1 << np.arange(n_rows)).astype(np.int64)
 
-    def sig_batch(t: pa.Table) -> pa.Table:
+    def band_rows(t: pa.Table) -> pa.Table:
         pl = ray.get(pref)
         v = _emb_matrix(t["embedding"])
-        sig = (v @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
-        return t.append_column("sig", pa.array(sig.astype(np.int64), pa.int64()))
+        bits = (v @ pl.T) > 0  # (n, n_bands * n_rows)
+        tables = []
+        for b in range(n_bands):
+            sig = bits[:, b * n_rows:(b + 1) * n_rows].astype(np.int64) @ weights
+            tables.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(sig), b, np.int32), pa.int32()),
+                        "sig": pa.array(sig, pa.int64()),
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if g.num_rows < 2 or g.num_rows > cap:
+            return empty
         vids = g["vec_id"].to_numpy()
         v = _emb_matrix(g["embedding"])
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
@@ -706,33 +766,62 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("sig")
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "sig"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    # a pair surfaces once per agreeing band with the identical cosine;
+    # Min just picks it
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
+    """Gate entry: the banded LSH at the FIXED (bands, rows) = (4, 8)
+    setting so the seeded planes inline verbatim into the oracle; the
+    scale path auto-sizes rows with ``_emb_rows_for`` (see
+    ``emb_lsh_pairs``)."""
+    import pyarrow.parquet as pq
+
+    first = next(
+        pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(first["embedding"][0])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb_lsh_pairs(ds, threshold, _EMB_BANDS, _EMB_ROWS, dim=dim)
 
 
 def _dedup_embedding_lsh_sql() -> str:
     from .knn import _planes_sql
 
     return f"""
-WITH {_planes_sql(_EMB_PLANES, 64)},
+WITH {_planes_sql(_EMB_BANDS * _EMB_ROWS, _EMB_DIM)},
 e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
 ),
-sig AS (
-    SELECT vec_id, e,
+sigs AS (
+    SELECT vec_id, CAST(pl.i // {_EMB_ROWS} AS INTEGER) AS band,
            CAST(SUM(CASE WHEN list_dot_product(e.e, pl.p) > 0
-                         THEN (1 << pl.i) ELSE 0 END) AS BIGINT) AS s
-    FROM e CROSS JOIN planes pl GROUP BY vec_id, e
+                         THEN (1 << (pl.i % {_EMB_ROWS})) ELSE 0 END) AS BIGINT) AS sig
+    FROM e CROSS JOIN planes pl GROUP BY vec_id, pl.i // {_EMB_ROWS}
+),
+bsize AS (SELECT band, sig, COUNT(*) AS n FROM sigs GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sigs a
+    JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND b.vec_id > a.vec_id
+    JOIN bsize s ON s.band = a.band AND s.sig = a.sig
+    WHERE s.n <= {_EMB_BUCKET_CAP}
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
-FROM sig a JOIN sig b ON a.s = b.s AND b.vec_id > a.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+SELECT c.vec_a, c.vec_b,
+       CAST(round(list_cosine_similarity(ea.e, eb.e), 6) AS DOUBLE) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.e, eb.e) >= 0.4
 """
 
 

@@ -68,12 +68,12 @@ def prepare_corpus(sf_dir: str):
     )
     # exact dedup: smallest doc_id per identical text — shuffle the
     # content hash, not the text bytes (see dedup.dedup_exact)
-    from .dedup import _md5_60_arr
+    from .dedup import _hash60
 
     def hash_content(t: pa.Table) -> pa.Table:
         texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"doc_id": t["doc_id"], "h": pa.array(_md5_60_arr(texts), pa.int64())}
+            {"doc_id": t["doc_id"], "h": pa.array(_hash60(texts), pa.int64())}
         )
 
     exact = (

@@ -247,3 +247,68 @@ def test_knn_lsh_multiprobe_recall_dominates(emb_dir):
         p = set(plain[plain["qid"] == q]["vec_id"].astype(int))
         m = set(multi[multi["qid"] == q]["vec_id"].astype(int))
         assert len(m & exact) >= len(p & exact), q
+
+
+def test_emb_lsh_recall_on_near_dups(emb_dir):
+    """Banded LSH must recover the tight same-cluster pairs (cosine
+    ~1.0): near-identical vectors agree on every hyperplane, so every
+    band buckets them together regardless of rows-per-band."""
+    sf_dir, mat = emb_dir
+    got = dedup.dedup_embedding_lsh(sf_dir, threshold=0.99).to_pandas()
+    pairs = {tuple(p) for p in got[["vec_a", "vec_b"]].itertuples(index=False)}
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    a, b = np.triu_indices(len(mat), k=1)
+    truth = {(i, j) for i, j in zip(a[sims[a, b] >= 0.9999], b[sims[a, b] >= 0.9999])}
+    assert truth, "fixture should contain tight near-dup pairs"
+    assert truth <= pairs
+
+
+def test_emb_lsh_candidates_scale_linearly(ray_session, tmp_path_factory):
+    """The scale property the banding exists for: with rows-per-band
+    auto-sized to ~log2(N), doubling a random corpus should ~double the
+    candidate-pair count (a fixed 16-bucket scheme would quadruple it)."""
+    import ray.data
+
+    def count_candidates(n, seed=5):
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, 16)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+            }
+        )
+        pairs = dedup.emb_lsh_pairs(
+            ray.data.from_arrow(tbl), threshold=-1.0,
+            n_bands=4, n_rows=dedup._emb_rows_for(n), dim=16,
+        )
+        return pairs.count()
+
+    c_small = count_candidates(256)
+    c_big = count_candidates(512)
+    assert c_big <= 3 * max(c_small, 1), (c_small, c_big)
+
+
+def test_fast_content_hash_preserves_dedup_semantics(doc_dir):
+    """config.FAST_CONTENT_HASH swaps md5-60 for vectorized xxhash64;
+    hash VALUES change but dedup results (which never expose the hash)
+    must not: same exact-dup groups, same verified near-dup pairs."""
+    import search_engine_ray.config as config
+
+    sf_dir, _texts = doc_dir
+
+    def run():
+        exact = dedup.dedup_exact(sf_dir).to_pandas()
+        exact = set(map(tuple, exact[["keep_doc_id", "n_copies"]].itertuples(index=False)))
+        near = dedup.dedup_minhash_lsh(sf_dir).to_pandas()
+        near = set(map(tuple, near[["doc_a", "doc_b"]].itertuples(index=False)))
+        return exact, near
+
+    slow = run()
+    config.FAST_CONTENT_HASH = True
+    try:
+        fast = run()
+    finally:
+        config.FAST_CONTENT_HASH = False
+    assert slow == fast
