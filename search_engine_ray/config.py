@@ -75,6 +75,9 @@ class IndexConfig:
                                    # off by default: transcripts are plain text
     positions: bool = True         # store varbyte position blocks (split_page_locs capability)
     index_role_tool: bool = False  # prepend role/tool tokens (analog of URL-token indexing, Indexer.java:236-238)
+    store_prior: bool = False      # per-posting doc-prior stream (the reference's pagerank-in-posting
+                                   # payload, Search.java:89-108 "url^pagerank tf"); prior = char length
+                                   # of the untruncated turn text, stored varbyte like doclen
     doc_bucket_size: int = 1 << 17
     batch_size: int = 4096
     k1: float = BM25_K1

@@ -97,6 +97,7 @@ def ensure_index(sf_dir: str, variant: str = "raw") -> str:
         "raw": IndexConfig(stemming=False, positions=False),
         "rawpos": IndexConfig(stemming=False, positions=True),
         "roletool": IndexConfig(stemming=False, positions=False, index_role_tool=True),
+        "prior": IndexConfig(stemming=False, positions=False, store_prior=True),
         "stemmed": IndexConfig(),
     }[variant]
     tdir = transcripts_dir(sf_dir)
@@ -446,41 +447,29 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 #      plugs in; ops/graph.pagerank supplies one when a graph exists) ----
 
 def combined_topk(sf_dir: str):
-    """Scale note: the per-doc prior is loaded as an O(N) driver map
-    here because the gate evaluates in-process; at cluster scale the
-    prior column rides in the docs store / per-posting stream exactly
-    like doclen (format v3), so each doc shard holds only its range.
-    """
-    import pyarrow.parquet as pq
-
-    import glob as glob_
-
-    idx = ensure_index(sf_dir, "raw")
+    """The prior rides IN the posting payload (a varbyte stream beside
+    doclen — the reference's ``url^pagerank tf`` format,
+    Search.java:89-108), so scoring is fully shard-local: no driver-side
+    prior map, no O(N) table load anywhere. The prior value is the
+    char length of the turn text (== documents.n_chars, since the
+    transcript text is the document text), scaled /100 at score time."""
+    idx = ensure_index(sf_dir, "prior")
     li = LocalIndex(idx)
-    doclen = li.doclen.astype(np.float64)
-    # rank-doc_id -> original documents.doc_id via the transcript
-    # mapping (conv = doc//5, turn = doc%5) recorded in conv_id/turn_idx
-    docs_t = pq.read_table(
-        sorted(glob_.glob(os.path.join(idx, "docs", "*.parquet"))),
-        columns=["doc_id", "conv_id", "turn_idx"],
-    )
-    rank_ids = docs_t["doc_id"].to_numpy()
-    conv_num = np.array([int(c[5:]) for c in docs_t["conv_id"].to_pylist()], dtype=np.int64)
-    orig_ids = conv_num * 5 + docs_t["turn_idx"].to_numpy().astype(np.int64)
-    prior_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    nchars_by_orig = dict(zip(prior_tbl["doc_id"].to_numpy(), prior_tbl["n_chars"].to_numpy()))
-    prior = np.zeros(li.N, np.float64)
-    prior[rank_ids] = np.array([nchars_by_orig[o] for o in orig_ids], dtype=np.float64) / 100.0
     qid_out, doc_out, score_out = [], [], []
     for qid, q in _BM25_QUERIES:
         tfidf = np.zeros(li.N, np.float64)
+        prior = np.ones(li.N, np.float64)
         seen = np.zeros(li.N, bool)
         for term in q.split():
-            ids, tfs = li.term_postings(term)
+            ts = li.terms.get(term)
+            if ts is None:
+                continue
+            ids, tfs, dls = ts.decode()
             df = len(ids)
             if df == 0:
                 continue
-            tfidf[ids] += tfs * np.log(li.N / df) / doclen[ids]
+            tfidf[ids] += tfs * np.log(li.N / df) / dls.astype(np.float64)
+            prior[ids] = ts.decode_priors().astype(np.float64) / 100.0
             seen[ids] = True
         ids = np.flatnonzero(seen)
         score = 0.95 * np.log(tfidf[ids]) + 0.05 * np.log(prior[ids])
@@ -523,17 +512,14 @@ tfidf AS (
     SELECT query_id, doc_id, SUM(s) AS tfidf
     FROM contrib GROUP BY query_id, doc_id
 ),
-orig AS (
-    SELECT doc_id,
-           CAST(substr(conv_id, 6) AS BIGINT) * 5 + turn_idx AS orig_doc_id
-    FROM tr
-),
 scored AS (
+    -- prior = char length of the turn text (== documents.n_chars:
+    -- the transcript text IS the document text), matching the
+    -- per-posting prior stream the Ray side stores at build time
     SELECT t.query_id, t.doc_id,
-           round(0.95 * ln(t.tfidf) + 0.05 * ln(d.n_chars / 100.0), 6) AS score
+           round(0.95 * ln(t.tfidf) + 0.05 * ln(length(d.text) / 100.0), 6) AS score
     FROM tfidf t
-    JOIN orig o ON t.doc_id = o.doc_id
-    JOIN documents d ON o.orig_doc_id = d.doc_id
+    JOIN tr d ON t.doc_id = d.doc_id
 ),
 ranked AS (
     SELECT query_id, doc_id, score,

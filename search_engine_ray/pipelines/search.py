@@ -133,13 +133,25 @@ class DocShardActor:
     Self-healing: constructor args are plain values (the global-df
     broadcast is re-read from the on-disk dictionary when not given),
     so a crashed actor restarts from the checkpointed index and the
-    in-flight query retries transparently."""
+    in-flight query retries transparently. The parts assignment is
+    given as a LAYOUT FILE path, not a list: a Ray restart re-runs
+    ``__init__`` with the ORIGINAL args, so an inline list would
+    resurrect the pre-``reload()`` layout — the file always holds the
+    searcher's current assignment, making restarts layout-consistent."""
 
-    def __init__(self, index_dir: str, parts: list[int], global_df: dict | None = None):
-        self._args = (index_dir, parts)
+    def __init__(self, index_dir: str, layout_file: str, global_df: dict | None = None):
+        self._index_dir = index_dir
+        self._layout_file = layout_file
+        self._load(global_df)
+
+    def _load(self, global_df: dict | None = None):
+        import json
+
+        with open(self._layout_file) as f:
+            parts = [int(p) for p in json.load(f)["parts"]]
         if global_df is None:
-            global_df = _load_global_df(index_dir)
-        self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
+            global_df = _load_global_df(self._index_dir)
+        self.index = LocalIndex(self._index_dir, parts=parts, global_df=global_df)
 
     def search(self, query: str, k: int, mode: str):
         return self.index.search(query, k, mode=mode)
@@ -147,14 +159,11 @@ class DocShardActor:
     def explain(self, query: str, mode: str):
         return self.index.explain(query, mode=mode)
 
-    def reload(self, parts: list[int], global_df: dict | None = None) -> bool:
-        """Swap in the current on-disk state (after extend_index) —
-        rebuilds the in-memory postings for this shard's partitions."""
-        index_dir, _ = self._args
-        self._args = (index_dir, parts)
-        if global_df is None:
-            global_df = _load_global_df(index_dir)
-        self.index = LocalIndex(index_dir, parts=parts, global_df=global_df)
+    def reload(self, global_df: dict | None = None) -> bool:
+        """Swap in the current on-disk state (after extend_index /
+        compact_index): re-reads this shard's layout file and rebuilds
+        the in-memory postings."""
+        self._load(global_df)
         return True
 
     def ping(self) -> bool:
@@ -168,9 +177,16 @@ class DocShardedSearcher:
     a concatenate + the shared deterministic top-k."""
 
     def __init__(self, index_dir: str, n_shards: int = 4):
+        import uuid
+
         self.index_dir = index_dir
         self.n_shards = n_shards
         self.shards: list = []
+        # per-searcher layout dir: restarted actors re-read their CURRENT
+        # parts assignment from here (see DocShardActor docstring)
+        self._layout_dir = os.path.join(
+            index_dir, "serving_layout", uuid.uuid4().hex[:12]
+        )
         self._start()
 
     @staticmethod
@@ -186,16 +202,32 @@ class DocShardedSearcher:
         ]
         return groups, _load_global_df(index_dir)
 
+    def _write_layouts(self, groups) -> list[str]:
+        """Atomically write shard-i.json files (tmp + rename) holding
+        each shard's current parts assignment."""
+        import json
+
+        os.makedirs(self._layout_dir, exist_ok=True)
+        paths = []
+        for i, g in enumerate(groups):
+            path = os.path.join(self._layout_dir, f"shard-{i}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"parts": [int(p) for p in g]}, f)
+            os.replace(tmp, path)
+            paths.append(path)
+        return paths
+
     def _start(self):
         import json
 
         groups, _ = self._layout(self.index_dir, self.n_shards)
         self._groups = groups
+        paths = self._write_layouts(groups)
         # actors load the df broadcast from disk themselves: restart-safe
         # (an ObjectRef constructor arg dies with the driver's ref)
         self.shards = [
-            DocShardActor.remote(self.index_dir, [int(p) for p in g])
-            for g in groups
+            DocShardActor.remote(self.index_dir, path) for path in paths
         ]
         ray.get([s.ping.remote() for s in self.shards])
         with open(os.path.join(self.index_dir, "meta.json")) as f:
@@ -204,23 +236,32 @@ class DocShardedSearcher:
 
     def refresh(self) -> bool:
         """Pick up on-disk changes (extend_index appended partitions /
-        df changed): existing actors reload in place; extra partitions
-        get new actors; the dictionary df broadcast is re-shipped. Old
-        in-memory state serves until each actor's reload returns, so
-        queries never fail during a refresh."""
+        compact_index regrouped them / df changed): existing actors
+        reload in place; extra partitions get new actors; surplus
+        actors (the group count SHRANK, e.g. after compaction) are
+        killed so no stale doc range keeps serving. Old in-memory state
+        serves until each actor's reload returns, so queries never fail
+        during a refresh."""
         import json
 
         groups, _ = self._layout(self.index_dir, self.n_shards)
+        paths = self._write_layouts(groups)
         calls = []
         for i, g in enumerate(groups):
             if i < len(self.shards):
-                calls.append(self.shards[i].reload.remote([int(p) for p in g]))
+                calls.append(self.shards[i].reload.remote())
             else:
-                actor = DocShardActor.remote(self.index_dir, [int(p) for p in g])
+                actor = DocShardActor.remote(self.index_dir, paths[i])
                 self.shards.append(actor)
                 calls.append(actor.ping.remote())
+        # shrink: drop actors past the new group count BEFORE gathering,
+        # so search() never routes to a stale-layout shard again
+        surplus = self.shards[len(groups):]
+        del self.shards[len(groups):]
         self._groups = groups
         ray.get(calls)
+        for a in surplus:
+            ray.kill(a)
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.cfg = IndexConfig.from_json(meta["config"])

@@ -187,12 +187,24 @@ class SearchServer:
                 if not query:
                     self._json(400, {"error": "missing query parameter"})
                     return
-                k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
+                try:
+                    k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
+                except ValueError:
+                    self._json(400, {"error": "k must be an integer"})
+                    return
+                if k < 1:
+                    self._json(400, {"error": "k must be >= 1"})
+                    return
                 mode = (qs.get("mode") or ["OR"])[0].upper()
                 corrected = None
                 run_query = query
                 if outer.speller is not None:
-                    words = query.split()
+                    # correct the ANALYZED (lowercased) terms — the
+                    # dictionary holds analyzed terms, so a correctly
+                    # spelled capitalized word must not miss it
+                    # (reference parity: Search.java spellchecks the
+                    # analyzed words)
+                    words = query.lower().split()
                     fixed, changed = outer.speller.correct_query(words)
                     if changed:
                         corrected = fixed

@@ -46,6 +46,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("tf_bytes", pa.large_binary()),
         ("dl_bytes", pa.large_binary()),
         ("pos_bytes", pa.large_binary()),
+        ("pr_bytes", pa.large_binary()),
     ]
 )
 
@@ -113,6 +114,15 @@ def build_partials(
     doc_ids = batch["doc_id"].to_numpy()
     doclens = batch["doclen"].to_numpy()
     texts = batch["text"].combine_chunks()
+    if cfg.store_prior:
+        # per-doc prior = char length of the UNTRUNCATED raw text (the
+        # reference's pagerank slot in the posting payload,
+        # Search.java:89-108); measured before any role/tool prepend
+        import pyarrow.compute as pc
+
+        priors = pc.utf8_length(texts).to_numpy().astype(np.int64)
+    else:
+        priors = None
     if cfg.index_role_tool:
         # analog of the reference's URL-token indexing (host/path tokens
         # prepended to the page text, Indexer.java:236-238)
@@ -189,6 +199,15 @@ def build_partials(
         entry_doclen.astype(np.int64), np.concatenate([grp_start, [n_entries]])
     )
 
+    # ---- per-posting prior stream (optional, ~1-2 bytes/posting) ----
+    if priors is not None:
+        pr_blob, pr_boff = vb.encode_offsets(
+            priors[entry_local], np.concatenate([grp_start, [n_entries]])
+        )
+        pr_col = [pr_blob[pr_boff[g] : pr_boff[g + 1]] for g in range(n_groups)]
+    else:
+        pr_col = [None] * n_groups
+
     # ---- position stream (gaps reset at each entry) ----
     if cfg.positions:
         pos_gaps = np.empty(len(pos_sorted), dtype=np.int64)
@@ -224,5 +243,6 @@ def build_partials(
                 pa.large_binary(),
             ),
             "pos_bytes": pa.array(pos_col, pa.large_binary()),
+            "pr_bytes": pa.array(pr_col, pa.large_binary()),
         }
     )

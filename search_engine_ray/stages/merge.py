@@ -147,6 +147,17 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
     else:
         out_pos = pa.nulls(len(grp_start), pa.large_binary())
 
+    # prior stream (optional): plain per-posting values, concat as-is
+    if "pr_bytes" in batch.column_names:
+        pr_arr = batch["pr_bytes"].combine_chunks().cast(pa.large_binary())
+        if pr_arr.null_count < n:
+            pr_offs, pr_data = _binary_parts(pr_arr)
+            out_pr = _binary_from(pr_offs[grp_bounds], pr_data)
+        else:
+            out_pr = pa.nulls(len(grp_start), pa.large_binary())
+    else:
+        out_pr = None
+
     # ---- doc gaps: rebase each continuation row's first varint ----
     doc_arr = batch["doc_bytes"].combine_chunks().cast(pa.large_binary())
     doc_offs, doc_data = _binary_parts(doc_arr)
@@ -195,6 +206,8 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
             "dl_bytes": out_dl,
             "pos_bytes": out_pos,
     }
+    if out_pr is not None:
+        cols["pr_bytes"] = out_pr
     if "part" in batch.column_names:
         cols["part"] = batch["part"].take(pa.array(grp_start))
     return pa.table(cols)

@@ -85,11 +85,11 @@ class _TermSegments:
     """All posting segments of one term, ordered by (bucket, first_doc)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
-                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "_cache", "_key",
-                 "_ub")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "pr_bytes",
+                 "_cache", "_key", "_ub")
 
     def __init__(self, df, first_doc, last_doc, seg_df, max_tf, min_doclen, doc_bytes, tf_bytes,
-                 dl_bytes=None, pos_bytes=None):
+                 dl_bytes=None, pos_bytes=None, pr_bytes=None):
         self.df = df
         self.first_doc = first_doc
         self.last_doc = last_doc
@@ -100,6 +100,7 @@ class _TermSegments:
         self.tf_bytes = tf_bytes
         self.dl_bytes = dl_bytes
         self.pos_bytes = pos_bytes
+        self.pr_bytes = pr_bytes
         self._cache: _LRUBytes | None = None
         self._key = None
         self._ub: float | None = None
@@ -151,6 +152,20 @@ class _TermSegments:
             )
         return self._ub
 
+    def decode_priors(self):
+        """Per-posting doc priors, aligned with a full ``decode()`` —
+        the reference's pagerank-in-posting payload
+        (Search.java:89-108). Requires an index built with
+        ``store_prior`` (the index1000 analog: each shard scores the
+        combined 0.95*ln(tfidf)+0.05*ln(prior) rank locally, no
+        corpus-wide prior table anywhere)."""
+        if self.pr_bytes is None or self.pr_bytes[0] is None:
+            raise ValueError("index built without store_prior")
+        return np.concatenate(
+            [vb.decode(self.pr_bytes[i]).astype(np.int64)
+             for i in range(len(self.pr_bytes))]
+        )
+
     def decode_positions(self):
         """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
         are ``pos_values[pos_starts[i]:pos_starts[i+1]]`` (ascending).
@@ -190,6 +205,7 @@ class LocalIndex:
         self.avgdl = float(self.meta["avgdl"])
         self.terms: dict[str, _TermSegments] = {}
         self.has_positions = load_positions and self.cfg.positions
+        self.has_priors = bool(getattr(self.cfg, "store_prior", False))
         if parts is not None:
             want = {f"part={p:05d}" for p in parts}
             seg_files = sorted(
@@ -205,6 +221,8 @@ class LocalIndex:
                 "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes"]
         if self.has_positions:
             cols.append("pos_bytes")
+        if self.has_priors:
+            cols.append("pr_bytes")
         # vectorized ingest: one concat -> dictionary-encode terms ->
         # lexsort (term, bucket, first_doc) -> slice per-term groups;
         # no per-row python dict work (startup cost is what a restarted
@@ -242,6 +260,10 @@ class LocalIndex:
                 t["pos_bytes"].combine_chunks().take(take).to_pylist()
                 if self.has_positions else None
             )
+            prb = (
+                t["pr_bytes"].combine_chunks().take(take).to_pylist()
+                if self.has_priors else None
+            )
             change = np.empty(len(code), dtype=bool)
             change[0] = True
             np.not_equal(code[1:], code[:-1], out=change[1:])
@@ -267,6 +289,7 @@ class LocalIndex:
                     tf_bytes=tb[s:e],
                     dl_bytes=dlb[s:e],
                     pos_bytes=pb[s:e] if pb is not None else None,
+                    pr_bytes=prb[s:e] if prb is not None else None,
                 )
         # one byte-bounded LRU per index for BOTH decoded-posting and
         # per-term-score memos (namespaced keys) — caps steady-state
@@ -307,12 +330,6 @@ class LocalIndex:
         metadata-restricted retrieval); scores of surviving docs are
         unchanged, so a filtered search equals post-filtering an
         unfiltered full ranking."""
-        if doc_filter is not None:
-            ids, scores = self.search(query, k=10**9, mode=mode)
-            keep = doc_filter(ids)
-            ids, scores = ids[keep], scores[keep]
-            idx = scoring.topk_indices(scores, ids, k)
-            return ids[idx], scores[idx]
         terms, stopword_only = analyze_query(query, self.cfg)
         contributions = []
         for t in terms:
@@ -324,6 +341,25 @@ class LocalIndex:
             contributions.append((t, ts))
         if not contributions:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+
+        if doc_filter is not None:
+            # filter pushdown: mask each term's postings BEFORE any
+            # accumulation — per-term contributions of surviving docs
+            # are unchanged (global df, per-posting doclen), so this
+            # equals post-filtering a full unfiltered ranking without
+            # ever ranking the full corpus. The per-term score memo is
+            # bypassed (it holds unfiltered arrays).
+            decoded = []
+            for t, ts in contributions:
+                ids, tfs, dls = ts.decode()
+                keep = doc_filter(ids)
+                ids = ids[keep]
+                if ids.size == 0 and mode == "AND":
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                decoded.append((t, ids, tfs[keep], dls[keep], ts.df))
+            return score_decoded_terms(
+                decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
+            )
 
         if mode == "AND":
             # candidate range pruning: intersection is bounded by the

@@ -216,6 +216,64 @@ def test_doc_sharded_refresh_after_extend(ray_session, tmp_path):
     assert fresh.N > 200
 
 
+def test_doc_filter_pushdown_no_full_ranking(index_dir, monkeypatch):
+    """Faceted search must mask postings per term BEFORE accumulation —
+    never fall back to ranking the full corpus (the old path recursed
+    with k=10**9). Results must still equal post-filtering a full
+    unfiltered ranking."""
+    li = LocalIndex(index_dir)
+    even = lambda ids: ids % 2 == 0
+
+    seen_ks = []
+    orig = LocalIndex.search
+
+    def spy(self, query, k=20, mode="AND", doc_filter=None):
+        seen_ks.append(k)
+        return orig(self, query, k=k, mode=mode, doc_filter=doc_filter)
+
+    monkeypatch.setattr(LocalIndex, "search", spy)
+    for mode in ("OR", "AND"):
+        seen_ks.clear()
+        got_ids, got_sc = li.search("running meetings", k=15, mode=mode, doc_filter=even)
+        assert seen_ks == [15], "doc_filter recursed into a full ranking"
+        full_ids, full_sc = orig(li, "running meetings", k=10**9, mode=mode)
+        keep = even(full_ids)
+        want_ids, want_sc = full_ids[keep], full_sc[keep]
+        from search_engine_ray.functions import scoring
+        idx = scoring.topk_indices(want_sc, want_ids, 15)
+        assert got_ids.tolist() == want_ids[idx].tolist()
+        assert np.allclose(got_sc, want_sc[idx])
+        assert (got_ids % 2 == 0).all()
+
+
+def test_doc_sharded_refresh_after_shrink(ray_session, tmp_path):
+    """compact_index below the serving group count must TRUNCATE the
+    actor list on refresh: a surplus actor left serving its stale
+    pre-compaction doc range would return duplicate doc_ids."""
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index, compact_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    base = str(tmp_path / "base")
+    write_transcripts(base, n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, IndexConfig(doc_bucket_size=512), n_partitions=4)
+
+    sharded = DocShardedSearcher(idx, n_shards=4)
+    assert len(sharded.shards) >= 2  # small corpus may yield < 4 parts
+    compact_index(idx, n_partitions=1)
+    assert sharded.refresh()
+    assert len(sharded.shards) == 1
+
+    ids, sc = sharded.search("hash join", k=100, mode="OR")
+    assert len(ids) == len(set(ids.tolist())), "duplicate doc_ids from a stale shard"
+    fresh = LocalIndex(idx)
+    want_ids, want_sc = fresh.search("hash join", k=100, mode="OR")
+    assert ids.tolist() == want_ids.tolist()
+    assert np.allclose(sc, want_sc)
+
+
 def test_doc_shard_actor_self_heals(index_dir):
     """Killing a shard actor mid-serving must not break the tier: the
     actor restarts from the checkpointed index (constructor args are
