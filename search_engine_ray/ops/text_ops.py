@@ -22,6 +22,17 @@ from ..functions.analysis import split_tokens
 _SKIP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(SKIP_WORDS))
 _STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
 
+# Non-English ISO 639-1 language codes (the reference's
+# nonEnglishUrlLanguageCodes idea, EnglishFilter.java:30-95 — standard
+# public code list, not a copy of its exact membership).
+NON_ENGLISH_CODES = frozenset(
+    """af am ar az be bg bn bs ca cs cy da de el eo es et eu fa fi fr
+    ga gl gu he hi hr hu hy id is it ja ka kk km kn ko ky lo lt lv mk
+    ml mn mr ms my ne nl no pa pl ps pt ro ru sd si sk sl sq sr sv sw
+    ta te tg th tl tr uk ur uz vi yi zh zu""".split()
+)
+_CODES_SQL = ",".join(f"'{c}'" for c in sorted(NON_ENGLISH_CODES))
+
 _TOKS_CTE = f"""
 toks AS (
     SELECT doc_id,
@@ -288,22 +299,28 @@ FROM documents
 #      on the document's language label) ----
 
 def english_filter(sf_dir: str):
-    """Two variants, kind-tagged in one result:
+    """Three variants, kind-tagged in one result:
 
     - ``label``: keep rows whose ``lang`` column says 'en' — the
       metadata path (the transcript analog of a crawl-time language
       tag).
     - ``token``: keep rows the token heuristic predicts English
       (stopword ratio >= 0.05 over the analyzed token stream) — the
-      content path, the analog of the reference's token-membership
-      rejection (`/root/reference/src/cis5550/tools/EnglishFilter.java:97-105`,
-      which rejects by country-code URL tokens rather than accepting
-      by stopwords; same mechanism, inverted polarity).
+      content path (same mechanism as the reference's membership test,
+      inverted polarity: accept-by-stopwords).
+    - ``url``: the reference's EXACT mechanism
+      (`/root/reference/src/cis5550/tools/EnglishFilter.java:97-112`:
+      split the URL on non-alphanumerics, REJECT when any component is
+      a non-English language/country code) applied to the doc's
+      deterministically derived URL ``<source>.<lang>.example.org/doc/<id>``
+      — the documents table's analog of the crawl URL, with the lang
+      tag in the hostname like ``sv.wikipedia.org``.
     """
     import pyarrow.compute as pc
 
     cfg = IndexConfig(stemming=False)
     stop_arr = np.array(sorted(STOPWORDS), dtype=object)
+    codes_arr = np.array(sorted(NON_ENGLISH_CODES), dtype=object)
 
     def by_label(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.equal(t["lang"], pa.scalar("en")))["doc_id"]
@@ -321,9 +338,38 @@ def english_filter(sf_dir: str):
             {"variant": pa.array(["token"] * len(kept), pa.string()), "doc_id": kept}
         )
 
+    def by_url(t: pa.Table) -> pa.Table:
+        # derived URL -> split on non-alnum -> reject on code membership
+        # (vectorized: list-flatten + isin + segmented any)
+        url = pc.binary_join_element_wise(
+            t["source"].combine_chunks().cast(pa.string()),
+            t["lang"].combine_chunks().cast(pa.string()),
+            pa.array(["example.org/doc"] * t.num_rows, pa.string()),
+            pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+            ".",
+        )
+        # all-dot joining yields the same non-alnum-split token multiset
+        # as the real mixed-separator URL, so membership is identical
+        parts = pc.split_pattern_regex(url, "[^0-9a-zA-Z]+")
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        flat = parts.flatten().to_numpy(zero_copy_only=False)
+        bad = np.isin(flat, codes_arr)
+        if len(flat):
+            n_bad = np.add.reduceat(
+                bad.astype(np.int64), np.minimum(offs[:-1], len(flat) - 1)
+            )
+            n_bad[offs[:-1] == offs[1:]] = 0  # empty token lists
+        else:
+            n_bad = np.zeros(t.num_rows, np.int64)
+        kept = t.filter(pa.array(n_bad == 0))["doc_id"]
+        return pa.table(
+            {"variant": pa.array(["url"] * len(kept), pa.string()), "doc_id": kept}
+        )
+
     label = _docs(sf_dir, ["doc_id", "lang"]).map_batches(by_label, batch_format="pyarrow")
     token = _docs(sf_dir, ["doc_id", "text"]).map_batches(by_token, batch_format="pyarrow")
-    return label.union(token)
+    url = _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(by_url, batch_format="pyarrow")
+    return label.union(token).union(url)
 
 
 SQL_ENGLISH_FILTER = f"""
@@ -339,6 +385,15 @@ SELECT 'token' AS variant, doc_id FROM (
         GROUP BY d.doc_id
     )
     SELECT doc_id FROM per_doc WHERE n_stop * 1.0 / greatest(n_tok, 1) >= 0.05
+)
+UNION ALL
+SELECT 'url' AS variant, doc_id FROM documents
+WHERE NOT list_has_any(
+    regexp_split_to_array(
+        source || '.' || lang || '.' || 'example.org/doc' || '.' || CAST(doc_id AS VARCHAR),
+        '[^0-9a-zA-Z]+'
+    ),
+    [{_CODES_SQL}]
 )
 """
 
