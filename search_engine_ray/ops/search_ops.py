@@ -379,16 +379,19 @@ def tfidf_topk(sf_dir: str):
     idx = ensure_index(sf_dir, "raw")
     li = LocalIndex(idx)
     qid_out, doc_out, score_out = [], [], []
-    doclen = li.doclen.astype(np.float64)
     for qid, q in _BM25_QUERIES:
         score = np.zeros(li.N, np.float64)
         seen = np.zeros(li.N, bool)
         for term in q.split():
-            ids, tfs = li.term_postings(term)
+            ts = li.terms.get(term)
+            if ts is None:
+                continue
+            # per-posting doclen stream — no O(N) doclen table
+            ids, tfs, dls = ts.decode()
             df = len(ids)
             if df == 0:
                 continue
-            score[ids] += tfs * np.log(li.N / df) / doclen[ids]
+            score[ids] += tfs * np.log(li.N / df) / dls.astype(np.float64)
             seen[ids] = True
         ids = np.flatnonzero(seen)
         r6 = np.round(score[ids], 6)

@@ -426,7 +426,10 @@ class LocalIndex:
         if not matched:
             return empty
         mids = np.asarray(matched, dtype=np.int64)
-        dl = self.doclen[mids]
+        # doclen from the first term's per-posting stream (memoized full
+        # decode — no O(N) doclen table; mids is a subset of its ids)
+        ids0, _tf0, dls0 = segs[0].decode()
+        dl = dls0[np.searchsorted(ids0, mids)]
         scores = np.zeros(mids.size, np.float64)
         for (ids, tfs, *_), ts in zip(decoded, segs):
             pos = np.searchsorted(ids, mids)

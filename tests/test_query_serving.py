@@ -295,6 +295,37 @@ def test_doc_shard_actor_self_heals(index_dir):
     assert np.allclose(sc1, want_sc)
 
 
+def test_doc_shard_restart_after_refresh_uses_current_layout(ray_session, tmp_path):
+    """A Ray actor restart re-runs __init__ with the ORIGINAL args — so
+    a shard killed AFTER a refresh() must come back with the refreshed
+    layout (read from its layout file), not the constructor-time one.
+    Scenario: compact to 1 partition, refresh, kill the surviving
+    actor; its restart must serve the post-compaction layout."""
+    import ray as ray_
+
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index, compact_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    base = str(tmp_path / "base")
+    write_transcripts(base, n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, IndexConfig(doc_bucket_size=512), n_partitions=4)
+
+    sharded = DocShardedSearcher(idx, n_shards=4)
+    compact_index(idx, n_partitions=1)
+    assert sharded.refresh()
+    assert len(sharded.shards) == 1
+
+    ray_.kill(sharded.shards[0], no_restart=False)
+    ids, sc = sharded.search("hash join", k=50, mode="OR")
+    fresh = LocalIndex(idx)
+    want_ids, want_sc = fresh.search("hash join", k=50, mode="OR")
+    assert ids.tolist() == want_ids.tolist()
+    assert np.allclose(sc, want_sc)
+
+
 def test_http_frontend_page(index_dir):
     import urllib.request
 
