@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for m in _MODULES:
         out.update(m.RAY_QUERIES)
+    # auxiliary entries AFTER the 50-entry driver window (never
+    # displace a core entry; tools_verify still checks them)
+    for m in _MODULES:
+        out.update(getattr(m, "RAY_QUERIES_AUX", {}))
     return out
 
 
@@ -51,4 +55,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE_SQL)
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLE_SQL_AUX", {}))
     return out

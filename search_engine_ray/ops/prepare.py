@@ -223,5 +223,98 @@ ORDER BY doc_id
 """
 
 
+# ---- PII scrubbing (training-data hygiene): redact emails, phones,
+#      SSNs, card numbers and IPv4s with typed placeholder tokens.
+#      Both pyarrow.compute and DuckDB run RE2, so the identical
+#      pattern list produces byte-identical redactions on both sides.
+#      The driver corpus contains no PII, so the op deterministically
+#      AUGMENTS each doc with synthetic PII derived from doc_id (same
+#      expression in SQL) — the oracle then checks real redaction
+#      behavior, not a no-op pass. ----
+
+# (pattern, replacement), applied in this exact order on both sides;
+# longest/most-specific first so e.g. an SSN is not half-eaten by the
+# phone pattern.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def _augment_pii_batch(t: pa.Table) -> pa.Array:
+    """text || deterministic doc_id-derived PII tail (SQL twin inline
+    in SQL_SCRUB_PII)."""
+    did = t["doc_id"].combine_chunks().cast(pa.string())
+    text = pc.fill_null(t["text"].combine_chunks(), "")
+    return pc.binary_join_element_wise(
+        text,
+        pa.array([" contact user"] * t.num_rows), did,
+        pa.array(["@mail.example.com ph 415-555-0199 ip 10.0.0.7 "
+                  "ssn 123-45-6789 card 4111 1111 1111 1111"] * t.num_rows),
+        "",
+    )
+
+
+def scrub_text(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(clean_text, n_redactions) for a string array — the reusable
+    redaction kernel (RE2, fixed pattern order)."""
+    n = np.zeros(len(text), dtype=np.int64)
+    for pat, repl in PII_PATTERNS:
+        n += pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        text = pc.replace_substring_regex(text, pat, repl)
+    return text, n
+
+
+def scrub_pii(sf_dir: str):
+    """(doc_id, n_pii, clean_text): count of redacted spans and the
+    scrubbed text. Fully vectorized (RE2 kernels per batch); a Python
+    `for row` loop here would be the banned hot-path shape."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text, n = scrub_text(_augment_pii_batch(t))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pii": pa.array(n, pa.int64()),
+                "clean_text": text,
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(scrub, batch_format="pyarrow")
+
+
+def _scrub_sql() -> str:
+    aug = ("coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@mail.example.com ph 415-555-0199 ip 10.0.0.7 "
+           "ssn 123-45-6789 card 4111 1111 1111 1111'")
+    clean = aug
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        # DuckDB standard single-quoted strings keep backslashes
+        # literal — only quotes need escaping
+        esc = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({clean}, '{esc}'))")
+        clean = f"regexp_replace({clean}, '{esc}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST({' + '.join(counts)} AS BIGINT) AS n_pii,
+       {clean} AS clean_text
+FROM documents
+"""
+
+
+SQL_SCRUB_PII = _scrub_sql()
+
 RAY_QUERIES = {"prepare_corpus": prepare_corpus, "decontaminate": decontaminate}
 ORACLE_SQL = {"prepare_corpus": SQL_PREPARE_CORPUS, "decontaminate": SQL_DECONTAMINATE}
+
+# Auxiliary entries: registered AFTER the 50-entry driver window (the
+# driver evaluates the first 50 in insertion order) so they never
+# displace a core entry; tools_verify still checks them.
+RAY_QUERIES_AUX = {"scrub_pii": scrub_pii}
+ORACLE_SQL_AUX = {"scrub_pii": SQL_SCRUB_PII}
