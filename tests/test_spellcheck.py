@@ -100,6 +100,27 @@ def test_from_index_and_endpoint(ray_session, tmp_path):
         assert payload["spellcheck"] == ["running"]
         want_ids, _ = local.search("running", k=5, mode="OR")
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+
+        # a correctly spelled but CAPITALIZED word must not be
+        # "corrected": spellcheck runs on the analyzed (lowercased)
+        # terms, which the dictionary holds
+        url = f"http://127.0.0.1:{srv.port}/search?query=Running&k=5&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert "spellcheck" not in payload
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+
+        # malformed / non-positive k -> clean 400, not a 500
+        import urllib.error
+
+        for bad in ("abc", "0", "-3"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/search?query=running&k={bad}"
+                )
+                raise AssertionError(f"k={bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad, e.code)
     finally:
         srv.stop()
 
