@@ -165,7 +165,7 @@ def bench_queries(run_tag: str) -> dict:
     }
 
 
-GATE_OPS = ["bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine", "events_window"]
+GATE_OPS = ["bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine", "events_windows"]
 
 
 def bench_gate_ops(sf_dir: str) -> dict:
