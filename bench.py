@@ -216,13 +216,27 @@ def bench_big(num_cpus: int) -> dict:
 
 
 def scaling_small(pair: str = "4,16") -> dict:
-    """One-rep 4->16 CPU pair on the default (120k-turn) corpus, in
-    fresh child processes — a cheap per-round regression signal for the
+    """One-rep CPU pair on the default (120k-turn) corpus, in fresh
+    child processes — a cheap per-round regression signal for the
     scaling criterion. The authoritative 2.4M-turn pair (min of 2 reps)
     stays in `bench.py --scaling` / BASELINE.md; the small corpus is
-    fixed-cost-heavier, so this efficiency reads a little lower."""
+    fixed-cost-heavier, so this efficiency reads a little lower.
+
+    Capacity-aware: the VM's effective capacity swings with hypervisor
+    steal (observed 5.7x-25.1x aggregate for 32 procs). A 16-CPU leg
+    on a 6-effective-core host cannot run 4x faster than a 4-CPU leg
+    no matter what the engine does, so the payload always embeds the
+    pre-run calibration plus the hardware ceiling it implies
+    (``min(1, capacity/cpus_hi)`` — the best efficiency a PERFECTLY
+    scaling engine could read) and ``efficiency_vs_ceiling``. Pair
+    downgrade is deliberately NOT done here: on the small corpus the
+    (1,4)/(2,8) pairs are fixed-cost-dominated (measured 0.26 at
+    (1,4)) and under-read worse than the ceiling-annotated 4,16;
+    `bench.py --scaling` owns the downgrade path with its
+    proportionally scaled corpus."""
     corpus_dir, turns = ensure_corpus(0.1)
     cpus_lo, cpus_hi = (int(x) for x in pair.split(","))
+    calib = host_calibration()
     secs = {}
     for n in (cpus_lo, cpus_hi):
         out = os.path.join(BENCH_ROOT, f"scale-small-{n}.json")
@@ -236,11 +250,15 @@ def scaling_small(pair: str = "4,16") -> dict:
         with open(out) as f:
             secs[n] = json.load(f)["seconds"]
     eff = (secs[cpus_lo] / secs[cpus_hi]) / (cpus_hi / cpus_lo)
+    ceiling = min(1.0, calib["agg32_x"] / cpus_hi)
     return {
         "pair": [cpus_lo, cpus_hi],
         "turns": turns,
         "seconds": {str(n): round(s, 3) for n, s in secs.items()},
         "efficiency": round(eff, 3),
+        "host_calibration_before": calib,
+        "hardware_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(min(eff / ceiling, 1.0), 3),
     }
 
 
