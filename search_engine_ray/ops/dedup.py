@@ -789,6 +789,14 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
         )
     )
     dim = len(first["embedding"][0])
+    # the oracle inlines _planes_sql(·, _EMB_DIM) as constants, so a
+    # corpus with a different dim must fail loudly here rather than
+    # bucket with a plane matrix the SQL side doesn't share
+    if dim != _EMB_DIM:
+        raise ValueError(
+            f"gate entry is pinned to {_EMB_DIM}-dim embeddings (got {dim}); "
+            "use emb_lsh_pairs(dim=...) for other widths"
+        )
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return emb_lsh_pairs(ds, threshold, _EMB_BANDS, _EMB_ROWS, dim=dim)
 

@@ -497,21 +497,37 @@ def embedding_quantize(sf_dir: str):
 
     def quant(t: pa.Table) -> pa.Table:
         v = _emb_matrix(t["embedding"])
-        mn = v.min(axis=1)
-        mx = v.max(axis=1)
-        scale = np.maximum(mx - mn, 1e-12) / 255.0
-        codes = np.floor((v - mn[:, None]) / scale[:, None] + 0.5).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
-                "qmin": pa.array(np.round(mn, 6), pa.float64()),
-                "qscale": pa.array(np.round(scale, 6), pa.float64()),
-                "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+                **_quant_cols(v),
             }
         )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def _quant_cols(v: np.ndarray) -> dict:
+    """Shared kernel for the min/max affine int8 quantization columns —
+    the floor(x+0.5) rounding rule lives in exactly one place (both
+    ``embedding_quantize`` and the consolidated ``embedding_stats``
+    verify against the one SQL_EMBEDDING_QUANTIZE twin)."""
+    mn = v.min(axis=1)
+    mx = v.max(axis=1)
+    scale = np.maximum(mx - mn, 1e-12) / 255.0
+    codes = np.floor((v - mn[:, None]) / scale[:, None] + 0.5).astype(np.int64)
+    return {
+        "qmin": pa.array(np.round(mn, 6), pa.float64()),
+        "qscale": pa.array(np.round(scale, 6), pa.float64()),
+        "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+    }
+
+
+def _norm_col(v: np.ndarray) -> pa.Array:
+    """Shared kernel for the rounded L2-norm column (embedding_norms +
+    embedding_stats, one SQL_EMBEDDING_NORMS twin)."""
+    return pa.array(np.round(np.linalg.norm(v, axis=1), 6), pa.float64())
 
 
 def dequantize_codes(codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.ndarray:
@@ -543,7 +559,7 @@ def embedding_norms(sf_dir: str):
         return pa.table(
             {
                 "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
-                "l2_norm": pa.array(np.round(np.linalg.norm(v, axis=1), 6), pa.float64()),
+                "l2_norm": _norm_col(v),
             }
         )
 
@@ -596,17 +612,11 @@ def embedding_stats(sf_dir: str):
 
     def stats(t: pa.Table) -> pa.Table:
         v = _emb_matrix(t["embedding"])
-        mn = v.min(axis=1)
-        mx = v.max(axis=1)
-        scale = np.maximum(mx - mn, 1e-12) / 255.0
-        codes = np.floor((v - mn[:, None]) / scale[:, None] + 0.5).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), pa.int64()),
-                "l2_norm": pa.array(np.round(np.linalg.norm(v, axis=1), 6), pa.float64()),
-                "qmin": pa.array(np.round(mn, 6), pa.float64()),
-                "qscale": pa.array(np.round(scale, 6), pa.float64()),
-                "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+                "l2_norm": _norm_col(v),
+                **_quant_cols(v),
             }
         )
 

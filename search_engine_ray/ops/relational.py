@@ -1119,6 +1119,10 @@ def events_windows(sf_dir: str):
 
         return fn
 
+    # three reads are deliberate: each variant is a DIFFERENT groupby
+    # shape (hourly x type, sliding window, daily count-distinct), so
+    # they cannot share a shuffle; the scans are a small fraction of the
+    # three aggregations' cost, unlike english_filter's map-only case
     tumb = events_window(sf_dir).map_batches(tag("hour", True, True), batch_format="pyarrow")
     slide = events_window_sliding(sf_dir).map_batches(tag("slide3h", False, True), batch_format="pyarrow")
     dau = events_dau(sf_dir).map_batches(tag("dau", False, False), batch_format="pyarrow")
@@ -1192,6 +1196,21 @@ RAY_QUERIES = {
     "asof_range_join": asof_range_join,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
+}
+
+# past the driver's 50-entry window, but tools_verify still checks them
+# (the code paths count/distinct/sample exercise are not covered by the
+# consolidated entries above)
+RAY_QUERIES_AUX = {
+    "flame_count": flame_count,
+    "flame_distinct": flame_distinct,
+    "flame_sample": flame_sample,
+}
+
+ORACLE_SQL_AUX = {
+    "flame_count": SQL_COUNT,
+    "flame_distinct": SQL_DISTINCT,
+    "flame_sample": SQL_SAMPLE,
 }
 
 ORACLE_SQL = {

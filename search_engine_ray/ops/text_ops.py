@@ -207,6 +207,48 @@ FROM per_doc
 
 # ---- document fingerprint (rolling polynomial hash over tokens) ----
 
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def _fingerprint_batch(text: pa.Array, n_rows: int) -> np.ndarray:
+    """Shared kernel: polynomial rolling hash of the analyzed token
+    stream (md5-60 token hashes folded mod 2^61-1), one int64 per row.
+    The single implementation both ``fingerprint`` and
+    ``text_features`` call — they share ONE SQL twin
+    (``SQL_FINGERPRINT``'s list_reduce), so the fold must live in
+    exactly one place."""
+    import hashlib
+
+    cfg = IndexConfig(stemming=False)
+    doc_idx, tok, *_rest = split_tokens(text, cfg)
+    out = np.zeros(n_rows, dtype=np.int64)
+    uniq, inv = (
+        np.unique(np.asarray(tok, dtype=object), return_inverse=True)
+        if len(tok)
+        else (np.array([], object), np.array([], np.int64))
+    )
+    uh = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq]
+    token_h = [uh[i] for i in inv]
+    bounds = np.searchsorted(doc_idx, np.arange(n_rows + 1))
+    for d in range(n_rows):
+        h = 0
+        for v in token_h[bounds[d] : bounds[d + 1]]:
+            h = (h * _FP_BASE + v) % _FP_MOD
+        out[d] = h
+    return out
+
+
+def _token_count_cols(text: pa.Array) -> dict:
+    """Shared kernel: the two token budgets (whitespace + BPE-ish
+    pretokenizer), RE2-vectorized; used by ``token_count_bpe`` and
+    ``text_features`` against the one ``SQL_TOKEN_COUNT_BPE`` twin."""
+    return {
+        "n_ws_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()),
+    }
+
+
 def fingerprint(sf_dir: str):
     """Deterministic polynomial rolling hash of the token stream
     (md5-60 token hashes folded mod 2^61-1) — content fingerprinting
@@ -214,25 +256,9 @@ def fingerprint(sf_dir: str):
     per unique batch token; the per-doc fold is inherently sequential
     but O(doclen). The DuckDB oracle reproduces it with list_reduce
     over a HUGEINT accumulator."""
-    cfg = IndexConfig(stemming=False)
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
 
     def fp(t: pa.Table) -> pa.Table:
-        import hashlib
-
-        doc_idx, tok, *_rest = split_tokens(t["text"].combine_chunks(), cfg)
-        n = t.num_rows
-        out = np.zeros(n, dtype=np.int64)
-        uniq, inv = np.unique(np.asarray(tok, dtype=object), return_inverse=True) if len(tok) else (np.array([], object), np.array([], np.int64))
-        uh = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq]
-        token_h = [uh[i] for i in inv]
-        bounds = np.searchsorted(doc_idx, np.arange(n + 1))
-        for d in range(n):
-            h = 0
-            for v in token_h[bounds[d] : bounds[d + 1]]:
-                h = (h * BASE + v) % MOD
-            out[d] = h
+        out = _fingerprint_batch(t["text"].combine_chunks(), t.num_rows)
         return pa.table(
             {"doc_id": t["doc_id"], "fingerprint": pa.array(out, pa.int64())}
         )
@@ -270,17 +296,7 @@ def token_count_bpe(sf_dir: str):
 
     def counts(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t["text"].combine_chunks(), "")
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_ws_tokens": pc.cast(
-                    pc.count_substring_regex(text, r"\S+"), pa.int64()
-                ),
-                "n_bpe_tokens": pc.cast(
-                    pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()
-                ),
-            }
-        )
+        return pa.table({"doc_id": t["doc_id"], **_token_count_cols(text)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
 
@@ -354,22 +370,24 @@ def english_filter(sf_dir: str):
         offs = parts.offsets.to_numpy(zero_copy_only=False)
         flat = parts.flatten().to_numpy(zero_copy_only=False)
         bad = np.isin(flat, codes_arr)
-        if len(flat):
-            n_bad = np.add.reduceat(
-                bad.astype(np.int64), np.minimum(offs[:-1], len(flat) - 1)
-            )
-            n_bad[offs[:-1] == offs[1:]] = 0  # empty token lists
-        else:
-            n_bad = np.zeros(t.num_rows, np.int64)
+        # segmented sum via repeat+bincount (same pattern as by_token):
+        # reduceat's clipped-index form drops the prior row's last token
+        # when the trailing list is empty
+        row_idx = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        n_bad = np.bincount(row_idx[bad], minlength=t.num_rows).astype(np.int64)
         kept = t.filter(pa.array(n_bad == 0))["doc_id"]
         return pa.table(
             {"variant": pa.array(["url"] * len(kept), pa.string()), "doc_id": kept}
         )
 
-    label = _docs(sf_dir, ["doc_id", "lang"]).map_batches(by_label, batch_format="pyarrow")
-    token = _docs(sf_dir, ["doc_id", "text"]).map_batches(by_token, batch_format="pyarrow")
-    url = _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(by_url, batch_format="pyarrow")
-    return label.union(token).union(url)
+    def all_variants(t: pa.Table) -> pa.Table:
+        # ONE scan/decode of the documents table feeding all three
+        # variant kernels (three separate read_parquet pipelines would
+        # triple the read cost at corpus scale)
+        return pa.concat_tables([by_label(t), by_token(t), by_url(t)])
+
+    cols = ["doc_id", "lang", "text", "source"]
+    return _docs(sf_dir, cols).map_batches(all_variants, batch_format="pyarrow")
 
 
 SQL_ENGLISH_FILTER = f"""
@@ -403,34 +421,18 @@ WHERE NOT list_has_any(
 #      gate entries into one; both computations run unchanged ----
 
 def text_features(sf_dir: str):
-    cfg = IndexConfig(stemming=False)
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    """Consolidated gate entry: one scan emitting the fingerprint and
+    both token budgets, composing the SAME batch kernels the
+    standalone ``fingerprint`` / ``token_count_bpe`` ops use."""
 
     def feats(t: pa.Table) -> pa.Table:
-        import hashlib
-
         text = pc.fill_null(t["text"].combine_chunks(), "")
-        # rolling-hash fingerprint (see fingerprint())
-        doc_idx, tok, *_rest = split_tokens(text, cfg)
-        n = t.num_rows
-        fp = np.zeros(n, dtype=np.int64)
-        uniq, inv = (np.unique(np.asarray(tok, dtype=object), return_inverse=True)
-                     if len(tok) else (np.array([], object), np.array([], np.int64)))
-        uh = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq]
-        token_h = [uh[i] for i in inv]
-        bounds = np.searchsorted(doc_idx, np.arange(n + 1))
-        for d in range(n):
-            h = 0
-            for v in token_h[bounds[d]: bounds[d + 1]]:
-                h = (h * BASE + v) % MOD
-            fp[d] = h
+        fp = _fingerprint_batch(text, t.num_rows)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "fingerprint": pa.array(fp, pa.int64()),
-                "n_ws_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
-                "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_PATTERN), pa.int64()),
+                **_token_count_cols(text),
             }
         )
 

@@ -267,6 +267,27 @@ class DocShardedSearcher:
         self.cfg = IndexConfig.from_json(meta["config"])
         return True
 
+    def close(self) -> None:
+        """Tear down shard actors and remove this searcher's layout
+        dir — without this every searcher construction leaks a
+        serving_layout/<uuid> directory into the (otherwise
+        content-addressed) index tree."""
+        import shutil
+
+        for a in self.shards:
+            try:
+                ray.kill(a)
+            except Exception:  # noqa: BLE001 - actor may already be dead
+                pass
+        self.shards = []
+        shutil.rmtree(self._layout_dir, ignore_errors=True)
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR"):
         from ..functions import scoring
 

@@ -240,6 +240,8 @@ class SearchServer:
                         for q in req["queries"]
                     ]
                     mode = str(req.get("mode", "OR")).upper()
+                    if any(k < 1 for _, k in queries):
+                        raise ValueError("k must be >= 1")
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:
                     self._json(400, {"error": f"bad batch request: {ex}"})
                     return

@@ -120,7 +120,11 @@ def build_partials(
         # Search.java:89-108); measured before any role/tool prepend
         import pyarrow.compute as pc
 
-        priors = pc.utf8_length(texts).to_numpy().astype(np.int64)
+        # fill_null: a null text row must yield prior 0, not an
+        # ArrowInvalid from the zero-copy-only numpy conversion
+        priors = (
+            pc.fill_null(pc.utf8_length(texts), 0).to_numpy().astype(np.int64)
+        )
     else:
         priors = None
     if cfg.index_role_tool:

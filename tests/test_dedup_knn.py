@@ -254,7 +254,15 @@ def test_emb_lsh_recall_on_near_dups(emb_dir):
     ~1.0): near-identical vectors agree on every hyperplane, so every
     band buckets them together regardless of rows-per-band."""
     sf_dir, mat = emb_dir
-    got = dedup.dedup_embedding_lsh(sf_dir, threshold=0.99).to_pandas()
+    # emb_lsh_pairs directly: the algorithm under test accepts any dim;
+    # the dedup_embedding_lsh gate wrapper is pinned to the oracle's
+    # 64-dim plane matrix and rejects this 16-dim fixture by design
+    from search_engine_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = dedup.emb_lsh_pairs(
+        ds, 0.99, dedup._EMB_BANDS, dedup._EMB_ROWS, dim=mat.shape[1]
+    ).to_pandas()
     pairs = {tuple(p) for p in got[["vec_a", "vec_b"]].itertuples(index=False)}
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sims = norm @ norm.T

@@ -373,6 +373,22 @@ def test_http_batch_endpoint(index_dir):
         for b in payload["batches"]:
             want_ids, _ = local.search(b["query"], k=5 if "running" in b["query"] else 3, mode="OR")
             assert [r["doc_id"] for r in b["results"]] == want_ids.tolist()
+
+        # non-positive k in ANY batch element -> clean 400 (same
+        # contract as GET /search), not a 500 from topk on empty
+        import urllib.error
+
+        for bad_k in (0, -3):
+            bad = json_.dumps({"queries": [{"query": "x", "k": bad_k}]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/batch", data=bad,
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError(f"k={bad_k} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad_k, e.code)
     finally:
         srv.stop()
 
