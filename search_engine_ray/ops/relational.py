@@ -380,21 +380,40 @@ def events_window(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the shuffle moves <= (hours x types) rows
+        # per batch instead of every event row
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        return pa.table(
+        tmp = pa.table(
             {
                 "window_start": hour,
                 "event_type": t["event_type"],
                 "value_cents": _cents(t["value"]),
             }
         )
+        g = tmp.group_by(["window_start", "event_type"]).aggregate(
+            [
+                ("value_cents", "sum"),
+                ("value_cents", "count", pc.CountOptions(mode="all")),
+            ]
+        )
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n_part": g["value_cents_count"].cast(pa.int64()),
+                "sum_part": g["value_cents_sum"].cast(pa.int64()),
+            }
+        )
 
-    from ray.data.aggregate import Sum, Count
+    from ray.data.aggregate import Sum
 
     return (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value_cents"),
+        )
     )
 
 
@@ -430,7 +449,7 @@ def events_window_sliding(sf_dir: str):
                 n,
             )
         )
-        return pa.table(
+        tmp = pa.table(
             {
                 "window_start": pa.array(starts, pa.timestamp("us")),
                 "value_cents": pa.array(
@@ -438,13 +457,30 @@ def events_window_sliding(sf_dir: str):
                 ),
             }
         )
+        # per-batch combiner (see events_window)
+        g = tmp.group_by("window_start").aggregate(
+            [
+                ("value_cents", "sum"),
+                ("value_cents", "count", pc.CountOptions(mode="all")),
+            ]
+        )
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "n_part": g["value_cents_count"].cast(pa.int64()),
+                "sum_part": g["value_cents_sum"].cast(pa.int64()),
+            }
+        )
 
-    from ray.data.aggregate import Sum, Count
+    from ray.data.aggregate import Sum
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value_cents"),
+        )
     )
 
 
@@ -461,19 +497,26 @@ GROUP BY 1
 #      one row -> many rows; token counts over part names ----
 
 def flame_flat_map(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "part", columns=["p_name"])
 
     def explode(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["p_name"].combine_chunks(), " ")
         flat = pc.list_flatten(toks)
-        return pa.table({"token": flat})
+        # per-batch combiner: shuffle per-batch token counts, not the
+        # exploded token stream
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"token": g["token"], "n_part": g["token_count"].cast(pa.int64())}
+        )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n_part", alias_name="n"))
     )
 
 
@@ -955,22 +998,34 @@ def events_dau(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 
     def day_user(t: pa.Table) -> pa.Table:
+        # per-batch distinct: the dedupe shuffle moves each batch's
+        # unique (day, user) pairs, not every event row
         return pa.table(
             {
                 "day": pc.floor_temporal(t["ts"], unit="day"),
                 "user_id": t["user_id"],
             }
+        ).group_by(["day", "user_id"]).aggregate([])
+
+    def count_by_day(t: pa.Table) -> pa.Table:
+        # per-batch combiner for the final per-day count
+        g = pa.table({"day": t["day"]}).group_by("day").aggregate(
+            [("day", "count", pc.CountOptions(mode="all"))]
+        )
+        return pa.table(
+            {"day": g["day"], "n_part": g["day_count"].cast(pa.int64())}
         )
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     return (
         ds.map_batches(day_user, batch_format="pyarrow")
         .groupby(["day", "user_id"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
+        .map_batches(count_by_day, batch_format="pyarrow")
         .groupby("day")
-        .aggregate(Count(alias_name="dau"))
+        .aggregate(Sum("n_part", alias_name="dau"))
     )
 
 
