@@ -113,7 +113,18 @@ def build_index(
     if isinstance(source, (str, list)):
         fp = _fingerprint(_expand(source), cfg)
     else:
-        fp = _fingerprint(f"dataset:{source.count()}", cfg)
+        # count alone would let same-cardinality different data reuse a
+        # stale docs store; mix in the schema and a sample-row digest
+        # (still cheap — not a full content hash, documented in README)
+        import hashlib as _hl
+
+        sample = source.take(3)
+        sig = _hl.md5(
+            repr([sorted(r.items()) for r in sample]).encode()
+        ).hexdigest()[:16]
+        fp = _fingerprint(
+            f"dataset:{source.count()}:{','.join(source.schema().names)}:{sig}", cfg
+        )
     if not is_complete(docs_dir, fp):
         t0 = time.monotonic()
         if isinstance(source, (str, list)):
@@ -191,6 +202,22 @@ def extend_index(
     if ext_fp not in manifest.get("extensions", []):
         t0 = time.monotonic()
         n_old = int(manifest["N"])
+        if sum(_pq_rows(f) for f in new_files) == 0:
+            # all-empty extension: record it as applied and finish —
+            # the fallback path would sort an empty dataset whose
+            # schema-less blocks poison the docs dir (same guard as
+            # build_index's stage A)
+            manifest.setdefault("extensions", []).append(ext_fp)
+            mpath = os.path.join(docs_dir, "_MANIFEST.json")
+            with open(mpath + ".tmp", "w") as mf:
+                json.dump(manifest, mf, indent=1)
+                mf.flush()
+                os.fsync(mf.fileno())
+            os.replace(mpath + ".tmp", mpath)
+            timings["docs_ext"] = round(time.monotonic() - t0, 3)
+            return _finish_build(
+                index_dir, cfg, n_partitions, None, concurrency, builder, timings
+            )
         last_key = _last_key(docs_dir)
         first_key = _first_key_of(new_files)
         if last_key is not None and first_key is not None and first_key <= last_key:

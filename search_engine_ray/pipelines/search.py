@@ -95,6 +95,23 @@ class ShardedSearcher:
         self.N = int(self.meta["N"])
         self.avgdl = float(self.meta["avgdl"])
 
+    def close(self) -> None:
+        """Tear down the shard actors (each pins a loaded term shard
+        in memory until process exit otherwise — same leak
+        DocShardedSearcher.close() fixes for the doc-sharded tier)."""
+        for a in self.shards:
+            try:
+                ray.kill(a)
+            except Exception:  # noqa: BLE001 - actor may already be dead
+                pass
+        self.shards = []
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         terms, stopword_only = analyze_query(query, self.cfg)
         if not terms:
@@ -236,32 +253,30 @@ class DocShardedSearcher:
 
     def refresh(self) -> bool:
         """Pick up on-disk changes (extend_index appended partitions /
-        compact_index regrouped them / df changed): existing actors
-        reload in place; extra partitions get new actors; surplus
-        actors (the group count SHRANK, e.g. after compaction) are
-        killed so no stale doc range keeps serving. Old in-memory state
-        serves until each actor's reload returns, so queries never fail
-        during a refresh."""
+        compact_index regrouped them / df changed) with a BLUE-GREEN
+        swap: a full replacement actor set loads the new layout while
+        the old set keeps serving, then ``self.shards`` is swapped in
+        one atomic list assignment and the old actors are killed.
+        Queries snapshot the shard list once per call, so a query
+        concurrent with a refresh sees EITHER the complete old layout
+        or the complete new one — never a mix of doc ranges (in-place
+        per-actor reload would briefly overlap/miss ranges when
+        compaction regroups partitions) and never a killed actor.
+        Costs a transient 2x index memory during the swap — the price
+        of consistency under the threaded serving tier."""
         import json
 
         groups, _ = self._layout(self.index_dir, self.n_shards)
         paths = self._write_layouts(groups)
-        calls = []
-        for i, g in enumerate(groups):
-            if i < len(self.shards):
-                calls.append(self.shards[i].reload.remote())
-            else:
-                actor = DocShardActor.remote(self.index_dir, paths[i])
-                self.shards.append(actor)
-                calls.append(actor.ping.remote())
-        # shrink: drop actors past the new group count BEFORE gathering,
-        # so search() never routes to a stale-layout shard again
-        surplus = self.shards[len(groups):]
-        del self.shards[len(groups):]
-        self._groups = groups
-        ray.get(calls)
-        for a in surplus:
+        fresh = [DocShardActor.remote(self.index_dir, p) for p in paths]
+        ray.get([a.ping.remote() for a in fresh])
+        old, self.shards, self._groups = self.shards, fresh, groups
+        # retire (don't kill) the old generation: an in-flight query
+        # that snapshotted the old list must be able to finish; the
+        # ms-scale queries are long done by the next refresh/close
+        for a in getattr(self, "_retired", []):
             ray.kill(a)
+        self._retired = old
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.cfg = IndexConfig.from_json(meta["config"])
@@ -274,12 +289,13 @@ class DocShardedSearcher:
         content-addressed) index tree."""
         import shutil
 
-        for a in self.shards:
+        for a in self.shards + list(getattr(self, "_retired", [])):
             try:
                 ray.kill(a)
             except Exception:  # noqa: BLE001 - actor may already be dead
                 pass
         self.shards = []
+        self._retired = []
         shutil.rmtree(self._layout_dir, ignore_errors=True)
 
     def __del__(self):  # best-effort; explicit close() preferred
@@ -289,15 +305,7 @@ class DocShardedSearcher:
             pass
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR"):
-        from ..functions import scoring
-
-        parts = ray.get([s.search.remote(query, k, mode) for s in self.shards])
-        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-        if ids.size == 0:
-            return ids.astype(np.int64), scores
-        idx = scoring.topk_indices(scores, ids, k)
-        return ids[idx], scores[idx]
+        return self.search_many([(query, k)], mode=mode)[0]
 
     def explain(self, query: str, mode: str = "OR") -> dict:
         """Query debugging through shard 0 (df/upper bounds are GLOBAL
@@ -313,8 +321,11 @@ class DocShardedSearcher:
         throughput than sequential search() at identical results."""
         from ..functions import scoring
 
+        # one snapshot of the shard list: a refresh() swapping
+        # self.shards mid-call must not mix layout generations
+        shards = self.shards
         futures = [
-            [s.search.remote(q, k, mode) for s in self.shards] for q, k in queries
+            [s.search.remote(q, k, mode) for s in shards] for q, k in queries
         ]
         out = []
         for (q, k), futs in zip(queries, futures):

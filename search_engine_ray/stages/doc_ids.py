@@ -57,6 +57,12 @@ def _file_order_info(path: str) -> dict:
         return {"rows": 0, "first": None, "last": None, "sorted": True}
     conv = t["conv_id"].combine_chunks()
     turn = t["turn_idx"].combine_chunks()
+    if conv.null_count or turn.null_count:
+        # null keys defeat the pairwise check below (pc.all skips
+        # null comparisons -> a misordered file would read as sorted)
+        # and a null boundary key would TypeError in the cross-file
+        # compare; declare unsorted so the sort fallback owns the order
+        return {"rows": n, "first": None, "last": None, "sorted": False}
     c0, c1 = conv.slice(0, n - 1), conv.slice(1)
     t0, t1 = turn.slice(0, n - 1), turn.slice(1)
     lex_ok = pc.all(

@@ -132,8 +132,14 @@ def build_partials(
         # prepended to the page text, Indexer.java:236-238)
         import pyarrow.compute as pc
 
+        # fill_null on every operand: binary_join_element_wise emits
+        # null for the WHOLE row if any input is null (a tool=null turn
+        # would silently drop the entire document from the index)
         texts = pc.binary_join_element_wise(
-            batch["role"].combine_chunks(), batch["tool"].combine_chunks(), texts, " "
+            pc.fill_null(batch["role"].combine_chunks(), ""),
+            pc.fill_null(batch["tool"].combine_chunks(), ""),
+            pc.fill_null(texts, ""),
+            " ",
         )
     tb = tokenize_batch(texts, cfg, stemmer)
     if len(tb.term_code) == 0:

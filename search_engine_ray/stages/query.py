@@ -129,6 +129,11 @@ class _TermSegments:
             i for i in range(len(self.seg_df))
             if self.last_doc[i] >= lo and self.first_doc[i] <= hi
         ]
+        if len(sel) == len(self.seg_df):
+            # the range covers every segment (common for the terms that
+            # DEFINE an AND query's [lo, hi]): take the memoized full
+            # decode instead of re-decoding the whole posting list
+            return self.decode()
         return self._decode_range(sel)
 
     def _decode_range(self, sel):
@@ -198,6 +203,10 @@ class LocalIndex:
         shard — used by DocShardedSearcher); requires ``global_df``
         (term -> corpus-wide df from the dictionary) so idf stays
         global and scores remain identical to unsharded evaluation."""
+        if parts is not None and global_df is None:
+            # shard-local df would silently inflate idf and break the
+            # "scores identical to unsharded evaluation" contract
+            raise ValueError("parts= requires global_df (corpus-wide term dfs)")
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.cfg = IndexConfig.from_json(self.meta["config"])
@@ -462,12 +471,21 @@ class LocalIndex:
                 }
             )
         n_present = sum(1 for t in out_terms if t["df"])
+        # mirror score_decoded_terms' actual branch order: the large-N
+        # multi-term fallback picks dense vs sorted-merge by posting
+        # volume at decode time, so label it by that condition rather
+        # than claiming dense unconditionally
+        total_df = sum(t["df"] for t in out_terms)
         strategy = (
             "empty" if n_present == 0
             else "and-range-skip" if mode == "AND"
             else "maxscore" if n_present > 1 and self.N <= 1 << 26
             else "single-term-fast-path" if n_present == 1
-            else "dense-accumulate"
+            else (
+                "dense-accumulate"
+                if self.N <= max(1 << 24, 4 * total_df)
+                else "sorted-merge-accumulate"
+            )
         )
         return {
             "query": query,

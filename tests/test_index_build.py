@@ -243,3 +243,85 @@ def test_hot_term_build_and_query(ray_session, tmp_path):
     assert max(ts.seg_df) <= 64
     top, scores = li.search("hotword filler3", 10, mode="AND")
     assert len(top) == 10
+
+
+def test_null_role_tool_text_not_dropped(ray_session, tmp_path):
+    """A tool=null / role=null / text=null turn must still be indexed
+    (binary_join_element_wise would otherwise null the whole row and
+    silently drop the doc from the index) and a null prior must be 0."""
+    import pyarrow as pa_
+
+    src = tmp_path / "null_src"
+    src.mkdir()
+    rows = {
+        "conv_id": pa_.array([f"c-{i:04d}" for i in range(4)], pa_.string()),
+        "turn_idx": pa_.array([0, 0, 0, 0], pa_.int32()),
+        "role": pa_.array(["user", None, "user", "user"], pa_.string()),
+        "text": pa_.array(["alpha beta", "alpha gamma", None, "alpha delta"], pa_.string()),
+        "tool": pa_.array([None, "bash", "bash", "bash"], pa_.string()),
+        "ts": pa_.array(np.zeros(4, dtype="datetime64[us]"), pa_.timestamp("us")),
+    }
+    pq.write_table(pa_.table(rows), str(src / "part-0.parquet"))
+    cfg = IndexConfig(stemming=False, index_role_tool=True, store_prior=True)
+    idx = str(tmp_path / "null_idx")
+    build_index(str(src), idx, cfg, n_partitions=1)
+    li = LocalIndex(idx)
+    # 'alpha' appears in rows 0, 1, 3 (row 2 has null text but its
+    # role/tool tokens still index); each null-field row is present
+    ids, _ = li.term_postings("alpha")
+    assert len(ids) == 3
+    ids_bash, _ = li.term_postings("bash")
+    assert len(ids_bash) == 3  # rows 1, 2, 3
+    # null text -> prior 0, not a crash
+    ts = li.terms["bash"]
+    assert int(ts.decode_priors().min()) == 0
+
+
+def test_null_keys_force_sort_fallback(ray_session, tmp_path):
+    """Null (conv_id, turn_idx) keys must disqualify the prefix-sum
+    fast path (pc.all skips null comparisons, so a misordered file
+    would otherwise read as sorted)."""
+    import pyarrow as pa_
+
+    from search_engine_ray.stages.doc_ids import assign_doc_ids_files
+
+    f = tmp_path / "nullkeys.parquet"
+    pq.write_table(
+        pa_.table(
+            {
+                "conv_id": pa_.array(["b", None, "a"], pa_.string()),
+                "turn_idx": pa_.array([1, 0, 1], pa_.int32()),
+                "role": pa_.array(["user"] * 3, pa_.string()),
+                "text": pa_.array(["x", "y", "z"], pa_.string()),
+                "tool": pa_.array([""] * 3, pa_.string()),
+                "ts": pa_.array(np.zeros(3, dtype="datetime64[us]"), pa_.timestamp("us")),
+            }
+        ),
+        str(f),
+    )
+    assert assign_doc_ids_files([str(f)]) is None
+
+
+def test_extend_with_empty_source_is_noop(ray_session, tmp_path):
+    """An all-empty extension must not poison docs/ with schema-less
+    sorted blocks (same guard build_index's stage A has)."""
+    import glob as glob_
+
+    import pyarrow as pa_
+
+    from search_engine_ray.pipelines.build_index import extend_index
+
+    src = str(tmp_path / "base")
+    write_transcripts(src, n_convs=20, turns_per_conv=3, seed=7, n_files=2)
+    idx = str(tmp_path / "ext_idx")
+    cfg = IndexConfig(stemming=False)
+    meta = build_index(src, idx, cfg, n_partitions=2)
+    empty = tmp_path / "empty.parquet"
+    schema = pq.read_schema(sorted(glob_.glob(f"{src}/*.parquet"))[0])
+    pq.write_table(schema.empty_table(), str(empty))
+    before = sorted(glob_.glob(f"{idx}/docs/*.parquet"))
+    extend_index(idx, str(empty), n_partitions=2)
+    after = sorted(glob_.glob(f"{idx}/docs/*.parquet"))
+    assert before == after  # no ext files appeared
+    li = LocalIndex(idx)
+    assert li.N == meta["N"]
