@@ -546,26 +546,25 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
-    class Scan:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = t["vec_id"].to_numpy()
-            v = _emb_matrix(t["embedding"])
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = v @ self.mat.T  # (batch, N)
-            hit_i, hit_j = np.nonzero((sims >= threshold) & (self.ids[None, :] > vids[:, None]))
-            return pa.table(
-                {
-                    "vec_a": pa.array(vids[hit_i], pa.int64()),
-                    "vec_b": pa.array(self.ids[hit_j], pa.int64()),
-                    "cosine": pa.array(np.round(sims[hit_i, hit_j], 6), pa.float64()),
-                }
-            )
+    def scan(t: pa.Table, _ref=ref) -> pa.Table:
+        # plain-function stage over the broadcast matrix (zero-copy
+        # plasma fetch per task; see ops/knn.knn_cosine's note)
+        ids_b, mat_b = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        v = _emb_matrix(t["embedding"])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ mat_b.T  # (batch, N)
+        hit_i, hit_j = np.nonzero((sims >= threshold) & (ids_b[None, :] > vids[:, None]))
+        return pa.table(
+            {
+                "vec_a": pa.array(vids[hit_i], pa.int64()),
+                "vec_b": pa.array(ids_b[hit_j], pa.int64()),
+                "cosine": pa.array(np.round(sims[hit_i, hit_j], 6), pa.float64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    return ds.map_batches(scan, batch_format="pyarrow")
 
 
 SQL_DEDUP_EMBEDDING = """

@@ -52,28 +52,30 @@ def _load_queries(sf_dir: str):
 def knn_cosine(sf_dir: str):
     qids, qmat = _load_queries(sf_dir)
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # broadcast once (ray.put) — every task fetches the query matrix
+    # zero-copy from the local plasma store. A plain-function stage,
+    # not an actor pool: the only "state" is this one ray.get, so pool
+    # spin-up would cost more than it amortizes (actor pools are for
+    # EXPENSIVE init — model load, codec probe; see ops/multimodal.py)
     ref = ray.put((qids, qnorm))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.q = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = t["vec_id"].to_numpy()
-            v = _emb_matrix(t["embedding"])
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = np.round(self.q @ v.T, 6)  # (nq, batch)
-            nq, nb = sims.shape
-            return pa.table(
-                {
-                    "qid": pa.array(np.repeat(self.qids, nb), pa.int64()),
-                    "vec_id": pa.array(np.tile(vids, nq), pa.int64()),
-                    "sim": pa.array(sims.ravel(), pa.float64()),
-                }
-            )
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        v = _emb_matrix(t["embedding"])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = np.round(q @ v.T, 6)  # (nq, batch)
+        nq, nb = sims.shape
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(q_ids, nb), pa.int64()),
+                "vec_id": pa.array(np.tile(vids, nq), pa.int64()),
+                "sim": pa.array(sims.ravel(), pa.float64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    scored = ds.map_batches(score, batch_format="pyarrow")
 
     # per-batch partial top-k would go here at scale; at sf sizes a
     # global sort+group head is simpler and still distributed
@@ -167,33 +169,32 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
     qsig = (qmat @ planes.T > 0) @ (1 << np.arange(n_planes))
     ref = ray.put((qids, qnorm, qsig, planes))
 
-    class BucketScore:
-        def __init__(self):
-            self.qids, self.q, self.qsig, self.planes = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = t["vec_id"].to_numpy()
-            raw = _emb_matrix(t["embedding"])
-            sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
-            v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
-            out = {"qid": [], "vec_id": [], "sim": []}
-            for qi, qs in zip(self.qids, self.qsig):
-                hit = np.flatnonzero((sig == qs) & (vids != qi))
-                if hit.size:
-                    sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
-                    out["qid"].extend([int(qi)] * hit.size)
-                    out["vec_id"].extend(vids[hit].tolist())
-                    out["sim"].extend(sims.tolist())
-            return pa.table(
-                {
-                    "qid": pa.array(out["qid"], pa.int64()),
-                    "vec_id": pa.array(out["vec_id"], pa.int64()),
-                    "sim": pa.array(out["sim"], pa.float64()),
-                }
-            )
+    def bucket_score(t: pa.Table, _ref=ref) -> pa.Table:
+        # plain-function stage over a broadcast ref (zero-copy plasma
+        # fetch per task — see knn_cosine's note on why not a pool)
+        q_ids, q, q_sig, pl = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        raw = _emb_matrix(t["embedding"])
+        sig = (raw @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
+        v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+        out = {"qid": [], "vec_id": [], "sim": []}
+        for qi, qs in zip(q_ids, q_sig):
+            hit = np.flatnonzero((sig == qs) & (vids != qi))
+            if hit.size:
+                sims = np.round(v[hit] @ q[qi == q_ids][0], 6)
+                out["qid"].extend([int(qi)] * hit.size)
+                out["vec_id"].extend(vids[hit].tolist())
+                out["sim"].extend(sims.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    scored = ds.map_batches(bucket_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
 
@@ -256,34 +257,31 @@ def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
     qsig = (qmat @ planes.T > 0) @ (1 << np.arange(n_planes))
     ref = ray.put((qids, qnorm, qsig, planes))
 
-    class ProbeBuckets:
-        def __init__(self):
-            self.qids, self.q, self.qsig, self.planes = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = t["vec_id"].to_numpy()
-            raw = _emb_matrix(t["embedding"])
-            sig = (raw @ self.planes.T > 0) @ (1 << np.arange(self.planes.shape[0]))
-            v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
-            out = {"qid": [], "vec_id": [], "sim": []}
-            for qi, qs in zip(self.qids, self.qsig):
-                ham = _popcount64(np.bitwise_xor(sig.astype(np.uint64), np.uint64(qs)))
-                hit = np.flatnonzero((ham <= 1) & (vids != qi))
-                if hit.size:
-                    sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
-                    out["qid"].extend([int(qi)] * hit.size)
-                    out["vec_id"].extend(vids[hit].tolist())
-                    out["sim"].extend(sims.tolist())
-            return pa.table(
-                {
-                    "qid": pa.array(out["qid"], pa.int64()),
-                    "vec_id": pa.array(out["vec_id"], pa.int64()),
-                    "sim": pa.array(out["sim"], pa.float64()),
-                }
-            )
+    def probe_buckets(t: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q, q_sig, pl = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        raw = _emb_matrix(t["embedding"])
+        sig = (raw @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
+        v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+        out = {"qid": [], "vec_id": [], "sim": []}
+        for qi, qs in zip(q_ids, q_sig):
+            ham = _popcount64(np.bitwise_xor(sig.astype(np.uint64), np.uint64(qs)))
+            hit = np.flatnonzero((ham <= 1) & (vids != qi))
+            if hit.size:
+                sims = np.round(v[hit] @ q[qi == q_ids][0], 6)
+                out["qid"].extend([int(qi)] * hit.size)
+                out["vec_id"].extend(vids[hit].tolist())
+                out["sim"].extend(sims.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(ProbeBuckets, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    scored = ds.map_batches(probe_buckets, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
 
@@ -353,33 +351,30 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
     qlists = np.argsort(-(qnorm @ cnorm.T), axis=1, kind="stable")[:, :n_probe]
     ref = ray.put((qids, qnorm, qlists, cnorm))
 
-    class ProbeScore:
-        def __init__(self):
-            self.qids, self.q, self.qlists, self.cnorm = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vids = t["vec_id"].to_numpy()
-            v = _emb_matrix(t["embedding"])
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            vlist = np.argmax(v @ self.cnorm.T, axis=1)  # first max = smallest cid
-            out = {"qid": [], "vec_id": [], "sim": []}
-            for qi, probe in zip(self.qids, self.qlists):
-                hit = np.flatnonzero(np.isin(vlist, probe) & (vids != qi))
-                if hit.size:
-                    sims = np.round(v[hit] @ self.q[qi == self.qids][0], 6)
-                    out["qid"].extend([int(qi)] * hit.size)
-                    out["vec_id"].extend(vids[hit].tolist())
-                    out["sim"].extend(sims.tolist())
-            return pa.table(
-                {
-                    "qid": pa.array(out["qid"], pa.int64()),
-                    "vec_id": pa.array(out["vec_id"], pa.int64()),
-                    "sim": pa.array(out["sim"], pa.float64()),
-                }
-            )
+    def probe_score(t: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q, q_lists, cn = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        v = _emb_matrix(t["embedding"])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        vlist = np.argmax(v @ cn.T, axis=1)  # first max = smallest cid
+        out = {"qid": [], "vec_id": [], "sim": []}
+        for qi, probe in zip(q_ids, q_lists):
+            hit = np.flatnonzero(np.isin(vlist, probe) & (vids != qi))
+            if hit.size:
+                sims = np.round(v[hit] @ q[qi == q_ids][0], 6)
+                out["qid"].extend([int(qi)] * hit.size)
+                out["vec_id"].extend(vids[hit].tolist())
+                out["sim"].extend(sims.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+    scored = ds.map_batches(probe_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
 

@@ -180,32 +180,31 @@ def flame_join_broadcast(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    # broadcast the small side ONCE as Arrow arrays (not a Python
+    # dict): tasks fetch them zero-copy from the local plasma store
+    cust_ref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks())
+    )
 
-    class AttachSegment:
-        """Vectorized broadcast probe: the small side is shipped ONCE via
-        ray.put as (keys, values) arrays, loaded per actor in __init__;
-        each batch is matched with pc.index_in + take (no Python loop)."""
-
-        def __init__(self):
-            lookup = ray.get(cust_ref)
-            self.keys = pa.array(list(lookup.keys()), pa.int64())
-            self.vals = pa.array(list(lookup.values()), pa.string())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
-            return pa.table(
-                {
-                    "c_mktsegment": pc.take(self.vals, idx),
-                    "price_cents": _cents(t["o_totalprice"]),
-                }
-            )
+    def attach_segment(t: pa.Table, _ref=cust_ref) -> pa.Table:
+        """Vectorized broadcast probe: pc.index_in + take against the
+        broadcast key/value arrays (no Python loop). A plain-function
+        stage — the per-task ray.get is too cheap to justify actor-pool
+        spin-up."""
+        keys, vals = ray.get(_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table(
+            {
+                "c_mktsegment": pc.take(vals, idx),
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     from ray.data.aggregate import Sum, Count
 
     return (
-        ds.map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        ds.map_batches(attach_segment, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
     )
