@@ -66,11 +66,23 @@ def knn_cosine(sf_dir: str):
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = np.round(q @ v.T, 6)  # (nq, batch)
         nq, nb = sims.shape
+        # per-batch partial top-k: the final top-k shuffle moves
+        # O(nq x k) rows per batch, not O(nq x batch). k+1 because the
+        # finisher drops the self-match; keeping every candidate tied
+        # with the boundary value makes the emitted set a superset of
+        # the global top-k under ANY tie-break, so the final selection
+        # is unchanged.
+        kk = _TOP_K + 1
+        if nb > kk:
+            thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
+            keep_i, keep_j = np.nonzero(sims >= thresh[:, None])
+        else:
+            keep_i, keep_j = np.nonzero(np.ones_like(sims, dtype=bool))
         return pa.table(
             {
-                "qid": pa.array(np.repeat(q_ids, nb), pa.int64()),
-                "vec_id": pa.array(np.tile(vids, nq), pa.int64()),
-                "sim": pa.array(sims.ravel(), pa.float64()),
+                "qid": pa.array(q_ids[keep_i], pa.int64()),
+                "vec_id": pa.array(vids[keep_j], pa.int64()),
+                "sim": pa.array(sims[keep_i, keep_j], pa.float64()),
             }
         )
 
