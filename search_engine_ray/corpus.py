@@ -138,10 +138,11 @@ def make_queries(n_queries: int = 50, seed: int = 43) -> pd.DataFrame:
         k = int(rng.integers(1, 5))
         words = vocab[rng.integers(0, 300, size=k)]
         qs.append(" ".join(words))
+    qs = qs[:n_queries]  # trim BEFORE deriving the aligned columns
     ks = np.full(len(qs), 200, dtype=np.int32)
     ks[::7] = 10
     return pd.DataFrame(
-        {"query_id": np.arange(len(qs), dtype=np.int32), "query": qs[:n_queries], "k": ks[:n_queries]}
+        {"query_id": np.arange(len(qs), dtype=np.int32), "query": qs, "k": ks}
     )
 
 
@@ -157,9 +158,16 @@ def write_transcripts(
     (cached: skipped when the directory already exists with a _DONE
     marker). ``shuffle_files`` writes rows in a deterministic non-sorted
     order to exercise the doc-id sort path."""
+    params = f"{n_convs},{turns_per_conv},{seed},{n_files},{shuffle_files}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            if f.read() == params:
+                return out_dir
+        # parameter change: the cached corpus is stale — regenerate
+        import shutil as _sh
+
+        _sh.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     table = make_transcripts(n_convs=n_convs, turns_per_conv=turns_per_conv, seed=seed)
     n = table.num_rows
@@ -171,7 +179,7 @@ def write_transcripts(
         part = table.slice(bounds[i], bounds[i + 1] - bounds[i])
         pq.write_table(part, os.path.join(out_dir, f"part-{i:05d}.parquet"))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(params)
     return out_dir
 
 
@@ -179,7 +187,7 @@ def write_transcripts(
 
 TRANSCRIPTS_FROM_DOCUMENTS_SQL = """
     SELECT
-        'conv-' || lpad(CAST(doc_id // 5 AS VARCHAR), 8, '0') AS conv_id,
+        printf('conv-%08d', doc_id // 5) AS conv_id,  -- NOT lpad: lpad TRUNCATES past 8 chars, printf pads-only like Python's {:08d}
         CAST(doc_id % 5 AS INTEGER) AS turn_idx,
         CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
         text,

@@ -111,6 +111,16 @@ def split_tokens_arrow(texts: pa.Array, cfg: IndexConfig):
     semantics)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if len(texts) == 0:
+        # 0-row blocks happen (empty part files, post-filter blocks);
+        # the starts/doclens broadcast below would raise on them
+        return (
+            np.empty(0, np.int64),
+            pa.array([], pa.string()),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            np.empty(0, np.int32),
+        )
     texts = pc.fill_null(texts, "")
     clipped = pc.utf8_slice_codeunits(texts, 0, cfg.max_text_len)
     if cfg.strip_html:
@@ -191,7 +201,6 @@ def tokenize_batch(
     return TokenizedBatch(out_doc, out_code, dictionary, out_pos, doclens)
 
 
-_SKIP_ARR = np.array(sorted(SKIP_WORDS), dtype=object)
 _SKIP_PA = pa.array(sorted(SKIP_WORDS), pa.string())
 
 

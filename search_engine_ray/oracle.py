@@ -34,7 +34,15 @@ def oracle_tokenize(text: str, cfg: IndexConfig | None = None):
     count of non-empty tokens.
     """
     cfg = cfg or IndexConfig()
-    text = (text or "")[: cfg.max_text_len].lower()
+    text = (text or "")[: cfg.max_text_len]
+    if cfg.strip_html:
+        # truncate-then-strip, matching split_tokens_arrow's order —
+        # without this the oracle indexes tag/attribute tokens and a
+        # strip_html=True cross-check reports false mismatches
+        from .functions.analysis import strip_html
+
+        text = strip_html(text)
+    text = text.lower()
     terms: dict[str, list] = {}
     pos = 0
     for tok in _SPLIT_RE.split(text):

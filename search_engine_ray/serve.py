@@ -19,6 +19,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -27,6 +28,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .config import DEFAULT_TOP_K
+from .functions.analysis import _SPLIT_PATTERN
 
 
 # Minimal static search page (parity with the reference's HTML/JS
@@ -133,6 +135,8 @@ class SearchServer:
 
             searcher = DocShardedSearcher(index_dir)
         self.searcher = searcher
+        self._index_dir = index_dir
+        self._spellcheck = spellcheck
         self.docs = DocStore(index_dir)
         self.speller = None
         if spellcheck:
@@ -199,12 +203,16 @@ class SearchServer:
                 corrected = None
                 run_query = query
                 if outer.speller is not None:
-                    # correct the ANALYZED (lowercased) terms — the
-                    # dictionary holds analyzed terms, so a correctly
-                    # spelled capitalized word must not miss it
+                    # correct the ANALYZED terms — the dictionary
+                    # holds analyzed (lowercase alphanumeric) tokens,
+                    # so both a capitalized and a punctuated
+                    # correctly-spelled word ("Search", "don't" ->
+                    # don, t) must not miss it and get miscorrected
                     # (reference parity: Search.java spellchecks the
                     # analyzed words)
-                    words = query.lower().split()
+                    words = [
+                        w for w in re.split(_SPLIT_PATTERN, query.lower()) if w
+                    ]
                     fixed, changed = outer.speller.correct_query(words)
                     if changed:
                         corrected = fixed
@@ -242,6 +250,8 @@ class SearchServer:
                     mode = str(req.get("mode", "OR")).upper()
                     if any(k < 1 for _, k in queries):
                         raise ValueError("k must be >= 1")
+                    if any(not isinstance(q, str) for q, _ in queries):
+                        raise ValueError("query must be a string")
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:
                     self._json(400, {"error": f"bad batch request: {ex}"})
                     return
@@ -276,6 +286,23 @@ class SearchServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+    def refresh(self) -> bool:
+        """Pick up on-disk index changes across the WHOLE serving
+        stack: the searcher's shard layout (blue-green), the DocStore
+        ranges (so extended doc_ids get conv_id/turn_idx/snippets),
+        and the spellcheck dictionary (so new vocabulary stops being
+        'corrected' away). Each piece is rebuilt fully before its
+        attribute is swapped, so concurrent requests see old-or-new,
+        never partial state."""
+        if hasattr(self.searcher, "refresh"):
+            self.searcher.refresh()
+        self.docs = DocStore(self._index_dir)
+        if self._spellcheck:
+            from .functions.spellcheck import SpellChecker
+
+            self.speller = SpellChecker.from_index(self._index_dir)
+        return True
 
 
 def serve(index_dir: str, port: int = 8080, n_shards: int = 4):

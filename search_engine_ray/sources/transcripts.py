@@ -46,7 +46,30 @@ def _coerce(t: pa.Table) -> pa.Table:
         if pa.types.is_timestamp(field.type) and (
             pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
         ):
-            col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+            # ISO-ish variants seen in real dumps: 'T' or ' ' separator,
+            # optional fractional seconds, optional trailing 'Z'. Arrow's
+            # timestamp cast handles all of these; fall back to strict
+            # strptime formats for anything the cast rejects
+            attempts = [
+                lambda c: pc.cast(c, pa.timestamp("us")),
+                # trailing 'Z': parse as UTC-aware, then drop the zone
+                # (values are already UTC wall time)
+                lambda c: pc.cast(pc.cast(c, pa.timestamp("us", tz="UTC")), pa.timestamp("us")),
+                lambda c: pc.strptime(c, format="%Y-%m-%dT%H:%M:%S", unit="us"),
+                lambda c: pc.strptime(c, format="%Y-%m-%d %H:%M:%S", unit="us"),
+                lambda c: pc.strptime(c, format="%Y-%m-%d", unit="us"),
+            ]
+            last_err = None
+            for parse in attempts:
+                try:
+                    col = parse(col)
+                    break
+                except pa.ArrowInvalid as ex:
+                    last_err = ex
+            else:
+                raise ValueError(
+                    f"unparseable ts strings (tried ISO/UTC casts + 3 formats): {last_err}"
+                )
         cols[field.name] = pc.cast(col, field.type)
     return pa.table(cols)
 

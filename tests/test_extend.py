@@ -105,3 +105,37 @@ def test_compact_after_extends(ray_session, tmp_path, split_corpus):
     for q, (ids, sc) in q_before.items():
         ids2, sc2 = li.search(q, 50, mode="OR")
         assert ids2.tolist() == ids.tolist()
+
+
+def test_search_server_refresh_covers_extension(ray_session, tmp_path, split_corpus):
+    """SearchServer.refresh() must rebuild the DocStore (and speller)
+    so docs appended by extend_index come back WITH conv_id/snippet
+    metadata, not blank hits."""
+    import json as json_
+    import urllib.request
+
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.serve import SearchServer
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    _, a, b = split_corpus
+    idx = str(tmp_path / "srv_idx")
+    build_index(a, idx, n_partitions=2)
+    n_before = LocalIndex(idx).N
+    srv = SearchServer(idx, DocShardedSearcher(idx, n_shards=2)).start()
+    try:
+        extend_index(idx, b, n_partitions=2)
+        srv.refresh()
+        # pick a term from the extension and search it over HTTP
+        ext_text = pq_.read_table(sorted(glob.glob(f"{b}/*.parquet"))[0], columns=["text"])
+        term = next(w for w in ext_text["text"][0].as_py().split() if len(w) > 3)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/search?query={term}&k=50&mode=OR"
+        ) as resp:
+            payload = json_.loads(resp.read())
+        new_hits = [r for r in payload["results"] if r["doc_id"] >= n_before]
+        assert new_hits, "extension docs should be searchable after refresh"
+        assert all("conv_id" in r and "snippet" in r for r in new_hits)
+    finally:
+        srv.stop()

@@ -378,17 +378,21 @@ def test_http_batch_endpoint(index_dir):
         # contract as GET /search), not a 500 from topk on empty
         import urllib.error
 
-        for bad_k in (0, -3):
-            bad = json_.dumps({"queries": [{"query": "x", "k": bad_k}]}).encode()
+        for bad_body in (
+            {"queries": [{"query": "x", "k": 0}]},
+            {"queries": [{"query": "x", "k": -3}]},
+            {"queries": [{"query": 42, "k": 5}]},  # non-string query
+        ):
+            bad = json_.dumps(bad_body).encode()
             req = urllib.request.Request(
                 f"http://127.0.0.1:{srv.port}/batch", data=bad,
                 headers={"Content-Type": "application/json"}, method="POST",
             )
             try:
                 urllib.request.urlopen(req)
-                raise AssertionError(f"k={bad_k} should 400")
+                raise AssertionError(f"{bad_body} should 400")
             except urllib.error.HTTPError as e:
-                assert e.code == 400, (bad_k, e.code)
+                assert e.code == 400, (bad_body, e.code)
     finally:
         srv.stop()
 
