@@ -82,6 +82,16 @@ def _hash60(strings) -> np.ndarray:
 
 # ---- exact dedup: hash-partition on content + per-group first ----
 
+def hash_content_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, h) rows — the shared content-hash kernel for exact
+    dedup (here and in prepare.prepare_corpus): null == empty text,
+    mirrored by coalesce in both SQL twins."""
+    texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"doc_id": t["doc_id"], "h": pa.array(_hash60(texts), pa.int64())}
+    )
+
+
 def dedup_exact(sf_dir: str):
     """Groups identical texts; keeps the smallest doc_id (the analog of
     KVS key collision where last-write-wins — made deterministic).
@@ -93,23 +103,20 @@ def dedup_exact(sf_dir: str):
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def hash_content(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"doc_id": t["doc_id"], "h": pa.array(_hash60(texts), pa.int64())}
-        )
-
     return (
-        ds.map_batches(hash_content, batch_format="pyarrow")
+        ds.map_batches(hash_content_batch, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
         .drop_columns(["h"])
     )
 
 
+# coalesce: the Ray side folds null texts into the empty-string hash
+# group (fill_null in hash_content_batch); md5(NULL) would instead stay
+# a separate NULL group and the twins would diverge on null-bearing data
 SQL_DEDUP_EXACT = f"""
 SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY {_MD5_SQL.format("text")}
+FROM documents GROUP BY {_MD5_SQL.format("coalesce(text, '')")}
 """
 
 
@@ -203,6 +210,7 @@ def _pairs_of_group(group: pa.Table, cap: int | None = None) -> pa.Table:
 
 _N_PERM = 64
 _BANDS = 16  # 16 bands x 4 rows
+_BAND_BUCKET_CAP = 4096  # max docs per (band, hash) bucket for pair generation
 _ROWS = _N_PERM // _BANDS
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(4242)
@@ -371,10 +379,18 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     # is one whole doc, so signatures always see the full shingle set
     # (the materialized shingle dataset may re-block rows mid-doc —
     # see _band_rows' doc-complete requirement)
+    # bucket cap: a 10^5-doc duplicate cluster would otherwise emit
+    # O(k^2) pairs in EVERY band (the ngram path's _DF_CAP and the
+    # embedding path's _EMB_BUCKET_CAP guard the same blowup). Safe for
+    # the verify: capping only drops candidates, never corrupts counts,
+    # and gate-corpus buckets are far below the cap.
     cand = (
         ds.map_batches(_bands_from_docs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .map_groups(
+            lambda g: _pairs_of_group(g, cap=_BAND_BUCKET_CAP),
+            batch_format="pyarrow",
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_nb"))  # native dedup of pair rows
         .drop_columns(["_nb"])
@@ -551,7 +567,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
         # plasma fetch per task; see ops/knn.knn_cosine's note)
         ids_b, mat_b = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        v = _emb_matrix(t["embedding"])
+        v = _emb_matrix(t["embedding"], mat_b.shape[1])
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = v @ mat_b.T  # (batch, N)
         hit_i, hit_j = np.nonzero((sims >= threshold) & (ids_b[None, :] > vids[:, None]))
@@ -725,7 +741,7 @@ def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int,
 
     def band_rows(t: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        v = _emb_matrix(t["embedding"])
+        v = _emb_matrix(t["embedding"], pl.shape[1])
         bits = (v @ pl.T) > 0  # (n, n_bands * n_rows)
         tables = []
         for b in range(n_bands):
@@ -750,7 +766,7 @@ def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int,
         if g.num_rows < 2 or g.num_rows > cap:
             return empty
         vids = g["vec_id"].to_numpy()
-        v = _emb_matrix(g["embedding"])
+        v = _emb_matrix(g["embedding"], dim)
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         order = np.argsort(vids)
         vids, v = vids[order], v[order]

@@ -26,23 +26,36 @@ _N_QUERIES = 5
 _TOP_K = 5
 
 
-def _emb_matrix(col) -> np.ndarray:
+def _emb_matrix(col, dim: int = 0) -> np.ndarray:
     """Decode a ``list<float>`` Arrow column to an (n, dim) float64
     matrix WITHOUT per-row Python objects: ``flatten()`` yields the
     child values buffer (zero-copy to numpy), one reshape recovers the
     matrix. ``np.stack(col.to_pylist())`` — the naive form — would
     materialize every row as a Python list first; at 100x scale that is
-    the first thing these stages would choke on."""
+    the first thing these stages would choke on.
+
+    ``dim`` shapes the 0-row case: a (0, 0) result would crash every
+    downstream matmul/reduction on an empty block (empty parquet
+    fragments and post-filter blocks do occur), while (0, dim)
+    broadcasts cleanly through them."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
-        return np.empty((0, 0), np.float64)
+        if not dim and pa.types.is_fixed_size_list(arr.type):
+            dim = arr.type.list_size
+        return np.empty((0, dim), np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
 def _load_queries(sf_dir: str):
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # filters push down to row-group pruning: the driver reads only the
+    # groups containing the handful of query rows, never the full
+    # N x dim matrix (this runs once per gate entry)
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _N_QUERIES)],
+    )
     ids = tbl["vec_id"].to_numpy()
     sel = np.flatnonzero(ids < _N_QUERIES)
     q = _emb_matrix(tbl["embedding"].take(pa.array(sel)))
@@ -62,7 +75,7 @@ def knn_cosine(sf_dir: str):
     def score(t: pa.Table, _ref=ref) -> pa.Table:
         q_ids, q = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        v = _emb_matrix(t["embedding"])
+        v = _emb_matrix(t["embedding"], q.shape[1])
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = np.round(q @ v.T, 6)  # (nq, batch)
         nq, nb = sims.shape
@@ -186,7 +199,7 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
         # fetch per task — see knn_cosine's note on why not a pool)
         q_ids, q, q_sig, pl = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        raw = _emb_matrix(t["embedding"])
+        raw = _emb_matrix(t["embedding"], pl.shape[1])
         sig = (raw @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
         v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
         out = {"qid": [], "vec_id": [], "sim": []}
@@ -272,7 +285,7 @@ def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
     def probe_buckets(t: pa.Table, _ref=ref) -> pa.Table:
         q_ids, q, q_sig, pl = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        raw = _emb_matrix(t["embedding"])
+        raw = _emb_matrix(t["embedding"], pl.shape[1])
         sig = (raw @ pl.T > 0) @ (1 << np.arange(pl.shape[0]))
         v = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
         out = {"qid": [], "vec_id": [], "sim": []}
@@ -340,10 +353,25 @@ def _ivf_centroids(sf_dir: str, n_lists: int):
     embeddings with vec_id % {_IVF_MOD} == {_IVF_RESIDUE} (ascending) — a rule the
     SQL oracle reproduces verbatim. For a quality-tuned index use
     ``train_ivf_centroids`` (distributed sampled k-means) instead."""
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy()
-    sel = np.flatnonzero(ids % _IVF_MOD == _IVF_RESIDUE)
-    sel = sel[np.argsort(ids[sel])][:n_lists]
+    # two-step pruned read: the id column alone (8 bytes/row) finds the
+    # n_lists target ids, then a row-group-pruned read fetches just
+    # their embedding rows — the driver never holds the N x dim matrix
+    ids = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    targets = np.sort(ids[ids % _IVF_MOD == _IVF_RESIDUE])[:n_lists]
+    if targets.size == 0:
+        raise ValueError(
+            f"no vec_id satisfies %{_IVF_MOD}=={_IVF_RESIDUE}; "
+            "cannot seed IVF centroids"
+        )
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<=", int(targets[-1]))],
+    )
+    tids = tbl["vec_id"].to_numpy()
+    sel = np.flatnonzero(np.isin(tids, targets))
+    sel = sel[np.argsort(tids[sel])]
     return _emb_matrix(tbl["embedding"].take(pa.array(sel)))
 
 
@@ -366,7 +394,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
     def probe_score(t: pa.Table, _ref=ref) -> pa.Table:
         q_ids, q, q_lists, cn = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        v = _emb_matrix(t["embedding"])
+        v = _emb_matrix(t["embedding"], cn.shape[1])
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         vlist = np.argmax(v @ cn.T, axis=1)  # first max = smallest cid
         out = {"qid": [], "vec_id": [], "sim": []}
@@ -446,6 +474,15 @@ def train_ivf_centroids(
     )
     sample = ds.random_sample(sample_fraction, seed=seed).materialize()
     init = sample.limit(n_lists).take_all()
+    if not init:
+        raise ValueError(
+            "empty training sample — raise sample_fraction or check the table"
+        )
+    if len(init) < n_lists:
+        # fewer sampled rows than requested lists: clamp (the acc/cnt
+        # arrays below are sized to the centroid count, so a short init
+        # would otherwise IndexError on the nonempty mask)
+        n_lists = len(init)
     centroids = np.stack([r["embedding"] for r in init]).astype(np.float64)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     dim = centroids.shape[1]
@@ -455,7 +492,7 @@ def train_ivf_centroids(
 
         def partial(t: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
-            v = _emb_matrix(t["embedding"])
+            v = _emb_matrix(t["embedding"], c.shape[1])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             a = np.argmax(v @ c.T, axis=1)
             k = c.shape[0]

@@ -82,7 +82,12 @@ class MediaFeatureExtractor:
         nb = n_bytes.to_numpy()
         width = nb % 512
         height = (nb // 512) % 512
-        head_hex = [bytes(v.as_py()[:8]).hex().upper() if v.is_valid else None for v in payload]
+        # vectorized: slice the 8-byte head with an Arrow kernel, then
+        # hex-encode the fixed-width buffers via numpy (no per-row
+        # as_py() materialization in the hot stage)
+        heads = pc.binary_slice(payload, 0, 8)
+        head_np = heads.to_numpy(zero_copy_only=False)
+        head_hex = [None if v is None else v.hex().upper() for v in head_np]
         return pa.table(
             {
                 "doc_id": t["doc_id"],

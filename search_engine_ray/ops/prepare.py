@@ -42,7 +42,9 @@ def prepare_corpus(sf_dir: str):
     chain, ascending."""
 
     def keep_quality(t: pa.Table) -> pa.Table:
-        text = t["text"].combine_chunks()
+        # fill_null: NaN utf8_length would cast to INT64_MIN garbage
+        # (same convention as text_ops.text_quality)
+        text = pc.fill_null(t["text"].combine_chunks(), "")
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         alpha = pc.utf8_length(
             pc.replace_substring_regex(text, "[^A-Za-z]", "")
@@ -67,17 +69,12 @@ def prepare_corpus(sf_dir: str):
         .map_batches(keep_quality, batch_format="pyarrow")
     )
     # exact dedup: smallest doc_id per identical text — shuffle the
-    # content hash, not the text bytes (see dedup.dedup_exact)
-    from .dedup import _hash60
-
-    def hash_content(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(t["text"].combine_chunks(), "").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"doc_id": t["doc_id"], "h": pa.array(_hash60(texts), pa.int64())}
-        )
+    # content hash, not the text bytes (the SHARED kernel with
+    # dedup.dedup_exact, so the two gate entries cannot drift)
+    from .dedup import hash_content_batch
 
     exact = (
-        clean.map_batches(hash_content, batch_format="pyarrow")
+        clean.map_batches(hash_content_batch, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .drop_columns(["h"])
@@ -139,7 +136,7 @@ quality AS (
                           x -> x <> '')) >= {_MIN_TOKENS}
 ),
 exact AS (SELECT MIN(doc_id) AS doc_id FROM quality
-          GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT)
+          GROUP BY ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT)
 SELECT doc_id FROM exact
 WHERE doc_id NOT IN (SELECT doc_b FROM neardups)
 ORDER BY doc_id

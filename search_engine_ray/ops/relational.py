@@ -193,12 +193,16 @@ def flame_join_broadcast(sf_dir: str):
         spin-up."""
         keys, vals = ray.get(_ref)
         idx = pc.index_in(t["o_custkey"], value_set=keys)
-        return pa.table(
+        out = pa.table(
             {
                 "c_mktsegment": pc.take(vals, idx),
                 "price_cents": _cents(t["o_totalprice"]),
             }
         )
+        # inner-join semantics (matching the SQL twin): drop orders
+        # whose o_custkey has no customer row instead of emitting a
+        # null-segment group
+        return out.filter(pc.is_valid(out["c_mktsegment"]))
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     from ray.data.aggregate import Sum, Count
@@ -620,7 +624,9 @@ def events_json_extract(sf_dir: str):
 
 SQL_EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+       -- TRY_CAST: a props row without the k field extracts '' which
+       -- plain CAST aborts on; the Ray side yields null and Sum skips
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 

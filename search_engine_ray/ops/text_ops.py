@@ -124,7 +124,10 @@ def text_quality(sf_dir: str):
     cfg = IndexConfig(stemming=False)
 
     def quality(t: pa.Table) -> pa.Table:
-        text = t["text"].combine_chunks()
+        # fill_null: a null text's utf8_length is NaN, and NaN.astype
+        # (int64) is INT64_MIN garbage; null == empty here, mirrored by
+        # coalesce in the SQL twin
+        text = pc.fill_null(t["text"].combine_chunks(), "")
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         alpha = pc.utf8_length(
             pc.replace_substring_regex(text, "[^A-Za-z]", "")
@@ -154,6 +157,7 @@ def text_quality(sf_dir: str):
 
 
 SQL_TEXT_QUALITY = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        length(text) AS n_chars,
        len(list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
@@ -162,7 +166,7 @@ SELECT doc_id,
              / greatest(length(text), 1) + 0.5) AS BIGINT) AS alpha_ppm,
        CAST(floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) * 1e6
              / greatest(length(text), 1) + 0.5) AS BIGINT) AS digit_ppm
-FROM documents
+FROM d
 """
 
 

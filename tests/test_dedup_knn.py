@@ -320,3 +320,19 @@ def test_fast_content_hash_preserves_dedup_semantics(doc_dir):
     finally:
         config.FAST_CONTENT_HASH = False
     assert slow == fast
+
+
+def test_emb_matrix_empty_block_shapes():
+    """A 0-row block must yield (0, dim) — a (0, 0) matrix crashes
+    every downstream matmul/reduction (empty parquet fragments and
+    post-filter blocks occur in practice)."""
+    from search_engine_ray.ops.knn import _emb_matrix
+
+    empty_list = pa.array([], pa.list_(pa.float32()))
+    assert _emb_matrix(empty_list, 64).shape == (0, 64)
+    empty_fsl = pa.array([], pa.list_(pa.float32(), 16))
+    assert _emb_matrix(empty_fsl).shape == (0, 16)
+    # and the downstream ops survive it
+    q = np.ones((5, 64))
+    v = _emb_matrix(empty_list, 64)
+    assert (q @ v.T).shape == (5, 0)
