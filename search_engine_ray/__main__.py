@@ -99,6 +99,43 @@ def cmd_serve(a) -> int:
     return 0
 
 
+def cmd_stats(a) -> int:
+    """Per-partition lineage + metrics without loading the index:
+    docs-store manifest (input fingerprint, rows, timings, extension
+    history) plus per-partition segment manifests and on-disk bytes."""
+    import glob as glob_
+    import os
+
+    from .state.checkpoint import read_manifest
+
+    out: dict = {"index_dir": a.index}
+    with open(os.path.join(a.index, "meta.json")) as f:
+        meta = json.load(f)
+    out["N"] = meta.get("N")
+    out["avgdl"] = meta.get("avgdl")
+    out["config"] = meta.get("config")
+    try:
+        out["docs"] = read_manifest(os.path.join(a.index, "docs"))
+    except OSError:
+        out["docs"] = None
+    parts = []
+    for d in sorted(glob_.glob(os.path.join(a.index, "segments", "part=*"))):
+        files = sorted(glob_.glob(os.path.join(d, "*.parquet")))
+        entry = {
+            "partition": os.path.basename(d),
+            "files": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+        }
+        try:
+            entry["manifest"] = read_manifest(d)
+        except OSError:
+            entry["manifest"] = None
+        parts.append(entry)
+    out["partitions"] = parts
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,6 +177,10 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("-p", "--partitions", type=int, default=8)
     cp.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stats", help="index lineage + per-partition metrics")
+    st.add_argument("index")
+    st.set_defaults(fn=cmd_stats)
 
     sv = sub.add_parser("serve", help="HTTP /search endpoint over doc shards")
     sv.add_argument("--index", required=True)

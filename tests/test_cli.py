@@ -38,3 +38,12 @@ def test_cli_build_query_compact(tmp_path, fmt):
     assert r.returncode == 0, r.stderr[-2000:]
     meta = json.loads(r.stdout[r.stdout.index("{"):])
     assert meta["timings"]["compacted"]
+
+    r = run("stats", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout[r.stdout.index("{"):])
+    assert stats["N"] == 150
+    assert stats["docs"]["fingerprint"]
+    assert stats["partitions"] and all(
+        p["files"] > 0 and p["bytes"] > 0 for p in stats["partitions"]
+    )
