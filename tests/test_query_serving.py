@@ -427,3 +427,51 @@ def test_http_explain_endpoint(index_dir):
         assert any(t["df"] > 0 for t in payload["terms"])
     finally:
         srv.stop()
+
+
+def test_refresh_is_atomic_under_concurrent_queries(ray_session, tmp_path):
+    """Blue-green refresh: queries racing repeated refresh() calls must
+    never see a mixed layout (duplicate doc_ids), a missing doc range
+    (wrong result set), or a killed actor (exception). Exercises the
+    one-snapshot-per-call + retire-one-generation design."""
+    import threading
+
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index, compact_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    base = str(tmp_path / "base")
+    write_transcripts(base, n_convs=60, turns_per_conv=5, seed=42, n_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, IndexConfig(doc_bucket_size=512), n_partitions=4)
+    want_ids, want_sc = LocalIndex(idx).search("hash join", k=100, mode="OR")
+
+    sharded = DocShardedSearcher(idx, n_shards=4)
+    errors: list = []
+    stop = threading.Event()
+
+    def hammer():
+        try:
+            while not stop.is_set():
+                ids, sc = sharded.search("hash join", k=100, mode="OR")
+                assert len(ids) == len(set(ids.tolist())), "duplicate doc_ids"
+                assert ids.tolist() == want_ids.tolist(), "wrong result set"
+        except Exception as ex:  # noqa: BLE001 - recorded for the main thread
+            errors.append(ex)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        # alternate the on-disk layout between 2 and 4 partitions while
+        # queries are in flight; every refresh is a full generation swap
+        for parts in (2, 4, 2, 4):
+            compact_index(idx, n_partitions=parts)
+            assert sharded.refresh()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors[:3]
+    sharded.close()
