@@ -31,6 +31,22 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), 0), pa.int64())
 
 
+def _coalesced_groupby(ds, keys):
+    """Coalesce a post-combiner dataset before its groupby.
+
+    After a per-batch combiner over BOUNDED-cardinality keys (time
+    windows, tokens, years) the dataset is tiny — at most keys x
+    input-blocks rows — but the groupby shuffle would still launch one
+    map+reduce task per INPUT block (64 blocks of ~60 rows = 128 tasks
+    of pure overhead; measured 6.0s -> 1.4s at sf0.1 by coalescing).
+    Repartitioning a few thousand combined rows is nearly free at any
+    input scale precisely because the combiner already bounded the
+    volume. Do NOT use under unbounded keys (e.g. (day, user) pairs)
+    where the combined data can still be large."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.repartition(max(4, cpus // 4)).groupby(keys)
+
+
 def _rev_e4(t: pa.Table) -> pa.Array:
     """revenue = extendedprice * (1 - discount), kept as an EXACT
     integer in 1e-4 dollar units: price has 2 decimals and discount 2
@@ -410,13 +426,12 @@ def events_window(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(
-            Sum("n_part", alias_name="n_events"),
-            Sum("sum_part", alias_name="sum_value_cents"),
-        )
+    return _coalesced_groupby(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+    ).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Sum("sum_part", alias_name="sum_value_cents"),
     )
 
 
@@ -477,13 +492,11 @@ def events_window_sliding(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("window_start")
-        .aggregate(
-            Sum("n_part", alias_name="n_events"),
-            Sum("sum_part", alias_name="sum_value_cents"),
-        )
+    return _coalesced_groupby(
+        ds.map_batches(explode, batch_format="pyarrow"), "window_start"
+    ).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Sum("sum_part", alias_name="sum_value_cents"),
     )
 
 
@@ -516,11 +529,9 @@ def flame_flat_map(sf_dir: str):
             {"token": g["token"], "n_part": g["token_count"].cast(pa.int64())}
         )
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_part", alias_name="n"))
-    )
+    return _coalesced_groupby(
+        ds.map_batches(explode, batch_format="pyarrow"), "token"
+    ).aggregate(Sum("n_part", alias_name="n"))
 
 
 SQL_FLAT_MAP = """
@@ -1029,6 +1040,7 @@ def events_dau(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
         .map_batches(count_by_day, batch_format="pyarrow")
+        .repartition(4)
         .groupby("day")
         .aggregate(Sum("n_part", alias_name="dau"))
     )
