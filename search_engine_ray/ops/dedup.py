@@ -295,6 +295,42 @@ def _bands_from_docs(t: pa.Table) -> pa.Table:
     return _band_rows(_shingle_batch(t, hashed=True))
 
 
+def _pairs_in_partition(g: pa.Table, cap: int) -> pa.Table:
+    """Candidate pairs for ONE hash partition of band rows, vectorized.
+
+    Grouping by (band, band_hash) directly costs one Python map_groups
+    call per bucket — ~16 x n_docs calls, nearly all singletons (the
+    measured cost center of the LSH pipeline). Instead the groupby key
+    is (band, band_hash % P): complete buckets stay together (equal
+    hash -> equal partition), but one call processes a whole partition:
+    lexsort by hash, vectorized run detection, singleton runs
+    eliminated with one mask, triu pairs only for the few real
+    buckets. ``cap`` bounds per-bucket pair blowup as before."""
+    h = g["band_hash"].to_numpy()
+    d = g["doc_id"].to_numpy()
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+    ends = np.concatenate([starts[1:], [len(h)]])
+    sizes = ends - starts
+    sel = np.flatnonzero((sizes >= 2) & (sizes <= cap))
+    if sel.size == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    out_a, out_b = [], []
+    for i in sel:  # only the non-singleton buckets (rare)
+        ids = d[starts[i]:ends[i]]  # ascending (lexsort secondary key)
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def _jaccard_join(cand, shingles, threshold: float):
     """Distributed exact-Jaccard verify for EXTERNAL candidate pairs
     (LSH banding): join candidates against the (doc_id, sh, n_sh)
@@ -384,13 +420,25 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     # embedding path's _EMB_BUCKET_CAP guard the same blowup). Safe for
     # the verify: capping only drops candidates, never corrupts counts,
     # and gate-corpus buckets are far below the cap.
+    # bucket partitioning: group by (band, band_hash % P) so one
+    # map_groups call handles a whole hash partition of buckets
+    # vectorized (see _pairs_in_partition) instead of one Python call
+    # per mostly-singleton bucket
+    n_sub = _npart() * 8
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = np.abs(t["band_hash"].to_numpy()) % n_sub
+        return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
+
     cand = (
         ds.map_batches(_bands_from_docs, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby(["band", "part"])
         .map_groups(
-            lambda g: _pairs_of_group(g, cap=_BAND_BUCKET_CAP),
+            lambda g: _pairs_in_partition(g, cap=_BAND_BUCKET_CAP),
             batch_format="pyarrow",
         )
+        .repartition(_npart())  # pair volume is small post-cap
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_nb"))  # native dedup of pair rows
         .drop_columns(["_nb"])
