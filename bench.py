@@ -183,11 +183,12 @@ def bench_gate_ops(sf_dir: str) -> dict:
     return out
 
 
-def bench_big(num_cpus: int) -> dict:
+def bench_big() -> dict:
     """2.4M-turn section (same corpus the scaling bench uses): fresh
     full build throughput + doc-sharded serving p95 at 20x the default
     size — catches regressions that only show at depth (BASELINE.md
-    previously carried these numbers out-of-band)."""
+    previously carried these numbers out-of-band). Runs on the
+    caller's already-initialized Ray session."""
     import numpy as np
 
     from search_engine_ray.corpus import make_queries
@@ -278,7 +279,7 @@ def run_main(sf_dir: str, num_cpus: int, fast: bool = False) -> None:
     big = scaling = None
     if not fast:
         try:
-            big = bench_big(num_cpus)
+            big = bench_big()
         except Exception as ex:  # noqa: BLE001
             big = {"error": f"{type(ex).__name__}: {ex}"}
     ray.shutdown()
@@ -344,9 +345,14 @@ def run_scaling(sf_dir: str, pair: str) -> None:
     requested = (cpus_lo, cpus_hi)
     # corpus scale keeps the low-level build ~2 min: ~5k turns/sec/core
     ladder = {(4, 16): 20, (2, 8): 10, (1, 4): 5}
-    while capacity < 1.5 * cpus_hi and (cpus_lo, cpus_hi) != (1, 4):
+    # halve only while both levels stay positive — an off-ladder pair
+    # (e.g. 6,24) must bottom out at (1, hi) rather than reach
+    # num_cpus=0 and hang the child
+    while capacity < 1.5 * cpus_hi and cpus_lo >= 2 and cpus_hi >= 8:
         cpus_lo, cpus_hi = cpus_lo // 2, cpus_hi // 2
-    scale = ladder.get((cpus_lo, cpus_hi), 20)
+    # off-ladder pairs scale the corpus by the high level so the low
+    # leg stays ~2 min instead of inheriting the (4,16) corpus
+    scale = ladder.get((cpus_lo, cpus_hi), max(5, cpus_hi))
     # 20x the default corpus at the 4,16 pair: the engine builds ~5k
     # turns/sec/core, so a smaller input is fixed-cost-dominated and
     # understates scaling

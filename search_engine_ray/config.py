@@ -8,7 +8,7 @@ is Ray-Data-specific physical tuning.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 # Reference constants (Indexer.java:33)
 MAX_TEXT_LEN = 10_000  # MAX_PAGE_LEN: text truncated to this many chars

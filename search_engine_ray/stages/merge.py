@@ -86,9 +86,12 @@ def _gather_spans(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
 def merge_segment_batch(batch: pa.Table) -> pa.Table:
     """Concatenate consecutive rows with equal (term, bucket[, part]).
 
-    The batch must be sorted by (term, bucket, first_doc); doc ranges of
-    same-group rows must be disjoint and ascending (guaranteed by the
-    builder's block-disjointness invariant; asserted here).
+    The batch must be sorted by (bucket, term, first_doc) — the
+    bucket-major skew-balancing key ``merge_partials`` uses; any order
+    that makes same-(term, bucket[, part]) rows adjacent works. Doc
+    ranges of same-group rows must be disjoint and ascending
+    (guaranteed by the builder's block-disjointness invariant; asserted
+    here).
 
     Vectorized: tf/pos streams of consecutive rows are CONTIGUOUS in
     the Arrow values buffer, so group concatenation is just new
@@ -115,13 +118,18 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
         np.logical_or(change[1:], part[1:] != part[:-1], out=change[1:])
     grp_start = np.flatnonzero(change)
     grp_end = np.concatenate([grp_start[1:], [n]])
+    out_order = [
+        "term", "bucket", "first_doc", "last_doc", "df", "max_tf",
+        "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+    ] + [c for c in ("pr_bytes", "part") if c in batch.column_names]
     if len(grp_start) == n:
-        return batch  # nothing to merge
+        # nothing to merge — still project to the canonical column
+        # order so fast-path and rebuilt blocks share one schema
+        return batch.select(out_order)
 
-    within = ~change
-    if within.any():
-        prev_last = last_doc[np.flatnonzero(within) - 1]
-        if not (first_doc[np.flatnonzero(within)] > prev_last).all():
+    w = np.flatnonzero(~change)  # continuation rows
+    if len(w):
+        if not (first_doc[w] > last_doc[w - 1]).all():
             raise AssertionError("interleaved partial segments for the same (term, bucket)")
 
     df = np.add.reduceat(batch["df"].to_numpy().astype(np.int64), grp_start)
@@ -161,7 +169,6 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
     # ---- doc gaps: rebase each continuation row's first varint ----
     doc_arr = batch["doc_bytes"].combine_chunks().cast(pa.large_binary())
     doc_offs, doc_data = _binary_parts(doc_arr)
-    w = np.flatnonzero(within)  # continuation rows
     first_len = np.zeros(n, dtype=np.int64)
     if len(w):
         probe_idx = np.minimum(

@@ -66,14 +66,33 @@ class atomic_dir:
             **self.extra,
             **stats,
         }
+        # durability order: data files -> manifest -> dir entries ->
+        # rename -> parent dir. Without the data-file fsyncs a power
+        # loss can persist the rename + manifest while the parquet
+        # pages are still unflushed — is_complete() would then skip a
+        # corrupt unit on every future resume.
+        for root, _dirs, files in os.walk(self.tmp):
+            for fname in files:
+                with open(os.path.join(root, fname), "rb") as df:
+                    os.fsync(df.fileno())
         mpath = os.path.join(self.tmp, MANIFEST)
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
+        self._fsync_dir(self.tmp)
         if os.path.exists(self.final):
             shutil.rmtree(self.final)
         os.rename(self.tmp, self.final)
+        self._fsync_dir(os.path.dirname(self.final) or ".")
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def __exit__(self, exc_type, exc, tb):
         if exc_type is not None and os.path.exists(self.tmp):

@@ -88,7 +88,15 @@ def compare(name: str, got, want) -> list[str]:
                     problems.append(f"{name}: column {c}: {bad} float mismatches")
             elif not a.equals(b):
                 bad = (a != b).sum()
-                problems.append(f"{name}: column {c}: {bad} mismatches (e.g. {a[a!=b].head(3).tolist()} vs {b[a!=b].head(3).tolist()})")
+                if bad == 0:
+                    # values equal but Series.equals is dtype-sensitive:
+                    # report the dtype gap instead of "0 mismatches"
+                    problems.append(
+                        f"{name}: column {c}: values equal but pandas dtype "
+                        f"ray={a.dtype} sql={b.dtype}"
+                    )
+                else:
+                    problems.append(f"{name}: column {c}: {bad} mismatches (e.g. {a[a!=b].head(3).tolist()} vs {b[a!=b].head(3).tolist()})")
     return problems
 
 
@@ -119,25 +127,29 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # one try around the WHOLE per-op path: lazy Ray datasets raise
+        # at materialization (arrow_of/to_pandas), and compare()/canon()
+        # can raise on odd columns — any of those must print [FAIL] and
+        # move on, never kill the remaining gate run
         try:
             got = fn(sf_dir)
+            if name not in oracles:
+                df = to_pandas(got)
+                print(f"[rows-only] {name}: {len(df)} rows, cols={sorted(df.columns)}")
+                continue
+            try:
+                want_arrow = con.execute(oracles[name]).arrow()
+                want = want_arrow.to_pandas()
+            except Exception as ex:
+                print(f"[FAIL] {name}: SQL raised {type(ex).__name__}: {ex}")
+                n_bad += 1
+                continue
+            got = arrow_of(got)
+            problems = compare(name, got, want) + dtype_check(name, got, want_arrow)
         except Exception as ex:
             print(f"[FAIL] {name}: ray raised {type(ex).__name__}: {ex}")
             n_bad += 1
             continue
-        if name not in oracles:
-            df = to_pandas(got)
-            print(f"[rows-only] {name}: {len(df)} rows, cols={sorted(df.columns)}")
-            continue
-        try:
-            want_arrow = con.execute(oracles[name]).arrow()
-            want = want_arrow.to_pandas()
-        except Exception as ex:
-            print(f"[FAIL] {name}: SQL raised {type(ex).__name__}: {ex}")
-            n_bad += 1
-            continue
-        got = arrow_of(got)
-        problems = compare(name, got, want) + dtype_check(name, got, want_arrow)
         if problems:
             n_bad += 1
             for p in problems:
