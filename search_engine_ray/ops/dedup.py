@@ -196,16 +196,6 @@ def _shingle_batch(t: pa.Table, hashed: bool) -> pa.Table:
                      "n_sh": pa.array(n_per_doc[own], pa.int64())})
 
 
-def _pairs_of_group(group: pa.Table, cap: int | None = None) -> pa.Table:
-    ids = np.unique(group["doc_id"].to_numpy())
-    if len(ids) < 2 or (cap is not None and len(ids) > cap):
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pa.table({"doc_a": pa.array(ids[a], pa.int64()),
-                     "doc_b": pa.array(ids[b], pa.int64())})
-
-
 # ---- MinHash + LSH near-dup pairs, verified with exact Jaccard ----
 
 _N_PERM = 64
@@ -786,7 +776,7 @@ def _emb_rows_for(n: int) -> int:
     return max(_EMB_ROWS, int(np.ceil(np.log2(max(n, 2)))))
 
 
-def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int,
+def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int | None = None,
                   cap: int = _EMB_BUCKET_CAP, dim: int = _EMB_DIM):
     """Banded random-hyperplane near-dup: each vector lands in one
     bucket PER BAND (groupby shuffle on (band, sig)); all-pairs cosine
@@ -800,6 +790,11 @@ def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int,
     from .knn import _planes
     from ray.data.aggregate import Min
 
+    if n_rows is None:
+        # production default: r ~ log2(N) (parquet-metadata count, no
+        # execution) — the gate entry pins n_rows so its oracle planes
+        # stay inlinable
+        n_rows = _emb_rows_for(ds.count())
     planes = _planes(n_bands * n_rows, dim)
     pref = ray.put(planes)
     weights = (1 << np.arange(n_rows)).astype(np.int64)
@@ -866,8 +861,21 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
     first = next(
         pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
             batch_size=1, columns=["embedding"]
-        )
+        ),
+        None,
     )
+    if first is None or not first["embedding"][0].is_valid:
+        # empty table / null first embedding: no pairs, but keep the
+        # output schema so downstream unions/writes still line up
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     dim = len(first["embedding"][0])
     # the oracle inlines _planes_sql(·, _EMB_DIM) as constants, so a
     # corpus with a different dim must fail loudly here rather than

@@ -361,9 +361,12 @@ def english_filter(sf_dir: str):
     def by_url(t: pa.Table) -> pa.Table:
         # derived URL -> split on non-alnum -> reject on code membership
         # (vectorized: list-flatten + isin + segmented any)
+        # null==empty convention (same as every other op here): a null
+        # source/lang must not null-propagate into the join and KEEP the
+        # row while the SQL twin's `source || ...` nulls out and DROPS it
         url = pc.binary_join_element_wise(
-            t["source"].combine_chunks().cast(pa.string()),
-            t["lang"].combine_chunks().cast(pa.string()),
+            pc.fill_null(t["source"].combine_chunks().cast(pa.string()), ""),
+            pc.fill_null(t["lang"].combine_chunks().cast(pa.string()), ""),
             pa.array(["example.org/doc"] * t.num_rows, pa.string()),
             pc.cast(t["doc_id"].combine_chunks(), pa.string()),
             ".",
@@ -412,7 +415,7 @@ UNION ALL
 SELECT 'url' AS variant, doc_id FROM documents
 WHERE NOT list_has_any(
     regexp_split_to_array(
-        source || '.' || lang || '.' || 'example.org/doc' || '.' || CAST(doc_id AS VARCHAR),
+        coalesce(source, '') || '.' || coalesce(lang, '') || '.' || 'example.org/doc' || '.' || CAST(doc_id AS VARCHAR),
         '[^0-9a-zA-Z]+'
     ),
     [{_CODES_SQL}]

@@ -153,8 +153,10 @@ class DocShardActor:
     in-flight query retries transparently. The parts assignment is
     given as a LAYOUT FILE path, not a list: a Ray restart re-runs
     ``__init__`` with the ORIGINAL args, so an inline list would
-    resurrect the pre-``reload()`` layout — the file always holds the
-    searcher's current assignment, making restarts layout-consistent."""
+    resurrect a stale layout — the file (generation-stamped by
+    ``DocShardedSearcher._write_layouts``) always holds the assignment
+    of the generation this actor belongs to, making restarts
+    layout-consistent with the actor's own peers."""
 
     def __init__(self, index_dir: str, layout_file: str, global_df: dict | None = None):
         self._index_dir = index_dir
@@ -199,11 +201,13 @@ class DocShardedSearcher:
         self.index_dir = index_dir
         self.n_shards = n_shards
         self.shards: list = []
-        # per-searcher layout dir: restarted actors re-read their CURRENT
-        # parts assignment from here (see DocShardActor docstring)
+        # per-searcher layout dir: restarted actors re-read their own
+        # generation's parts assignment from here (see DocShardActor
+        # docstring)
         self._layout_dir = os.path.join(
             index_dir, "serving_layout", uuid.uuid4().hex[:12]
         )
+        self._gen = 0
         self._start()
 
     @staticmethod
@@ -221,13 +225,19 @@ class DocShardedSearcher:
 
     def _write_layouts(self, groups) -> list[str]:
         """Atomically write shard-i.json files (tmp + rename) holding
-        each shard's current parts assignment."""
+        each shard's current parts assignment. Each generation gets its
+        OWN subdirectory: a crashed actor of generation G restarts from
+        the gen-G files even while refresh() is installing generation
+        G+1 — overwriting shard-i.json in place would let a restarted
+        old-generation actor load the NEW layout while its peers still
+        serve the old one (overlapping/missing doc ranges)."""
         import json
 
-        os.makedirs(self._layout_dir, exist_ok=True)
+        gdir = os.path.join(self._layout_dir, f"gen-{self._gen}")
+        os.makedirs(gdir, exist_ok=True)
         paths = []
         for i, g in enumerate(groups):
-            path = os.path.join(self._layout_dir, f"shard-{i}.json")
+            path = os.path.join(gdir, f"shard-{i}.json")
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"parts": [int(p) for p in g]}, f)
@@ -265,8 +275,10 @@ class DocShardedSearcher:
         Costs a transient 2x index memory during the swap — the price
         of consistency under the threaded serving tier."""
         import json
+        import shutil
 
         groups, _ = self._layout(self.index_dir, self.n_shards)
+        self._gen += 1
         paths = self._write_layouts(groups)
         fresh = [DocShardActor.remote(self.index_dir, p) for p in paths]
         ray.get([a.ping.remote() for a in fresh])
@@ -276,6 +288,13 @@ class DocShardedSearcher:
         # ms-scale queries are long done by the next refresh/close
         for a in getattr(self, "_retired", []):
             ray.kill(a)
+        if self._gen >= 2:
+            # the generation whose actors were just killed can no longer
+            # restart — reclaim its layout files
+            shutil.rmtree(
+                os.path.join(self._layout_dir, f"gen-{self._gen - 2}"),
+                ignore_errors=True,
+            )
         self._retired = old
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)

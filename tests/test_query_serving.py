@@ -326,6 +326,48 @@ def test_doc_shard_restart_after_refresh_uses_current_layout(ray_session, tmp_pa
     assert np.allclose(sc, want_sc)
 
 
+def test_refresh_preserves_old_generation_layout(ray_session, tmp_path):
+    """refresh() must write the NEW layout into a new generation dir and
+    leave the retired generation's files intact: a retired actor that
+    crashes while an in-flight query still holds it restarts from its
+    ORIGINAL layout file, which must therefore still describe the OLD
+    partition grouping (not be overwritten with the new one). The
+    generation is reclaimed only after its actors are killed (next
+    refresh)."""
+    import glob
+    import json
+    import os
+
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index, compact_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    base = str(tmp_path / "base")
+    write_transcripts(base, n_convs=40, turns_per_conv=5, seed=7, n_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, IndexConfig(doc_bucket_size=512), n_partitions=4)
+
+    sharded = DocShardedSearcher(idx, n_shards=4)
+    gen0 = sorted(glob.glob(os.path.join(sharded._layout_dir, "gen-0", "*.json")))
+    old_parts = [json.load(open(p))["parts"] for p in gen0]
+    assert len(gen0) >= 2  # multiple shard files before compaction
+
+    compact_index(idx, n_partitions=1)
+    assert sharded.refresh()
+    # old generation untouched, new generation present and different
+    assert [json.load(open(p))["parts"] for p in gen0] == old_parts
+    gen1 = sorted(glob.glob(os.path.join(sharded._layout_dir, "gen-1", "*.json")))
+    assert len(gen1) == 1  # post-compaction grouping: 4 shard files -> 1
+    assert json.load(open(gen1[0]))["parts"] == [0]
+
+    # second refresh kills gen-0's actors and reclaims its dir
+    assert sharded.refresh()
+    assert not os.path.exists(os.path.join(sharded._layout_dir, "gen-0"))
+    assert os.path.exists(os.path.join(sharded._layout_dir, "gen-1"))
+    sharded.close()
+
+
 def test_http_frontend_page(index_dir):
     import urllib.request
 
