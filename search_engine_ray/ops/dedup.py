@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -35,6 +35,13 @@ _CFG = IndexConfig(stemming=False)
 
 _MD5_SQL = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 
+
+
+def _read_light(path, columns):
+    """Light-work read: size-aware block count (see io.small_input_blocks)."""
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
 
 def _npart() -> int:
     """Hash-join partition count sized to the cluster: each partition
@@ -101,7 +108,7 @@ def dedup_exact(sf_dir: str):
     the same hash."""
     from ray.data.aggregate import Min, Count
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     return (
         ds.map_batches(hash_content_batch, batch_format="pyarrow")
@@ -398,7 +405,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     probability 1 - (1-0.9^4)^16 ~ 1 - 4e-8, and the gate corpus's true
     pairs all sit above 0.9, so LSH recall loss cannot perturb the
     comparison; recall itself is property-tested in tests/."""
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the verify joins
@@ -471,7 +478,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     10^10 candidate pairs); the SQL oracle applies the identical cap.
     Sizes and intersections flow as datasets through joins — the driver
     sees only the final pair table."""
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the df-cap filter AND the join below
@@ -573,7 +580,7 @@ def dedup_simhash(sf_dir: str):
             out[starts[0]] = h.view(np.int64)
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(sim, batch_format="pyarrow")
 
 
@@ -634,7 +641,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
@@ -885,7 +892,7 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
             f"gate entry is pinned to {_EMB_DIM}-dim embeddings (got {dim}); "
             "use emb_lsh_pairs(dim=...) for other widths"
         )
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return emb_lsh_pairs(ds, threshold, _EMB_BANDS, _EMB_ROWS, dim=dim)
 
 

@@ -20,11 +20,18 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 _N_QUERIES = 5
 _TOP_K = 5
 
+
+
+def _read_light(path, columns):
+    """Light-work read: size-aware block count (see io.small_input_blocks)."""
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
 
 def _emb_matrix(col, dim: int = 0) -> np.ndarray:
     """Decode a ``list<float>`` Arrow column to an (n, dim) float64
@@ -99,7 +106,7 @@ def knn_cosine(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(score, batch_format="pyarrow")
 
     # per-batch partial top-k would go here at scale; at sf sizes a
@@ -218,7 +225,7 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(bucket_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -305,7 +312,7 @@ def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(probe_buckets, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -413,7 +420,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(probe_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -548,7 +555,7 @@ def embedding_quantize(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(quant, batch_format="pyarrow")
 
 
@@ -607,7 +614,7 @@ def embedding_norms(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(norms, batch_format="pyarrow")
 
 
@@ -664,7 +671,7 @@ def embedding_stats(sf_dir: str):
             }
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
