@@ -20,11 +20,17 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+    # size-aware block count: these gate tables are often tiny, and the
+    # ops are shuffle-bound — see io.small_input_blocks (results are
+    # block-count-invariant: hash sampling, row-wise maps, groupbys)
+    path = f"{sf_dir}/{table}.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -652,9 +658,7 @@ def asof_join(sf_dir: str):
     prior 'click' event. Partitioning assumption: all rows of one user
     fit one group (true unless a single key is pathologically hot; salt
     by time-bucket then, with a second boundary-fix pass)."""
-    ds = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
     ds = ds.map_batches(
         lambda t: t.filter(
             pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
@@ -712,9 +716,7 @@ def range_join(sf_dir: str):
     purchase.ts - 1h <= click.ts <= purchase.ts. Partitioning
     assumption: one user's events fit one group (salt by time-bucket
     with a boundary pass if a key is pathologically hot)."""
-    ds = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
     ds = ds.map_batches(
         lambda t: t.filter(
             pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
@@ -773,9 +775,7 @@ def events_sessionize(sf_dir: str):
     """Per user: sessions split at >30min inactivity gaps; one row per
     session with start/end/n_events. groupby(user) + per-group sorted
     diff — the sessionization pattern for event streams."""
-    ds = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pa.Table) -> pa.Table:
         ts = np.sort(g["ts"].to_numpy()).astype("datetime64[us]").astype(np.int64)

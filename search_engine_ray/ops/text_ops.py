@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
 from ..functions.analysis import split_tokens
@@ -48,7 +48,12 @@ toks_idx AS (
 
 
 def _docs(sf_dir: str, columns=None):
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+    # size-aware block count (io.small_input_blocks): tokenization is
+    # real per-row work, but blocks stay >= cpus/4 so it still spreads
+    path = f"{sf_dir}/documents.parquet"
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
 
 
 # ---- term statistics (df + collection tf) — the dictionary build as a
