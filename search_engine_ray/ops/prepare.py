@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -58,8 +58,10 @@ def prepare_corpus(sf_dir: str):
 
     from ray.data.aggregate import Min
 
+    _p = f"{sf_dir}/documents.parquet"
     ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        _p, columns=["doc_id", "lang", "text"],
+        override_num_blocks=small_input_blocks(_p),
     )
     clean = (
         ds.map_batches(
@@ -159,7 +161,9 @@ def decontaminate(sf_dir: str):
     from ray.data.aggregate import Count
     from .dedup import _shingle_batch, _npart
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    _p = f"{sf_dir}/documents.parquet"
+    ds = read_parquet_clean(_p, columns=["doc_id", "text"],
+                            override_num_blocks=small_input_blocks(_p))
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()
@@ -280,8 +284,9 @@ def scrub_pii(sf_dir: str):
             }
         )
 
+    _p = f"{sf_dir}/documents.parquet"
     return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        _p, columns=["doc_id", "text"], override_num_blocks=small_input_blocks(_p)
     ).map_batches(scrub, batch_format="pyarrow")
 
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..io import read_parquet_clean
+from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS
 from ..corpus import (
@@ -653,7 +653,7 @@ def conv_stats(sf_dir: str):
         )
 
     return (
-        read_parquet_clean(tdir)
+        read_parquet_clean(tdir, override_num_blocks=small_input_blocks(tdir))
         .map_batches(pre, batch_format="pyarrow")
         .groupby("conv_id")
         .aggregate(
@@ -717,7 +717,8 @@ def conv_context_windows(sf_dir: str):
         )
 
     return (
-        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"])
+        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
+                           override_num_blocks=small_input_blocks(tdir))
         .groupby("conv_id")
         .map_groups(windows, batch_format="pyarrow")
     )
