@@ -41,3 +41,24 @@ def test_read_hive_partitioned_dir(parquet_tree):
     _, _, nested = parquet_tree
     ds = read_parquet_clean(str(nested), columns=["a", "b"])
     assert ds.count() == 6
+
+
+def test_small_input_blocks_scales_with_size(parquet_tree, ray_session, monkeypatch):
+    """Tiny inputs coalesce to [cpus/4, 2*cpus] blocks; inputs above
+    128 MiB/CPU return None (keep Ray's default heuristics); a missing
+    path returns None rather than raising."""
+    from search_engine_ray import io as io_
+
+    _, flat, nested = parquet_tree
+    cpus = int(__import__("ray").cluster_resources().get("CPU", 8))
+    n = io_.small_input_blocks(str(flat))
+    assert n == max(2, cpus // 4)  # ~1 KB file -> the floor
+    assert io_.small_input_blocks(str(nested)) == n  # dir form works
+    assert io_.small_input_blocks("/nonexistent/nope.parquet") is None
+
+    # a "huge" input (patched sizes) keeps Ray's default
+    monkeypatch.setattr(io_, "_total_bytes", lambda p: 4 * cpus * (64 << 20))
+    assert io_.small_input_blocks(str(flat)) is None
+    # mid-size: ceil(bytes / 4 MiB), capped at 2*cpus
+    monkeypatch.setattr(io_, "_total_bytes", lambda p: 40 << 20)
+    assert io_.small_input_blocks(str(flat)) == min(2 * cpus, max(2, cpus // 4, 10))
