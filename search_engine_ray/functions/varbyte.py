@@ -131,20 +131,20 @@ def decode(blob: bytes, count: int | None = None) -> np.ndarray:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & 0x80) != 0
-    value_id = np.zeros(raw.size, dtype=np.int64)
-    # value index of each byte = number of terminators strictly before it
-    np.cumsum(is_last[:-1], out=value_id[1:])
     n_values = int(is_last.sum())
     digits = (raw & 0x7F).astype(np.uint64)
-    # position of byte within its value, from the end: compute via per-value
-    # start offsets
     ends = np.flatnonzero(is_last)
     starts = np.concatenate([[0], ends[:-1] + 1])
-    within = np.arange(raw.size, dtype=np.int64) - starts[value_id]
-    nb = (ends - starts + 1)[value_id]  # bytes in this value
-    shift = ((nb - 1 - within) * 7).astype(np.uint64)
+    nb = ends - starts + 1  # bytes per value
     out = np.zeros(n_values, dtype=np.uint64)
-    np.add.at(out, value_id, digits << shift)
+    # fold byte slots most-significant-first: slot i contributes to the
+    # values with more than i bytes via a buffered shift-or gather. At
+    # most 10 iterations, each a plain mask+take — unlike np.add.at,
+    # whose unbuffered scatter was the dominant cost of hot-term
+    # re-decode on the serving path (the LRU exists to amortize it)
+    for i in range(int(nb.max())):
+        sel = nb > i
+        out[sel] = (out[sel] << np.uint64(7)) | digits[starts[sel] + i]
     if count is not None and n_values != count:
         raise ValueError(f"decoded {n_values} values, expected {count}")
     return out

@@ -82,7 +82,10 @@ def _fingerprint(items, cfg: IndexConfig | None = None) -> str:
     else:
         for p in sorted(items):
             st = os.stat(p)
-            h.update(f"{p}:{st.st_size}".encode())
+            # mtime_ns: size alone misses a same-size in-place rewrite
+            # (fixed-width re-exports), which would silently resume over
+            # stale data
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -157,8 +160,17 @@ def build_index(
                 )
                 ids = assign_doc_ids(ds, cfg)
             ids.write_parquet(ck.tmp)
-            n_docs = int(ids.count() or 0)
-            sum_dl = int(ids.sum("doclen") or 0) if n_docs else 0
+            # count/sum from the files just written — calling
+            # count()/sum() on the lazy dataset would re-execute the
+            # whole doc-id pipeline twice more
+            import pyarrow.parquet as _pq
+
+            n_docs = 0
+            sum_dl = 0
+            for f in _glob.glob(os.path.join(ck.tmp, "*.parquet")):
+                n_docs += _pq.read_metadata(f).num_rows
+                dl = _pq.read_table(f, columns=["doclen"])["doclen"]
+                sum_dl += int(np.sum(dl.to_numpy())) if len(dl) else 0
             ck.commit(N=n_docs, sum_doclen=sum_dl)
         timings["docs"] = round(time.monotonic() - t0, 3)
 
@@ -282,21 +294,29 @@ def compact_index(
     query-time segment concatenation and per-partition overhead grow
     with each; compaction restores the target layout. Logical postings
     are unchanged (tested); the docs store and its doc_ids are not
-    touched. Crash-safe: segment removal happens partition-by-partition
-    through the same inventory mechanism (a killed compaction leaves a
-    mix of old and freshly built partitions, and the next run finishes
-    the job)."""
+    touched. Crash-safe: the new layout is built in a STAGING segment
+    root while the old partitions keep serving (a refresh/restart during
+    the minutes-long rebuild still sees a complete index); the cutover
+    is two directory renames. A kill mid-build leaves the old layout
+    fully intact; a kill between the renames leaves no segment root,
+    which the next ``_finish_build`` repairs by rebuilding from the docs
+    store (and sweeping the stale staging dirs)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         cfg = IndexConfig.from_json(json.load(f)["config"])
     seg_root = os.path.join(index_dir, "segments")
-    # invalidate every partition: with the manifests gone, inventory
-    # re-partitions the whole docs store into n_partitions groups
-    for d in _glob.glob(os.path.join(seg_root, "part=*")):
-        shutil.rmtree(d, ignore_errors=True)
-    return _finish_build(
+    staging = os.path.join(index_dir, "segments.compact.tmp")
+    retired = os.path.join(index_dir, "segments.old.tmp")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    meta = _finish_build(
         index_dir, cfg, n_partitions, None, concurrency, builder,
-        {"compacted": True},
+        {"compacted": True}, seg_root=staging,
     )
+    if os.path.exists(seg_root):
+        os.rename(seg_root, retired)
+    os.rename(staging, seg_root)
+    shutil.rmtree(retired, ignore_errors=True)
+    return meta
 
 
 def _sweep_orphan_extensions(docs_dir: str, manifest: dict) -> None:
@@ -344,12 +364,24 @@ def _finish_build(
     concurrency=None,
     builder: str = "tasks",
     timings: dict | None = None,
+    seg_root: str | None = None,
 ) -> dict:
     """Stages B (segment wave) + C (dictionary) + meta, over whatever
-    the docs store currently holds."""
+    the docs store currently holds. ``seg_root`` overrides the segment
+    output root (compact_index stages into a side directory and swaps)."""
     timings = timings if timings is not None else {}
+    if seg_root is None:
+        # sweep staging/retired roots from a compaction killed between
+        # its cutover renames (never when WE are the staging build)
+        for stale in ("segments.compact.tmp", "segments.old.tmp"):
+            shutil.rmtree(os.path.join(index_dir, stale), ignore_errors=True)
     docs_dir = os.path.join(index_dir, "docs")
     docs_manifest = read_manifest(docs_dir)
+    # orphaned ext-* files (an extend that crashed between staging its
+    # files and committing the manifest) must never be indexed here:
+    # their doc_ids sit at >= manifest N, so segments built over them
+    # would send query-time accumulators out of bounds
+    _sweep_orphan_extensions(docs_dir, docs_manifest)
     N = docs_manifest["N"]
     avgdl = (docs_manifest["sum_doclen"] / N) if N else 0.0
     docs_files = sorted(_glob.glob(os.path.join(docs_dir, "*.parquet")))
@@ -359,7 +391,8 @@ def _finish_build(
     # task/actor pool, one term-keyed merge shuffle) and then committed
     # per-partition — sequential per-partition pipelines pay pool
     # startup + shuffle setup once per partition and scale negatively.
-    seg_root = os.path.join(index_dir, "segments")
+    if seg_root is None:
+        seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
     for stale in _glob.glob(os.path.join(seg_root, "*.tmp")):
         shutil.rmtree(stale, ignore_errors=True)
@@ -522,8 +555,16 @@ def _finish_build(
         "n_partitions": len(all_parts),
         "timings": timings,
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    # tmp + fsync + rename: meta.json is read by live serving actors
+    # (refresh / restart) and by extend/compact — a truncating in-place
+    # write would expose partial JSON to concurrent readers and a crash
+    # mid-write would corrupt the index's entry point
+    mpath = os.path.join(index_dir, "meta.json")
+    with open(mpath + ".tmp", "w") as f:
         json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mpath + ".tmp", mpath)
     return meta
 
 

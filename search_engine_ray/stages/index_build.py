@@ -112,6 +112,15 @@ def build_partials(
     wave pipeline can build many partitions at once (one actor pool +
     one merge shuffle instead of one per partition)."""
     doc_ids = batch["doc_id"].to_numpy()
+    if len(doc_ids) > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
+        # the delta encoding below requires ascending doc_ids WITHIN the
+        # batch (cross-batch disjointness is the builder's invariant,
+        # but a read task may coalesce docs files out of doc-range
+        # order); a negative gap would wrap to ~2^64 in the uint64
+        # varbyte stream and corrupt the index silently
+        order0 = np.argsort(doc_ids, kind="mergesort")
+        batch = batch.take(pa.array(order0))
+        doc_ids = batch["doc_id"].to_numpy()
     doclens = batch["doclen"].to_numpy()
     texts = batch["text"].combine_chunks()
     if cfg.store_prior:

@@ -80,9 +80,20 @@ class _LRUBytes:
 # term costs seconds at 10^6 postings).
 CACHE_BUDGET_BYTES = 1 << 30
 
+# OR-mode strategy thresholds — shared by score_decoded_terms (the
+# branch predicates) and LocalIndex.explain (the reported strategy), so
+# the two cannot silently diverge.
+# Largest N for which O(N) dense MaxScore accumulators are allowed.
+MAXSCORE_MAX_N = 1 << 26
+# Below this N dense accumulation is always cheap enough.
+DENSE_MIN_N = 1 << 24
+# Above DENSE_MIN_N, dense/MaxScore requires posting volume >= N/this.
+DENSE_VOLUME_FACTOR = 4
+
 
 class _TermSegments:
-    """All posting segments of one term, ordered by (bucket, first_doc)."""
+    """All posting segments of one term, ordered by first_doc (doc
+    ranges are disjoint, so first_doc alone orders them)."""
 
     __slots__ = ("df", "first_doc", "last_doc", "seg_df", "max_tf", "min_doclen",
                  "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "pr_bytes",
@@ -226,7 +237,10 @@ class LocalIndex:
                 glob.glob(os.path.join(index_dir, "segments", "part=*", "*.parquet"))
             )
         self._global_df = global_df
-        cols = ["term", "bucket", "first_doc", "last_doc", "df", "max_tf",
+        # NOTE: "bucket" deliberately absent — segment ordering uses
+        # first_doc alone (disjoint ranges), so the column would be a
+        # dead read on the serving-actor startup path
+        cols = ["term", "first_doc", "last_doc", "df", "max_tf",
                 "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes"]
         if self.has_positions:
             cols.append("pos_bytes")
@@ -248,14 +262,12 @@ class LocalIndex:
             denc = term_arr.dictionary_encode()
             code = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = denc.dictionary.to_pylist()
-            bucket = t["bucket"].to_numpy()
             first = t["first_doc"].to_numpy()
             # order segments per term by first_doc alone: doc ranges are
             # disjoint, so first_doc fully orders them — robust to
             # differing (adaptive) bucket sizes across build waves
             order = np.lexsort((first, code))
             code = code[order]
-            bucket = bucket[order].tolist()
             first = first[order].tolist()
             last = t["last_doc"].to_numpy()[order].tolist()
             df = t["df"].to_numpy()[order].tolist()
@@ -479,11 +491,16 @@ class LocalIndex:
         strategy = (
             "empty" if n_present == 0
             else "and-range-skip" if mode == "AND"
-            else "maxscore" if n_present > 1 and self.N <= 1 << 26
+            else "maxscore" if (
+                n_present > 1
+                and self.N <= MAXSCORE_MAX_N
+                and (self.N <= DENSE_MIN_N
+                     or DENSE_VOLUME_FACTOR * total_df >= self.N)
+            )
             else "single-term-fast-path" if n_present == 1
             else (
                 "dense-accumulate"
-                if self.N <= max(1 << 24, 4 * total_df)
+                if self.N <= max(DENSE_MIN_N, DENSE_VOLUME_FACTOR * total_df)
                 else "sorted-merge-accumulate"
             )
         )
@@ -545,7 +562,18 @@ def score_decoded_terms(
                 tfs[pos], dl, N, df, avgdl, cfg.k1, cfg.b
             )
         doc_ids = cand
-    elif upper_bounds is not None and N <= 1 << 26 and len(decoded) > 1:
+    elif (
+        upper_bounds is not None
+        and len(decoded) > 1
+        and N <= MAXSCORE_MAX_N
+        and (
+            N <= DENSE_MIN_N
+            or DENSE_VOLUME_FACTOR * sum(d[1].size for d in decoded) >= N
+        )
+        # volume gate: a few-rare-terms query on a huge shard must not
+        # pay O(N) zeroed accumulators + per-term seen-scans — the
+        # sorted-merge fallback below is exact and O(V log V)
+    ):
         # ---- MaxScore (the OR-mode analog of block-max WAND): process
         # terms in descending upper-bound order; once the best possible
         # total of a doc not yet seen (sum of remaining ubs) is strictly

@@ -139,3 +139,44 @@ def test_search_server_refresh_covers_extension(ray_session, tmp_path, split_cor
         assert all("conv_id" in r and "snippet" in r for r in new_hits)
     finally:
         srv.stop()
+
+
+def test_orphan_extension_files_never_indexed(ray_session, tmp_path, split_corpus):
+    """An extend that crashed between staging its ext-*.parquet files
+    and committing the docs manifest leaves orphans whose doc_ids sit
+    at >= manifest N. ANY later build path (not just extend_index) must
+    sweep them before partitioning — otherwise segments reference
+    doc_ids outside the query-time accumulators."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.build_index import compact_index
+    from search_engine_ray.state.checkpoint import read_manifest
+
+    _, a, _ = split_corpus
+    cfg = IndexConfig(doc_bucket_size=128)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, n_partitions=2)
+    docs_dir = os.path.join(idx, "docs")
+    n = read_manifest(docs_dir)["N"]
+
+    # simulate the crash: staged ext files present, manifest not updated
+    orphan = os.path.join(docs_dir, "ext-deadbeef0123-00000.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([n, n + 1], pa.int64()),
+            "doclen": pa.array([3, 3], pa.int64()),
+            "text": pa.array(["orphan text rows", "must never index"], pa.string()),
+            "conv_id": pa.array(["zz", "zz"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int64()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "tool": pa.array(["", ""], pa.string()),
+        }),
+        orphan,
+    )
+    compact_index(idx, n_partitions=1)
+    assert not os.path.exists(orphan)  # swept, not indexed
+    li = LocalIndex(idx)
+    assert li.N == n
+    ids, _sc = li.search("orphan", k=10, mode="OR")
+    assert len(ids) == 0
