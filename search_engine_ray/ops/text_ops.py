@@ -17,7 +17,7 @@ import ray.data
 from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
-from ..functions.analysis import split_tokens
+from ..functions.analysis import split_tokens, split_tokens_arrow
 
 _SKIP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(SKIP_WORDS))
 _STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
@@ -211,6 +211,128 @@ SELECT doc_id,
        round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
        CASE WHEN n_stop * 1.0 / greatest(n_tok, 1) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
 FROM per_doc
+"""
+
+
+# ---- repetition statistics (Gopher-style n-gram repetition filters) ----
+
+def _ngram_doc_stats(
+    doc_idx: np.ndarray, flat: pa.Array, n: int, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (top n-gram count, distinct n-gram count) over the
+    non-empty token stream, fully vectorized: adjacent tokens are
+    joined with Arrow's binary_join_element_wise (C kernel), n-grams
+    crossing doc boundaries are masked out, and per-(doc, gram) counts
+    come from one np.unique over a composite int64 key — no Python
+    loop over rows or grams."""
+    top = np.zeros(n_docs, np.int64)
+    dist = np.zeros(n_docs, np.int64)
+    L = len(flat)
+    if L < n:
+        return top, dist
+    if n == 1:
+        grams, gdoc = flat, doc_idx
+    else:
+        parts = [flat.slice(i, L - n + 1) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        # an n-gram is in-doc iff its first and last token share a doc
+        same = doc_idx[: L - n + 1] == doc_idx[n - 1 :]
+        grams = grams.filter(pa.array(same))
+        gdoc = doc_idx[: L - n + 1][same]
+        if len(grams) == 0:
+            return top, dist
+    codes = grams.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    key = codes.astype(np.int64) * n_docs + gdoc
+    uniq_key, counts = np.unique(key, return_counts=True)
+    kdoc = (uniq_key % n_docs).astype(np.int64)
+    np.maximum.at(top, kdoc, counts)
+    np.add.at(dist, kdoc, 1)
+    return top, dist
+
+
+def _ppm(num: np.ndarray, den: np.ndarray) -> pa.Array:
+    # integer parts-per-million with floor(x + 0.5) — the text_quality /
+    # embedding_quantize pattern (numpy and DuckDB round() disagree at
+    # the ULP on float64; int ppm cannot)
+    v = np.floor(num.astype(np.float64) * 1e6 / np.maximum(den, 1) + 0.5)
+    return pa.array(v.astype(np.int64), pa.int64())
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — public): per-doc fraction of
+    the token stream covered by the most frequent unigram / bigram /
+    trigram plus the duplicate-bigram fraction, over the normative
+    token stream (lowercase, 10k-char truncation, non-alnum split).
+    High values flag boilerplate and degenerate repetition for removal
+    before training. Emits integer ppm so the DuckDB twin hashes
+    identically."""
+    cfg = IndexConfig(stemming=False)
+
+    def rep(t: pa.Table) -> pa.Table:
+        doc_idx, flat, _pos, _lens, doclens = split_tokens_arrow(
+            pc.fill_null(t["text"].combine_chunks(), ""), cfg
+        )
+        n_docs = t.num_rows
+        n1 = doclens.astype(np.int64)
+        n2 = np.maximum(n1 - 1, 0)
+        n3 = np.maximum(n1 - 2, 0)
+        top1, _ = _ngram_doc_stats(doc_idx, flat, 1, n_docs)
+        top2, dist2 = _ngram_doc_stats(doc_idx, flat, 2, n_docs)
+        top3, _ = _ngram_doc_stats(doc_idx, flat, 3, n_docs)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n1, pa.int64()),
+                "top_unigram_ppm": _ppm(top1, n1),
+                "top_bigram_ppm": _ppm(top2, n2),
+                "dup_bigram_ppm": _ppm(n2 - dist2, n2),
+                "top_trigram_ppm": _ppm(top3, n3),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(substr(coalesce(text,''),1,10000)), '[^0-9a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+uc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS g FROM base) GROUP BY 1, 2
+),
+ustat AS (SELECT doc_id, max(c) AS top1 FROM uc GROUP BY 1),
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        FROM base, unnest(range(1, n)) AS r(i)) GROUP BY 1, 2
+),
+bstat AS (SELECT doc_id, max(c) AS top2, count(*) AS dist2 FROM bc GROUP BY 1),
+tc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM base, unnest(range(1, n - 1)) AS r(i)) GROUP BY 1, 2
+),
+tstat AS (SELECT doc_id, max(c) AS top3 FROM tc GROUP BY 1)
+SELECT base.doc_id,
+       base.n AS n_tokens,
+       CAST(floor(CAST(coalesce(u.top1, 0) AS DOUBLE) * 1e6 / greatest(base.n, 1) + 0.5) AS BIGINT)
+           AS top_unigram_ppm,
+       CAST(floor(CAST(coalesce(b.top2, 0) AS DOUBLE) * 1e6 / greatest(base.n - 1, 1) + 0.5) AS BIGINT)
+           AS top_bigram_ppm,
+       CAST(floor(CAST(greatest(base.n - 1, 0) - coalesce(b.dist2, 0) AS DOUBLE) * 1e6
+             / greatest(base.n - 1, 1) + 0.5) AS BIGINT) AS dup_bigram_ppm,
+       CAST(floor(CAST(coalesce(t.top3, 0) AS DOUBLE) * 1e6 / greatest(base.n - 2, 1) + 0.5) AS BIGINT)
+           AS top_trigram_ppm
+FROM base
+LEFT JOIN ustat u USING (doc_id)
+LEFT JOIN bstat b USING (doc_id)
+LEFT JOIN tstat t USING (doc_id)
 """
 
 
@@ -504,6 +626,14 @@ RAY_QUERIES = {
     "text_features": text_features,
     "stratified_sample": stratified_sample,
     "english_filter": english_filter,
+}
+
+RAY_QUERIES_AUX = {
+    "repetition_stats": repetition_stats,
+}
+
+ORACLE_SQL_AUX = {
+    "repetition_stats": SQL_REPETITION_STATS,
 }
 
 ORACLE_SQL = {
