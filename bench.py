@@ -103,6 +103,25 @@ def host_calibration(procs: int = 32, n: int = 3_000_000) -> dict:
     return {"one_core_s": round(one, 3), f"agg{procs}_x": round(agg, 1)}
 
 
+def pair_ceiling(cpus_lo: int, cpus_hi: int) -> dict:
+    """Hardware ceiling for a scaling pair, measured AT THE LEG SIZES:
+    the burn test's aggregate multiple at cpus_lo and cpus_hi processes
+    bounds what a PERFECTLY scaling engine could read —
+    ``(cap_hi / cap_lo) / (cpus_hi / cpus_lo)``. The 32-proc aggregate
+    alone misleads here: this VM has been observed to deliver only
+    ~5.9x at 8 procs (vs 8.2x at round 1) while still reading ~15x at
+    32 procs, so a mid-size leg hits steal the wide calibration never
+    sees."""
+    cap_lo = host_calibration(procs=cpus_lo)[f"agg{cpus_lo}_x"]
+    cap_hi = host_calibration(procs=cpus_hi)[f"agg{cpus_hi}_x"]
+    ceiling = min(1.0, (cap_hi / cap_lo) / (cpus_hi / cpus_lo))
+    return {
+        f"burn_agg{cpus_lo}_x": cap_lo,
+        f"burn_agg{cpus_hi}_x": cap_hi,
+        "ceiling": round(ceiling, 3),
+    }
+
+
 def _warm_workers():
     """Force Ray worker-process startup + package import before timing —
     steady-state throughput is the metric; one-time cluster warmup is
@@ -227,9 +246,9 @@ def scaling_small(pair: str = "4,16") -> dict:
     steal (observed 5.7x-25.1x aggregate for 32 procs). A 16-CPU leg
     on a 6-effective-core host cannot run 4x faster than a 4-CPU leg
     no matter what the engine does, so the payload always embeds the
-    pre-run calibration plus the hardware ceiling it implies
-    (``min(1, capacity/cpus_hi)`` — the best efficiency a PERFECTLY
-    scaling engine could read) and ``efficiency_vs_ceiling``. Pair
+    pre-run calibration plus the leg-size-specific hardware ceiling
+    (``pair_ceiling`` — the best efficiency a PERFECTLY scaling engine
+    could read) and ``efficiency_vs_ceiling``. Pair
     downgrade is deliberately NOT done here: on the small corpus the
     (1,4)/(2,8) pairs are fixed-cost-dominated (measured 0.26 at
     (1,4)) and under-read worse than the ceiling-annotated 4,16;
@@ -251,15 +270,17 @@ def scaling_small(pair: str = "4,16") -> dict:
         with open(out) as f:
             secs[n] = json.load(f)["seconds"]
     eff = (secs[cpus_lo] / secs[cpus_hi]) / (cpus_hi / cpus_lo)
-    ceiling = min(1.0, calib["agg32_x"] / cpus_hi)
+    # leg-size-specific ceiling (see pair_ceiling): the 32-proc
+    # aggregate overstates what an 8- or 16-proc leg can actually get
+    ceil = pair_ceiling(cpus_lo, cpus_hi)
     return {
         "pair": [cpus_lo, cpus_hi],
         "turns": turns,
         "seconds": {str(n): round(s, 3) for n, s in secs.items()},
         "efficiency": round(eff, 3),
         "host_calibration_before": calib,
-        "hardware_ceiling": round(ceiling, 3),
-        "efficiency_vs_ceiling": round(min(eff / ceiling, 1.0), 3),
+        "pair_hardware_ceiling": ceil,
+        "efficiency_vs_ceiling": round(min(eff / ceil["ceiling"], 1.0), 3),
     }
 
 
@@ -379,6 +400,7 @@ def run_scaling(sf_dir: str, pair: str) -> None:
                 results[n] = min(results[n], json.load(f)["seconds"])
     thr = {n: turns / s for n, s in results.items()}
     eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
+    ceil = pair_ceiling(cpus_lo, cpus_hi)
     print(json.dumps({
         "metric": "index-build scaling efficiency (N vs 4N CPUs, fresh sessions)",
         "value": round(eff, 3),
@@ -391,6 +413,8 @@ def run_scaling(sf_dir: str, pair: str) -> None:
         "scaling_efficiency": round(eff, 3),
         "host_calibration_before": calib,
         "host_calibration_after": host_calibration(),
+        "pair_hardware_ceiling": ceil,
+        "efficiency_vs_ceiling": round(min(eff / ceil["ceiling"], 1.0), 3),
         "requested_pair": list(requested),
         "measured_pair": [cpus_lo, cpus_hi],
     }))

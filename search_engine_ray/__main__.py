@@ -7,6 +7,7 @@
     python -m search_engine_ray extend --source DIR --index DIR [-p N]
     python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR]
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
+    python -m search_engine_ray prep   --source DOCS --out DIR
     python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N]
 
 Owns the Ray session (the only places allowed to: CLI, bench.py, test
@@ -81,6 +82,17 @@ def cmd_batch(a) -> int:
     res = evaluate_queries(qds, a.index, mode=a.mode)
     res.write_parquet(a.out)
     print(f"wrote {a.out}")
+    return 0
+
+
+def cmd_prep(a) -> int:
+    """Training-data cleanup pass: language filter + quality gate +
+    exact dedup + MinHash-LSH near-dup removal over a documents-shaped
+    parquet source; survivors written as partitioned parquet."""
+    from .ops.prepare import clean_corpus
+
+    info = clean_corpus(a.source, a.out)
+    print(json.dumps(info, indent=1))
     return 0
 
 
@@ -172,6 +184,15 @@ def main(argv=None) -> int:
     bt.add_argument("--out", required=True)
     bt.add_argument("--mode", choices=["AND", "OR"], default="AND")
     bt.set_defaults(fn=cmd_batch)
+
+    pr = sub.add_parser(
+        "prep",
+        help="corpus cleanup (lang + quality + exact/near dedup) -> parquet",
+    )
+    pr.add_argument("--source", required=True,
+                    help="documents-shaped parquet (doc_id, lang, text, ...)")
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_prep)
 
     cp = sub.add_parser("compact", help="rebuild segment layout after extends")
     cp.add_argument("--index", required=True)

@@ -47,6 +47,17 @@ def read_parquet_clean(path, columns=None, **kwargs) -> "ray.data.Dataset":
     )
 
 
+def docs_path(source: str) -> str:
+    """Resolve a documents-table source: an sf-style directory
+    (containing ``documents.parquet``), a direct ``.parquet`` file, or
+    a directory of parquet shards. Lets the gate ops and the ``prep``
+    CLI share one reader contract."""
+    cand = os.path.join(source, "documents.parquet")
+    if not source.endswith(".parquet") and os.path.exists(cand):
+        return cand
+    return source
+
+
 _SMALL_BLOCK_TARGET = 4 << 20  # 4 MiB of parquet per block for light ops
 
 

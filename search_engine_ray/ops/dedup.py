@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import docs_path, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -108,7 +108,7 @@ def dedup_exact(sf_dir: str):
     the same hash."""
     from ray.data.aggregate import Min, Count
 
-    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
 
     return (
         ds.map_batches(hash_content_batch, batch_format="pyarrow")
@@ -405,7 +405,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     probability 1 - (1-0.9^4)^16 ~ 1 - 4e-8, and the gate corpus's true
     pairs all sit above 0.9, so LSH recall loss cannot perturb the
     comparison; recall itself is property-tested in tests/."""
-    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the verify joins
@@ -478,7 +478,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     10^10 candidate pairs); the SQL oracle applies the identical cap.
     Sizes and intersections flow as datasets through joins — the driver
     sees only the final pair table."""
-    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the df-cap filter AND the join below
@@ -580,7 +580,7 @@ def dedup_simhash(sf_dir: str):
             out[starts[0]] = h.view(np.int64)
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
 
-    ds = _read_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(sim, batch_format="pyarrow")
 
 

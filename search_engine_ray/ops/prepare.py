@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import docs_path, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -38,8 +38,14 @@ _MIN_TOKENS = 5
 
 
 def prepare_corpus(sf_dir: str):
-    """Returns the surviving (doc_id) rows after the full cleanup
-    chain, ascending."""
+    """Gate entry: the surviving (doc_id) rows after the full cleanup
+    chain, ascending (the sort is presentation-only — ``clean_corpus``
+    skips it)."""
+    return surviving_ids(sf_dir).sort("doc_id")
+
+
+def surviving_ids(sf_dir: str):
+    """The cleanup chain's surviving doc_id set, unordered."""
 
     def keep_quality(t: pa.Table) -> pa.Table:
         # fill_null: NaN utf8_length would cast to INT64_MIN garbage
@@ -58,7 +64,7 @@ def prepare_corpus(sf_dir: str):
 
     from ray.data.aggregate import Min
 
-    _p = f"{sf_dir}/documents.parquet"
+    _p = docs_path(sf_dir)
     ds = read_parquet_clean(
         _p, columns=["doc_id", "lang", "text"],
         override_num_blocks=small_input_blocks(_p),
@@ -103,15 +109,45 @@ def prepare_corpus(sf_dir: str):
         drop, join_type="left_outer", num_partitions=_npart(),
         on=("doc_id",), right_on=("doc_b",),
     )
-    return (
-        joined.map_batches(
-            lambda t: pa.table(
-                {"doc_id": t.filter(pc.is_null(t["_marker"]))["doc_id"]}
-            ),
-            batch_format="pyarrow",
-        )
-        .sort("doc_id")
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.is_null(t["_marker"]))["doc_id"]}
+        ),
+        batch_format="pyarrow",
     )
+
+
+def clean_corpus(source: str, out_dir: str) -> dict:
+    """CLI path (``python -m search_engine_ray prep``): run the full
+    cleanup chain over a documents-shaped parquet source (columns
+    ``doc_id, lang, text``, plus anything else — extra columns ride
+    through) and write the SURVIVING full rows as partitioned parquet.
+    The survivors are re-attached by a distributed inner join — in a
+    dup-heavy corpus the victim set is O(N), so it is never collected
+    to the driver. Returns summary counts (row counts from parquet
+    footers, not a pipeline re-execution)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..io import docs_path
+    from .dedup import _npart
+
+    ids = surviving_ids(source)
+    full = read_parquet_clean(docs_path(source))
+    kept = full.join(ids, join_type="inner", num_partitions=_npart(), on=("doc_id",))
+    os.makedirs(out_dir, exist_ok=True)
+    kept.write_parquet(out_dir)
+    files = _glob.glob(os.path.join(out_dir, "*.parquet"))
+    n_out = sum(_pq.read_metadata(f).num_rows for f in files)
+    n_in = sum(
+        _pq.read_metadata(f).num_rows
+        for f in (_glob.glob(os.path.join(docs_path(source), "*.parquet"))
+                  or [docs_path(source)])
+    )
+    return {"input_rows": int(n_in), "kept_rows": int(n_out),
+            "out_files": len(files), "out": out_dir}
 
 
 SQL_PREPARE_CORPUS = f"""
@@ -161,7 +197,7 @@ def decontaminate(sf_dir: str):
     from ray.data.aggregate import Count
     from .dedup import _shingle_batch, _npart
 
-    _p = f"{sf_dir}/documents.parquet"
+    _p = docs_path(sf_dir)
     ds = read_parquet_clean(_p, columns=["doc_id", "text"],
                             override_num_blocks=small_input_blocks(_p))
     shingles = ds.map_batches(
@@ -284,7 +320,7 @@ def scrub_pii(sf_dir: str):
             }
         )
 
-    _p = f"{sf_dir}/documents.parquet"
+    _p = docs_path(sf_dir)
     return read_parquet_clean(
         _p, columns=["doc_id", "text"], override_num_blocks=small_input_blocks(_p)
     ).map_batches(scrub, batch_format="pyarrow")
