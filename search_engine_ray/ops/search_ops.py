@@ -741,6 +741,68 @@ FROM ctx
 """
 
 
+# ---- conversation-level exact dedup ----
+
+def conv_dedup(sf_dir: str):
+    """Exact dedup at CONVERSATION granularity: each conversation's
+    turns are concatenated in turn order (single-space join, the
+    conv_context_windows convention) and hashed; the smallest conv_id
+    per identical stream survives, with the group size alongside. The
+    transcript-payload twin of ``dedup.dedup_exact`` — whole-session
+    re-logs (retried agent runs, duplicated uploads) dedupe here, not
+    at turn level. One conv_id shuffle + one bounded hash groupby."""
+    import hashlib as _hl
+
+    tdir = transcripts_dir(sf_dir)
+
+    def conv_hash(g: pa.Table) -> pa.Table:
+        idx = g["turn_idx"].to_numpy()
+        order = np.argsort(idx, kind="mergesort")
+        texts = g["text"].to_pylist()
+        full = " ".join((texts[i] or "") for i in order)
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "h": pa.array(
+                    [int(_hl.md5(full.encode()).hexdigest()[:15], 16)], pa.int64()
+                ),
+            }
+        )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        convs = sorted(g["conv_id"].to_pylist())
+        return pa.table(
+            {
+                "conv_id": pa.array([convs[0]], pa.string()),
+                "n_dups": pa.array([len(convs)], pa.int64()),
+            }
+        )
+
+    return (
+        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
+                           override_num_blocks=small_input_blocks(tdir))
+        .groupby("conv_id")
+        .map_groups(conv_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+SQL_CONV_DEDUP = f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+agg AS (
+    SELECT conv_id,
+           string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS full_text
+    FROM tr0 GROUP BY conv_id
+),
+h AS (
+    SELECT conv_id, ('0x' || substr(md5(full_text), 1, 15))::BIGINT AS h
+    FROM agg
+)
+SELECT min(conv_id) AS conv_id, count(*) AS n_dups FROM h GROUP BY h
+"""
+
+
 # ---- flagship (entry()): full stemmed pipeline + batch evaluation ----
 
 def flagship(sf_dir: str):
@@ -802,6 +864,14 @@ RAY_QUERIES = {
     "postings_probe": postings_probe_both,
     "conv_stats": conv_stats,
     "conv_context_windows": conv_context_windows,
+}
+
+RAY_QUERIES_AUX = {
+    "conv_dedup": conv_dedup,
+}
+
+ORACLE_SQL_AUX = {
+    "conv_dedup": SQL_CONV_DEDUP,
 }
 
 ORACLE_SQL = {
