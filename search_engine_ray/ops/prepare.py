@@ -348,11 +348,13 @@ FROM documents
 
 SQL_SCRUB_PII = _scrub_sql()
 
-RAY_QUERIES = {"prepare_corpus": prepare_corpus, "decontaminate": decontaminate}
-ORACLE_SQL = {"prepare_corpus": SQL_PREPARE_CORPUS, "decontaminate": SQL_DECONTAMINATE}
-
-# Auxiliary entries: registered AFTER the 50-entry driver window (the
-# driver evaluates the first 50 in insertion order) so they never
-# displace a core entry; tools_verify still checks them.
-RAY_QUERIES_AUX = {"scrub_pii": scrub_pii}
-ORACLE_SQL_AUX = {"scrub_pii": SQL_SCRUB_PII}
+RAY_QUERIES = {
+    "prepare_corpus": prepare_corpus,
+    "decontaminate": decontaminate,
+    "scrub_pii": scrub_pii,
+}
+ORACLE_SQL = {
+    "prepare_corpus": SQL_PREPARE_CORPUS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "scrub_pii": SQL_SCRUB_PII,
+}

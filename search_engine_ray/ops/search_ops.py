@@ -864,14 +864,7 @@ RAY_QUERIES = {
     "postings_probe": postings_probe_both,
     "conv_stats": conv_stats,
     "conv_context_windows": conv_context_windows,
-}
-
-RAY_QUERIES_AUX = {
     "conv_dedup": conv_dedup,
-}
-
-ORACLE_SQL_AUX = {
-    "conv_dedup": SQL_CONV_DEDUP,
 }
 
 ORACLE_SQL = {
@@ -886,4 +879,5 @@ ORACLE_SQL = {
     "phrase_match": _phrase_sql(),
     "conv_stats": SQL_CONV_STATS,
     "conv_context_windows": SQL_CONV_CONTEXT,
+    "conv_dedup": SQL_CONV_DEDUP,
 }

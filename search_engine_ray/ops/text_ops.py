@@ -626,14 +626,7 @@ RAY_QUERIES = {
     "text_features": text_features,
     "stratified_sample": stratified_sample,
     "english_filter": english_filter,
-}
-
-RAY_QUERIES_AUX = {
     "repetition_stats": repetition_stats,
-}
-
-ORACLE_SQL_AUX = {
-    "repetition_stats": SQL_REPETITION_STATS,
 }
 
 ORACLE_SQL = {
@@ -644,4 +637,5 @@ ORACLE_SQL = {
     "text_features": SQL_TEXT_FEATURES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "english_filter": SQL_ENGLISH_FILTER,
+    "repetition_stats": SQL_REPETITION_STATS,
 }
