@@ -440,6 +440,97 @@ FROM documents
 """
 
 
+# ---- sequence packing (concat-and-chunk pretraining layout): a
+#      distributed prefix sum over per-doc token counts assigns each
+#      doc its global token span and the L-token training sequences it
+#      lands in. Pass 1 reduces tiny (bucket, token_sum) rows (bucket =
+#      doc_id // span) and the driver turns them into exclusive bucket
+#      bases (one int per bucket — broadcast, never per-doc state);
+#      pass 2 is a bucket-partitioned map_groups: in-bucket vectorized
+#      cumsum + the broadcast base. At 100 TB set span ~1M docs: driver
+#      state is N/1e6 ints and each group is a ~16 MB task. The token
+#      projection is recomputed for pass 2 (lineage re-executes the
+#      pruned 2-column read) — cheaper than materializing N rows. ----
+
+_PACK_L = 512       # tokens per packed training sequence
+_PACK_SPAN = 256    # doc_ids per prefix-sum bucket (test-sized; ~1M at scale)
+
+
+def pack_sequences(sf_dir: str, L: int = _PACK_L, span: int = _PACK_SPAN):
+    """(doc_id, n_tokens, tok_start, tok_end, seq_first, seq_last,
+    n_seqs) for every non-empty doc under GPT-style concat-and-chunk
+    packing in doc_id order; docs straddle sequence boundaries, so a
+    doc's sequences are the L-token windows its span overlaps."""
+
+    def toks(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        n = pc.count_substring_regex(text, _BPE_PATTERN).cast(pa.int64())
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "bucket": pa.array(doc // span, pa.int64()),
+            }
+        )
+
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(toks, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        counts.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    per_bucket_tok = sums["bucket_tokens"].to_numpy(dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(per_bucket_tok)[:-1]]).astype(np.int64)
+    base_ref = ray.put(dict(zip(sums["bucket"].astype(int), bases)))
+
+    def span_of_bucket(g: pa.Table, _ref=base_ref) -> pa.Table:
+        base = ray.get(_ref)[int(g["bucket"][0].as_py())]
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        n = g["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        end = start + n
+        last = np.maximum(end - 1, start)  # n==0 rows filtered below
+        out = pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "tok_start": pa.array(start, pa.int64()),
+                "tok_end": pa.array(end, pa.int64()),
+                "seq_first": pa.array(start // L, pa.int64()),
+                "seq_last": pa.array(last // L, pa.int64()),
+                "n_seqs": pa.array(last // L - start // L + 1, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(n > 0))
+
+    return counts.groupby("bucket").map_groups(span_of_bucket, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH ptoks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_tokens
+    FROM documents
+), pos AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_start
+    FROM ptoks
+)
+SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
+       tok_start // {_PACK_L} AS seq_first,
+       (tok_start + n_tokens - 1) // {_PACK_L} AS seq_last,
+       (tok_start + n_tokens - 1) // {_PACK_L} - tok_start // {_PACK_L} + 1 AS n_seqs
+FROM pos WHERE n_tokens > 0
+"""
+
+
 # ---- English filter (the reference rejects non-English docs by
 #      country/language-code URL tokens, `/root/reference/src/cis5550/
 #      tools/EnglishFilter.java:97-105`; the transcript analog filters
@@ -638,4 +729,13 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "english_filter": SQL_ENGLISH_FILTER,
     "repetition_stats": SQL_REPETITION_STATS,
+}
+
+# past the driver's 50-entry window; tools_verify still checks it
+RAY_QUERIES_AUX = {
+    "pack_sequences": pack_sequences,
+}
+
+ORACLE_SQL_AUX = {
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
