@@ -928,6 +928,74 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.4
 """
 
 
+# ---- duplicated-span fraction (exact-substring dedup signal) ----
+
+
+def dup_span_fraction(sf_dir: str):
+    """Per-document duplicated-span fraction — the share of a doc's
+    distinct word-trigram shingles that also appear in at least one
+    OTHER document (the per-doc signal behind exact-substring training
+    -data dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"). Returns (doc_id, n_sh, n_dup, dup_ppm)
+    with dup_ppm an integer parts-per-million (floor(x+0.5) on both
+    sides, hash-stable).
+
+    Shape: shingle df via a sh-keyed groupby, one sh-keyed hash join
+    back onto the (doc_id, sh) rows, then a doc_id groupby — the exact
+    computation ships each shingle row through two exchanges of small
+    int rows. At 100 TB the approximate path replaces the join with a
+    broadcast Bloom filter of df>=2 shingles probed inside map_batches;
+    the exact join stays the oracle-checked baseline."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
+    shingles = (
+        ds.map_batches(lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow")
+        .select_columns(["doc_id", "sh"])
+        .materialize()  # consumed by the df groupby AND the join below
+    )
+
+    df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
+    tagged = shingles.join(df, join_type="inner", num_partitions=_npart(), on=("sh",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_dup": pc.cast(
+                    pc.greater_equal(t["df"], pa.scalar(2)), pa.int64()
+                ),
+            }
+        )
+
+    per_doc = (
+        tagged.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup"))
+    )
+
+    def ppm(t: pa.Table) -> pa.Table:
+        n_sh = t["n_sh"].to_numpy().astype(np.float64)
+        n_dup = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.floor(n_dup * 1e6 / n_sh + 0.5).astype(np.int64)
+        return t.append_column("dup_ppm", pa.array(out, pa.int64()))
+
+    return per_doc.map_batches(ppm, batch_format="pyarrow")
+
+
+SQL_DUP_SPAN_FRACTION = f"""
+WITH {_SQL_SHINGLES},
+df AS (SELECT sh, COUNT(*) AS df FROM tri GROUP BY sh)
+SELECT t.doc_id,
+       COUNT(*) AS n_sh,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(floor(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                  / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+FROM tri t JOIN df USING (sh)
+GROUP BY t.doc_id
+"""
+
+
 RAY_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -946,4 +1014,13 @@ ORACLE_SQL = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
+}
+
+# past the driver's 50-entry window; tools_verify still checks them
+RAY_QUERIES_AUX = {
+    "dup_span_fraction": dup_span_fraction,
+}
+
+ORACLE_SQL_AUX = {
+    "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
 }

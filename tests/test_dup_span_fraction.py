@@ -1,0 +1,47 @@
+"""dup_span_fraction on a fixture with hand-countable shared trigrams:
+two docs share a 4-token span (two shared trigrams), a third is fully
+unique, a fourth is an exact copy of the first (all shingles dup), and
+a two-token doc exercises the whole-doc short-shingle path."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_engine_ray.ops.dedup import dup_span_fraction
+
+
+def test_dup_span_fraction_counts(ray_session, tmp_path):
+    docs = [
+        "alpha beta gamma delta epsilon",   # doc 0: 3 shingles
+        "zeta alpha beta gamma delta",      # doc 1: shares 'alpha beta gamma',
+                                            #        'beta gamma delta' with doc 0
+        "one two three four five",          # doc 2: unique
+        "alpha beta gamma delta epsilon",   # doc 3: exact copy of doc 0
+        "tiny pair",                        # doc 4: short -> one whole-doc shingle
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = (
+        dup_span_fraction(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    assert out.loc[0, "n_sh"] == 3
+    # docs 0 and 3 are identical: every shingle duplicated
+    assert out.loc[0, "n_dup"] == 3 and out.loc[0, "dup_ppm"] == 1_000_000
+    assert out.loc[3, "n_dup"] == 3 and out.loc[3, "dup_ppm"] == 1_000_000
+    # doc 1 shares exactly 2 of its 3 shingles with doc 0/3
+    assert out.loc[1, "n_sh"] == 3 and out.loc[1, "n_dup"] == 2
+    assert out.loc[1, "dup_ppm"] == 666_667  # floor(2/3*1e6 + 0.5)
+    # unique and short docs have zero duplicated spans
+    assert out.loc[2, "n_dup"] == 0 and out.loc[2, "dup_ppm"] == 0
+    assert out.loc[4, "n_sh"] == 1 and out.loc[4, "n_dup"] == 0
