@@ -348,6 +348,130 @@ FROM documents
 
 SQL_SCRUB_PII = _scrub_sql()
 
+
+# ---- training-mixture construction: per-source epoch upsampling ----
+#
+# Given target mixture weights per source, each source's repeat factor
+# is target_share * total_tokens / source_tokens; every doc is emitted
+# floor(f) times plus one more for a deterministic hash(doc_id) draw on
+# the fractional remainder (DoReMi-style domain reweighting applied as
+# concrete epoch counts). All factor arithmetic is integer ppm so the
+# Ray and SQL sides cannot ULP-diverge.
+
+_MIX_UP = ("src0", "src1", "src2", "src3")  # upweighted sources
+_MIX_HI_PPM = 150_000  # 15% of the mixture each
+_MIX_LO_PPM = 25_000   # remaining sources share the rest
+
+
+def mixture_epochs(sf_dir: str):
+    """(doc_id, source, copy_idx) rows of the constructed training
+    mixture: per-source token totals (a ~|sources|-row groupby) set
+    integer-ppm repeat factors; a stateless vectorized map over the
+    2-column (doc_id, source) read emits each doc's copies. Only id
+    rows are expanded — the text join happens downstream at
+    tokenization time — so the emission streams with no shuffle and
+    O(|sources|) driver state at any corpus size."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    from .text_ops import _BPE_PATTERN
+
+    def toks(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_tokens": pc.count_substring_regex(text, _BPE_PATTERN).cast(pa.int64()),
+            }
+        )
+
+    src = (
+        read_parquet_clean(
+            docs_path(sf_dir), columns=["source", "text"],
+            override_num_blocks=small_input_blocks(docs_path(sf_dir)),
+        )
+        .map_batches(toks, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="src_tokens"))
+        .to_pandas()
+    )
+    all_tokens = int(src["src_tokens"].sum())
+    fac_ppm = {
+        s: ((_MIX_HI_PPM if s in _MIX_UP else _MIX_LO_PPM) * all_tokens) // int(v)
+        for s, v in zip(src["source"], src["src_tokens"])
+        if int(v) > 0
+    }  # exact Python-int arithmetic; tiny, captured by value in emit
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        fac = np.array([fac_ppm.get(s, -1) for s in srcs], dtype=np.int64)
+        base = np.where(fac >= 0, fac // 1_000_000, 0)
+        rem = np.where(fac >= 0, fac % 1_000_000, 0)
+        h = np.fromiter(
+            (
+                int(_hl.md5(str(int(d)).encode()).hexdigest()[:15], 16) % 1_000_000
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        n = base + (h < rem)
+        tot = int(n.sum())
+        rep = np.repeat(np.arange(len(ids)), n)
+        starts = np.cumsum(n) - n
+        copy_idx = np.arange(tot, dtype=np.int64) - np.repeat(starts, n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rep], pa.int64()),
+                "source": pa.array(srcs[rep], pa.string()),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return read_parquet_clean(
+        docs_path(sf_dir), columns=["doc_id", "source"],
+        override_num_blocks=small_input_blocks(docs_path(sf_dir)),
+    ).map_batches(emit, batch_format="pyarrow")
+
+
+def _mixture_sql() -> str:
+    from .text_ops import _BPE_PATTERN
+
+    pat = _BPE_PATTERN.replace("'", "''")
+    hi = ", ".join(f"'{s}'" for s in _MIX_UP)
+    return f"""
+WITH toks AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM toks GROUP BY source),
+grand AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM toks),
+fac AS (
+    SELECT source,
+           (CASE WHEN source IN ({hi}) THEN {_MIX_HI_PPM}
+                 ELSE {_MIX_LO_PPM} END
+            * (SELECT all_tokens FROM grand)) // src_tokens AS fac_ppm
+    FROM src WHERE src_tokens > 0
+),
+copies AS (
+    SELECT d.doc_id, d.source,
+           fac_ppm // 1000000
+           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 < fac_ppm % 1000000
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN fac USING (source)
+)
+SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx
+FROM copies, UNNEST(range(CAST(n_copies AS BIGINT))) u(i)
+"""
+
+
+SQL_MIXTURE_EPOCHS = _mixture_sql()
+
 RAY_QUERIES = {
     "prepare_corpus": prepare_corpus,
     "decontaminate": decontaminate,
@@ -357,4 +481,12 @@ ORACLE_SQL = {
     "prepare_corpus": SQL_PREPARE_CORPUS,
     "decontaminate": SQL_DECONTAMINATE,
     "scrub_pii": SQL_SCRUB_PII,
+}
+
+# past the driver's 50-entry window; tools_verify still checks them
+RAY_QUERIES_AUX = {
+    "mixture_epochs": mixture_epochs,
+}
+ORACLE_SQL_AUX = {
+    "mixture_epochs": SQL_MIXTURE_EPOCHS,
 }
