@@ -531,6 +531,115 @@ FROM pos WHERE n_tokens > 0
 """
 
 
+# ---- unigram-LM quality scoring (KenLM-style perplexity proxy): each
+#      doc's log-probability under the corpus's own unigram model.
+#      Vocabulary travels as a dataset through a term-keyed join — never
+#      broadcast or driver-held — and each (doc, term) contribution is
+#      floored to integer micro-nats BEFORE the per-doc sum, so the sum
+#      is order-independent (float ln is computed once per joined row
+#      from identical integer inputs on both sides; only the one ln
+#      carries ULP risk, never the aggregation). ----
+
+
+def _join_npart() -> int:
+    from .dedup import _npart
+
+    return _npart()
+
+
+def unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, lp_micro, lp_mean_micro): total and per-token
+    corpus-unigram log-probability in integer micro-nats. Low (very
+    negative) mean = rare-token-heavy doc; high = boilerplate. Shape:
+    per-batch (doc, term, tf) combiner -> term groupby for the global
+    unigram table -> term-keyed hash join back -> doc groupby of
+    integer contributions."""
+    from ray.data.aggregate import Sum
+
+    cfg = IndexConfig(stemming=False)
+
+    def per_doc_tf(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        doc_idx, tok, _pos, _lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
+        if len(tok) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        uniq, inv = np.unique(tok, return_inverse=True)
+        n_docs = len(ids)
+        key = inv.astype(np.int64) * n_docs + doc_idx
+        ukey, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ukey % n_docs], pa.int64()),
+                "term": pa.array(uniq[ukey // n_docs], pa.string()),
+                "tf": pa.array(counts, pa.int64()),
+            }
+        )
+
+    # a doc's text lives in one input row, so per-batch (doc, term) tf
+    # is already final — the groupby below only merges across docs
+    tf_rows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(per_doc_tf, batch_format="pyarrow")
+        .materialize()  # feeds the unigram groupby AND the join
+    )
+    unigram = (
+        tf_rows.groupby("term")
+        .aggregate(Sum("tf", alias_name="tf_global"))
+        .materialize()  # consumed by the total below AND the join
+    )
+    total = int(unigram.sum(on="tf_global"))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        g = t["tf_global"].to_numpy().astype(np.float64)
+        c = np.floor(tf * np.log(g / total) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+                "lp_micro": pa.array(c, pa.int64()),
+            }
+        )
+
+    per_doc = (
+        tf_rows.join(unigram, join_type="inner", num_partitions=_join_npart(), on=("term",))
+        .map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tf", alias_name="n_tokens"), Sum("lp_micro", alias_name="lp_micro"))
+    )
+
+    def mean_col(t: pa.Table) -> pa.Table:
+        lp = t["lp_micro"].to_numpy().astype(np.float64)
+        n = t["n_tokens"].to_numpy().astype(np.float64)
+        # IEEE division is correctly rounded: identical ints -> identical
+        # double -> identical floor on both sides
+        mean = np.floor(lp / n).astype(np.int64)
+        return t.append_column("lp_mean_micro", pa.array(mean, pa.int64()))
+
+    return per_doc.map_batches(mean_col, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne GROUP BY doc_id, term),
+unigram AS (SELECT term, SUM(tf) AS tf_global FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(tf_global) AS BIGINT) AS total FROM unigram),
+contrib AS (
+    SELECT t.doc_id, t.tf,
+           CAST(floor(t.tf * ln(u.tf_global * 1.0 / c.total) * 1000000)
+                AS BIGINT) AS lp_micro
+    FROM tf t JOIN unigram u USING (term) CROSS JOIN tot c
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp_micro) AS BIGINT) AS lp_micro,
+       CAST(floor(SUM(lp_micro) * 1.0 / SUM(tf)) AS BIGINT) AS lp_mean_micro
+FROM contrib GROUP BY doc_id
+"""
+
+
 # ---- English filter (the reference rejects non-English docs by
 #      country/language-code URL tokens, `/root/reference/src/cis5550/
 #      tools/EnglishFilter.java:97-105`; the transcript analog filters
@@ -734,8 +843,10 @@ ORACLE_SQL = {
 # past the driver's 50-entry window; tools_verify still checks it
 RAY_QUERIES_AUX = {
     "pack_sequences": pack_sequences,
+    "unigram_logprob": unigram_logprob,
 }
 
 ORACLE_SQL_AUX = {
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }
