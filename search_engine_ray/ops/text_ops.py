@@ -547,6 +547,36 @@ def _join_npart() -> int:
     return _npart()
 
 
+def _per_doc_tf(t: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows for a batch — a doc's text lives in one
+    input row, so per-batch tf is already final per (doc, term); any
+    downstream groupby only merges across docs."""
+    cfg = IndexConfig(stemming=False)
+    ids = t["doc_id"].to_numpy()
+    doc_idx, tok, _pos, _lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
+    if len(tok) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    uniq, inv = np.unique(tok, return_inverse=True)
+    n_docs = len(ids)
+    key = inv.astype(np.int64) * n_docs + doc_idx
+    ukey, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[ukey % n_docs], pa.int64()),
+            "term": pa.array(uniq[ukey // n_docs], pa.string()),
+            "tf": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def _doc_term_tf(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _per_doc_tf, batch_format="pyarrow"
+    )
+
+
 def unigram_logprob(sf_dir: str):
     """(doc_id, n_tokens, lp_micro, lp_mean_micro): total and per-token
     corpus-unigram log-probability in integer micro-nats. Low (very
@@ -556,34 +586,7 @@ def unigram_logprob(sf_dir: str):
     integer contributions."""
     from ray.data.aggregate import Sum
 
-    cfg = IndexConfig(stemming=False)
-
-    def per_doc_tf(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        doc_idx, tok, _pos, _lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
-        if len(tok) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "term": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64())})
-        uniq, inv = np.unique(tok, return_inverse=True)
-        n_docs = len(ids)
-        key = inv.astype(np.int64) * n_docs + doc_idx
-        ukey, counts = np.unique(key, return_counts=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[ukey % n_docs], pa.int64()),
-                "term": pa.array(uniq[ukey // n_docs], pa.string()),
-                "tf": pa.array(counts, pa.int64()),
-            }
-        )
-
-    # a doc's text lives in one input row, so per-batch (doc, term) tf
-    # is already final — the groupby below only merges across docs
-    tf_rows = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(per_doc_tf, batch_format="pyarrow")
-        .materialize()  # feeds the unigram groupby AND the join
-    )
+    tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds the unigram groupby AND the join
     unigram = (
         tf_rows.groupby("term")
         .aggregate(Sum("tf", alias_name="tf_global"))
@@ -637,6 +640,93 @@ SELECT doc_id,
        CAST(SUM(lp_micro) AS BIGINT) AS lp_micro,
        CAST(floor(SUM(lp_micro) * 1.0 / SUM(tf)) AS BIGINT) AS lp_mean_micro
 FROM contrib GROUP BY doc_id
+"""
+
+
+# ---- TF-IDF keyword extraction: top-k most distinctive terms per doc.
+#      Ranking is fully integer (floored micro-score, term-asc ties) so
+#      the Ray and SQL row sets cannot diverge on float noise; the
+#      per-doc top-k is one vectorized call per (doc_id % P) partition,
+#      not one Python call per doc. ----
+
+_KW_K = 3
+
+
+def doc_keywords(sf_dir: str, k: int = _KW_K):
+    """(doc_id, term, tf, tfidf_micro, rank): each doc's top-k terms by
+    tf * ln(N/df) in integer micro-units. df and N travel as datasets /
+    one scalar; the join is term-keyed; the grouped top-k runs
+    vectorized per hash partition."""
+    from ray.data.aggregate import Count
+
+    tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds df, N, AND the join
+    df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+    n_docs = tf_rows.groupby("doc_id").aggregate(Count(alias_name="c")).count()
+    n_part = _join_npart() * 4
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        df = t["df"].to_numpy().astype(np.float64)
+        micro = np.floor(tf * np.log(n_docs * 1.0 / df) * 1e6).astype(np.int64)
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "tfidf_micro": pa.array(micro, pa.int64()),
+                "part": pa.array((ids % n_part).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def topk_part(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        micro = g["tfidf_micro"].to_numpy()
+        order = np.lexsort((terms, -micro, ids))
+        ids, terms, micro = ids[order], terms[order], micro[order]
+        tf = g["tf"].to_numpy()[order]
+        first = np.concatenate([[0], np.flatnonzero(ids[1:] != ids[:-1]) + 1])
+        starts = np.zeros(len(ids), bool)
+        starts[first] = True
+        group_of = np.cumsum(starts) - 1
+        rank = np.arange(len(ids)) - first[group_of] + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "term": pa.array(terms[keep], pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "tfidf_micro": pa.array(micro[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        tf_rows.join(df_tbl, join_type="inner", num_partitions=_join_npart(), on=("term",))
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pyarrow")
+    )
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           CAST(floor(t.tf * ln(nd.n * 1.0 / df.df) * 1000000) AS BIGINT) AS tfidf_micro
+    FROM tf t JOIN df USING (term) CROSS JOIN nd
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf_micro DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, term, tf, tfidf_micro, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_KW_K}
 """
 
 
@@ -844,9 +934,11 @@ ORACLE_SQL = {
 RAY_QUERIES_AUX = {
     "pack_sequences": pack_sequences,
     "unigram_logprob": unigram_logprob,
+    "doc_keywords": doc_keywords,
 }
 
 ORACLE_SQL_AUX = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "doc_keywords": SQL_DOC_KEYWORDS,
 }

@@ -1,0 +1,41 @@
+"""doc_keywords: each doc's distinctive rare term must outrank the
+shared filler vocabulary, ranks are dense 1..k, and ubiquitous terms
+(df = N, tfidf = 0) never beat a distinctive one."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_engine_ray.ops.text_ops import doc_keywords
+
+
+def test_doc_keywords_distinctive_terms(ray_session, tmp_path):
+    filler = "the quick brown fox jumps"
+    docs = [
+        f"{filler} zebra zebra",
+        f"{filler} quasar quasar",
+        f"{filler} fjord fjord",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = doc_keywords(str(tmp_path)).to_pandas()
+
+    top1 = out[out["rank"] == 1].set_index("doc_id")["term"].to_dict()
+    assert top1 == {0: "zebra", 1: "quasar", 2: "fjord"}
+    # distinctive terms appear twice with df=1 -> positive score;
+    # filler terms have df=N -> tfidf_micro exactly 0
+    assert (out[out["rank"] == 1]["tfidf_micro"] > 0).all()
+    assert (out[out["rank"] > 1]["tfidf_micro"] == 0).all()
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 3
+        # within a doc, score non-increasing with rank
+        s = g.sort_values("rank")["tfidf_micro"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
