@@ -730,6 +730,138 @@ FROM ranked WHERE rn <= {_KW_K}
 """
 
 
+# ---- PMI collocations: the corpus's top-k adjacent-token pairs by
+#      pointwise mutual information — the classic phrase-mining /
+#      tokenizer-merge-candidate op. Bigram and unigram counts are
+#      per-batch-combined before their groupbys; the score join is
+#      term-keyed twice (w1 then w2); only the final k rows reach the
+#      driver. The score is floored to integer micro-nats computed from
+#      identical integer counts on both sides. ----
+
+_PMI_MIN = 5   # minimum bigram count (kills noise + bounds output)
+_PMI_K = 50
+
+
+def pmi_collocations(sf_dir: str, k: int = _PMI_K):
+    """(w1, w2, n_pairs, pmi_micro): global top-k adjacent bigrams by
+    PMI = ln(p(xy) / (p(x)p(y))), counts >= {_PMI_MIN}. Total order
+    (pmi desc, w1, w2) makes the LIMIT boundary deterministic."""
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        cfg = IndexConfig(stemming=False)
+        doc_idx, tok, _pos, _lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
+        if len(tok) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        adj = doc_idx[:-1] == doc_idx[1:]
+        w1, w2 = tok[:-1][adj], tok[1:][adj]
+        # space separator is unambiguous: tokens match [0-9a-z]+ only
+        # (numpy fixed-width strings treat \x00 as padding, not data)
+        joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+        uniq, counts = np.unique(joined, return_counts=True)
+        split = np.char.partition(uniq, " ")
+        return pa.table(
+            {
+                "w1": pa.array(split[:, 0], pa.string()),
+                "w2": pa.array(split[:, 2], pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["text"])
+    bcnt = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], pa.scalar(_PMI_MIN))),
+            batch_format="pyarrow",
+        )
+        .materialize()  # feeds B AND the score joins
+    )
+    ucnt = (
+        _doc_term_tf(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="uc"))
+        .materialize()  # consumed twice (w1 and w2 joins) AND for T
+    )
+    T = int(ucnt.sum(on="uc"))
+    # B counts ALL bigrams, not just the >= _PMI_MIN survivors: per-doc
+    # bigram count is doclen-1, so B = T - n_nonempty_docs
+    n_docs = int(
+        docs.map_batches(
+            lambda t: pa.table({"n": pa.array([int(np.count_nonzero(
+                split_tokens(t["text"].combine_chunks(), IndexConfig(stemming=False))[4]
+            ))], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum(on="n")
+    )
+    B = T - n_docs
+
+    u1 = ucnt.map_batches(
+        lambda t: pa.table({"w1_": t["term"], "c1": t["uc"]}), batch_format="pyarrow"
+    )
+    u2 = ucnt.map_batches(
+        lambda t: pa.table({"w2_": t["term"], "c2": t["uc"]}), batch_format="pyarrow"
+    )
+    joined = bcnt.join(
+        u1, join_type="inner", num_partitions=_join_npart(), on=("w1",), right_on=("w1_",)
+    ).join(
+        u2, join_type="inner", num_partitions=_join_npart(), on=("w2",), right_on=("w2_",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(np.float64)
+        c1 = t["c1"].to_numpy().astype(np.float64)
+        c2 = t["c2"].to_numpy().astype(np.float64)
+        pmi = np.floor(np.log((c * 1.0 * T * T) / (B * 1.0 * c1 * c2)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n_pairs": t["c"],
+                "pmi_micro": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH arrs AS (
+    SELECT list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                       x -> x <> '') AS arr
+    FROM documents
+),
+uni AS (SELECT unnest(arr) AS w FROM arrs),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM uni),
+big AS (
+    SELECT arr[i] AS w1, arr[i + 1] AS w2
+    FROM arrs, UNNEST(range(1, len(arr))) t(i)
+    WHERE len(arr) >= 2
+),
+bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         FROM big GROUP BY w1, w2 HAVING COUNT(*) >= {_PMI_MIN}),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS B FROM big)
+SELECT b.w1, b.w2, b.c AS n_pairs,
+       CAST(floor(ln((b.c * 1.0 * t.T * t.T) / (bt.B * 1.0 * u1.c * u2.c))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM bcnt b
+JOIN ucnt u1 ON b.w1 = u1.w
+JOIN ucnt u2 ON b.w2 = u2.w
+CROSS JOIN tot t CROSS JOIN btot bt
+ORDER BY pmi_micro DESC, b.w1, b.w2
+LIMIT {_PMI_K}
+"""
+
+
 # ---- English filter (the reference rejects non-English docs by
 #      country/language-code URL tokens, `/root/reference/src/cis5550/
 #      tools/EnglishFilter.java:97-105`; the transcript analog filters
@@ -935,10 +1067,12 @@ RAY_QUERIES_AUX = {
     "pack_sequences": pack_sequences,
     "unigram_logprob": unigram_logprob,
     "doc_keywords": doc_keywords,
+    "pmi_collocations": pmi_collocations,
 }
 
 ORACLE_SQL_AUX = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }
