@@ -1004,6 +1004,7 @@ RAY_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dup_span_fraction": dup_span_fraction,
 }
 
 ORACLE_SQL = {
@@ -1014,13 +1015,5 @@ ORACLE_SQL = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
-}
-
-# past the driver's 50-entry window; tools_verify still checks them
-RAY_QUERIES_AUX = {
-    "dup_span_fraction": dup_span_fraction,
-}
-
-ORACLE_SQL_AUX = {
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
 }

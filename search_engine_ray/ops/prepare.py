@@ -476,17 +476,11 @@ RAY_QUERIES = {
     "prepare_corpus": prepare_corpus,
     "decontaminate": decontaminate,
     "scrub_pii": scrub_pii,
+    "mixture_epochs": mixture_epochs,
 }
 ORACLE_SQL = {
     "prepare_corpus": SQL_PREPARE_CORPUS,
     "decontaminate": SQL_DECONTAMINATE,
     "scrub_pii": SQL_SCRUB_PII,
-}
-
-# past the driver's 50-entry window; tools_verify still checks them
-RAY_QUERIES_AUX = {
-    "mixture_epochs": mixture_epochs,
-}
-ORACLE_SQL_AUX = {
     "mixture_epochs": SQL_MIXTURE_EPOCHS,
 }

@@ -1252,13 +1252,7 @@ FROM ({SQL_RANGE_JOIN})
 
 
 RAY_QUERIES = {
-    "flame_transform": flame_transform,
-    "flame_fold_by_key": flame_fold_with_total,
-    "flame_group_by": flame_group_by,
-    "flame_flat_map": flame_flat_map,
-    "flame_join_broadcast": flame_join_broadcast,
     "flame_join_hash": flame_join_hash,
-    "flame_topk": flame_topk,
     "events_windows": events_windows,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
@@ -1271,8 +1265,21 @@ RAY_QUERIES = {
 # flame_cogroup / flame_intersection / events_json_extract moved here in
 # round 3: they carry identical-name green rows in CORRECTNESS_r02, so
 # the window slots go to the newer ops (conv_dedup, scrub_pii,
-# repetition_stats) that have no driver evidence yet.
+# repetition_stats) that have no driver evidence yet. Late round 3
+# moved six more micro-entries here (flame_transform, fold_by_key,
+# group_by, flat_map, join_broadcast, topk) — each subsumed by richer
+# in-window pipelines (term_stats, analytics_q3, asof/range joins,
+# doc_keywords) and carrying r2-green rows under their original names —
+# to give the six new training-data ops (pack_sequences, unigram_logprob,
+# doc_keywords, pmi_collocations, dup_span_fraction, mixture_epochs)
+# driver-gate evidence, per the r2 verdict's trim recommendation.
 RAY_QUERIES_AUX = {
+    "flame_transform": flame_transform,
+    "flame_fold_by_key": flame_fold_with_total,
+    "flame_group_by": flame_group_by,
+    "flame_flat_map": flame_flat_map,
+    "flame_join_broadcast": flame_join_broadcast,
+    "flame_topk": flame_topk,
     "flame_cogroup": flame_cogroup,
     "flame_intersection": flame_intersection,
     "events_json_extract": events_json_extract,
@@ -1282,6 +1289,12 @@ RAY_QUERIES_AUX = {
 }
 
 ORACLE_SQL_AUX = {
+    "flame_transform": SQL_TRANSFORM,
+    "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
+    "flame_group_by": SQL_GROUP_BY,
+    "flame_flat_map": SQL_FLAT_MAP,
+    "flame_join_broadcast": SQL_JOIN_BROADCAST,
+    "flame_topk": SQL_TOPK,
     "flame_cogroup": SQL_COGROUP,
     "flame_intersection": SQL_INTERSECTION,
     "events_json_extract": SQL_EVENTS_JSON,
@@ -1291,13 +1304,7 @@ ORACLE_SQL_AUX = {
 }
 
 ORACLE_SQL = {
-    "flame_transform": SQL_TRANSFORM,
-    "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
-    "flame_group_by": SQL_GROUP_BY,
-    "flame_flat_map": SQL_FLAT_MAP,
-    "flame_join_broadcast": SQL_JOIN_BROADCAST,
     "flame_join_hash": SQL_JOIN_HASH,
-    "flame_topk": SQL_TOPK,
     "events_windows": SQL_EVENTS_WINDOWS,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,

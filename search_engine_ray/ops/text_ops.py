@@ -1049,6 +1049,10 @@ RAY_QUERIES = {
     "stratified_sample": stratified_sample,
     "english_filter": english_filter,
     "repetition_stats": repetition_stats,
+    "pack_sequences": pack_sequences,
+    "unigram_logprob": unigram_logprob,
+    "doc_keywords": doc_keywords,
+    "pmi_collocations": pmi_collocations,
 }
 
 ORACLE_SQL = {
@@ -1060,19 +1064,9 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "english_filter": SQL_ENGLISH_FILTER,
     "repetition_stats": SQL_REPETITION_STATS,
-}
-
-# past the driver's 50-entry window; tools_verify still checks it
-RAY_QUERIES_AUX = {
-    "pack_sequences": pack_sequences,
-    "unigram_logprob": unigram_logprob,
-    "doc_keywords": doc_keywords,
-    "pmi_collocations": pmi_collocations,
-}
-
-ORACLE_SQL_AUX = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }
+
