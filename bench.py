@@ -184,7 +184,10 @@ def bench_queries(run_tag: str) -> dict:
     }
 
 
-GATE_OPS = ["bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine", "events_windows"]
+GATE_OPS = [
+    "bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine",
+    "events_windows", "dup_span_fraction", "unigram_logprob",
+]
 
 
 def bench_gate_ops(sf_dir: str) -> dict:
