@@ -1261,6 +1261,133 @@ RAY_QUERIES = {
     "events_sessionize": events_sessionize,
 }
 
+# ---- table profiling (the data-quality sweep every ingest runs):
+#      per-column row/null/distinct counts. Distincts are counted
+#      distributed — per-batch dedup to (col, value-hash) rows, a
+#      (col, vhash) groupby, then a per-col count — so no column's
+#      value set ever lands in one place; only the |columns|-row
+#      summaries reach the driver. ----
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def profile_table(sf_dir: str):
+    """(col, n_rows, n_null, n_distinct) over ``documents``. Nulls are
+    excluded from the distinct count (SQL COUNT(DISTINCT) semantics)."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=_PROFILE_COLS)
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in _PROFILE_COLS:
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(t[c].null_count)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_part": pa.array(ns, pa.int64()),
+                "null_part": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        cols, hashes = [], []
+        for c in _PROFILE_COLS:
+            arr = t[c].combine_chunks()
+            vals = pc.cast(arr.drop_null(), pa.string()).to_numpy(zero_copy_only=False)
+            h = np.unique(
+                np.fromiter(
+                    (int(_hl.md5(v.encode()).hexdigest()[:15], 16) for v in vals),
+                    dtype=np.int64,
+                    count=len(vals),
+                )
+            )
+            cols.append(np.full(len(h), c, dtype=object))
+            hashes.append(h)
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols), pa.string()),
+                "vhash": pa.array(np.concatenate(hashes), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("n_part", alias_name="n_rows"), Sum("null_part", alias_name="n_null"))
+        .to_pandas()
+    )
+    distinct = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col", "vhash"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    merged = counts.merge(distinct, on="col")  # |columns| rows — driver-safe
+    merged = merged.sort_values("col").reset_index(drop=True)
+    return pa.table(
+        {
+            "col": pa.array(merged["col"], pa.string()),
+            "n_rows": pa.array(merged["n_rows"].astype("int64"), pa.int64()),
+            "n_null": pa.array(merged["n_null"].astype("int64"), pa.int64()),
+            "n_distinct": pa.array(merged["n_distinct"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+SQL_PROFILE_TABLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+# ---- fixed-size deterministic uniform sample: ORDER BY content-free
+#      hash, LIMIT k — the scale-safe "give me exactly k rows" (a rate
+#      sample can't hit an exact k; a random_shuffle would move every
+#      block). Only k rows survive the distributed sort's merge. ----
+
+_SAMPLE_K = 200
+
+
+def sample_fixed_k(sf_dir: str, k: int = _SAMPLE_K):
+    """Exactly k documents chosen by md5(doc_id) order — deterministic,
+    uniform in expectation, and independent of row order/partitioning."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = np.fromiter(
+            (int(_hl.md5(str(int(d)).encode()).hexdigest()[:15], 16) for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .limit(k)
+    )
+
+
+SQL_SAMPLE_FIXED_K = f"""
+SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {_SAMPLE_K}
+"""
+
+
 # past the driver's 50-entry window, but tools_verify still checks them.
 # flame_cogroup / flame_intersection / events_json_extract moved here in
 # round 3: they carry identical-name green rows in CORRECTNESS_r02, so
@@ -1274,6 +1401,8 @@ RAY_QUERIES = {
 # doc_keywords, pmi_collocations, dup_span_fraction, mixture_epochs)
 # driver-gate evidence, per the r2 verdict's trim recommendation.
 RAY_QUERIES_AUX = {
+    "profile_table": profile_table,
+    "sample_fixed_k": sample_fixed_k,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -1289,6 +1418,8 @@ RAY_QUERIES_AUX = {
 }
 
 ORACLE_SQL_AUX = {
+    "profile_table": SQL_PROFILE_TABLE,
+    "sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,
