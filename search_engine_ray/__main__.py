@@ -8,6 +8,7 @@
     python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR]
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
     python -m search_engine_ray prep   --source DOCS --out DIR
+    python -m search_engine_ray mixture --source DOCS --out DIR
     python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N]
 
 Owns the Ray session (the only places allowed to: CLI, bench.py, test
@@ -93,6 +94,21 @@ def cmd_prep(a) -> int:
 
     info = clean_corpus(a.source, a.out)
     print(json.dumps(info, indent=1))
+    return 0
+
+
+def cmd_mixture(a) -> int:
+    """Training-mixture plan: per-source epoch up/downsampling of a
+    documents-shaped parquet source; (doc_id, source, copy_idx) rows
+    written as partitioned parquet for the downstream tokenizer."""
+    from .ops.prepare import mixture_epochs
+
+    import pyarrow.dataset as pads
+
+    ds = mixture_epochs(a.source)
+    ds.write_parquet(a.out)
+    n = pads.dataset(a.out, format="parquet").count_rows()
+    print(json.dumps({"out": a.out, "copy_rows": int(n)}, indent=1))
     return 0
 
 
@@ -193,6 +209,11 @@ def main(argv=None) -> int:
                     help="documents-shaped parquet (doc_id, lang, text, ...)")
     pr.add_argument("--out", required=True)
     pr.set_defaults(fn=cmd_prep)
+
+    mx = sub.add_parser("mixture", help="write a per-source epoch-mixture plan")
+    mx.add_argument("--source", required=True, help="dir holding documents.parquet")
+    mx.add_argument("--out", required=True)
+    mx.set_defaults(fn=cmd_mixture)
 
     cp = sub.add_parser("compact", help="rebuild segment layout after extends")
     cp.add_argument("--index", required=True)

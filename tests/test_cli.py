@@ -47,3 +47,39 @@ def test_cli_build_query_compact(tmp_path, fmt):
     assert stats["partitions"] and all(
         p["files"] > 0 and p["bytes"] > 0 for p in stats["partitions"]
     )
+
+
+def test_cli_mixture(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(5)
+    n = 40
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [" ".join(f"w{rng.randint(50)}" for _ in range(10)) for _ in range(n)],
+                    pa.string(),
+                ),
+                "source": pa.array([f"src{i % 5}" for i in range(n)], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = str(tmp_path / "mix")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "mixture",
+         "--source", str(tmp_path), "--out", out],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=dict(os.environ, RAY_GRAFT_CPUS="4"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout[r.stdout.index("{"):])
+    assert info["copy_rows"] > 0
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(out, format="parquet").to_table()
+    assert set(tbl.schema.names) == {"doc_id", "source", "copy_idx"}
+    assert tbl.num_rows == info["copy_rows"]
