@@ -92,3 +92,25 @@ def small_input_blocks(path) -> int | None:
         return None
     want = -(-total // _SMALL_BLOCK_TARGET)
     return int(min(2 * cpus, max(2, cpus // 4, want)))
+
+
+def empty_dataset(schema: pa.Schema) -> "ray.data.Dataset":
+    """A one-empty-block dataset with an explicit schema — the typed
+    empty result ops return when a guard detects there is nothing to
+    compute. (A dataset whose last op produced zero blocks loses its
+    schema in Ray 2.49, so ops must construct empties explicitly.)"""
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def join_np(n_small: int, want: int) -> int:
+    """Partition count for ``Dataset.join`` given the smaller side's
+    row count. Ray 2.49's hash-shuffle join crashes when a partition
+    receives zero blocks from one side (``JoinAggregator.finalize``
+    rebuilds it as a 0-column table and pyarrow rejects the key
+    FieldRef), so a side must be large enough that every partition
+    statistically sees rows: below 32 rows/partition collapse to ONE
+    partition. Callers guard the truly-empty case separately (the op
+    early-exits with ``empty_dataset`` before any join). The row-count
+    heuristic assumes high-cardinality join keys — true for every call
+    site here (content hashes, shingles, terms, doc ids)."""
+    return want if n_small >= 32 * want else 1

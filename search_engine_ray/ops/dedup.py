@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import docs_path, read_parquet_clean, small_input_blocks
+from ..io import docs_path, empty_dataset, join_np, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -253,13 +253,30 @@ def _band_rows(t: pa.Table) -> pa.Table:
     )
 
 
+_PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+     ("inter", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def _sizes_and_threshold(inter, sizes, threshold: float):
     """Shared verify tail: join per-pair intersection counts with the
     two per-doc set sizes (both datasets, never driver state) and
     threshold the Jaccard inside map_batches. Returns
-    (doc_a, doc_b, inter, jaccard)."""
+    (doc_a, doc_b, inter, jaccard).
+
+    ``inter`` is materialized here: it is the SMALL output of the big
+    pair-generation shuffle, its count guards the empty case (a clean
+    corpus has no candidate pairs — Ray 2.49's join crashes on an
+    empty side), and the count sizes the join partitioning. ``sizes``
+    arrives materialized from the caller; the join outputs stay lazy."""
+    inter = inter.materialize()
+    n_pairs = inter.count()
+    if n_pairs == 0:
+        return empty_dataset(_PAIRS_SCHEMA)
+    np_ = join_np(n_pairs, _npart())
     with_a = inter.join(
-        sizes, join_type="inner", num_partitions=_npart(),
+        sizes, join_type="inner", num_partitions=np_,
         on=("doc_a",), right_on=("doc_id",),
     ).map_batches(
         lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
@@ -267,7 +284,7 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
         batch_format="pyarrow",
     )
     with_b = with_a.join(
-        sizes, join_type="inner", num_partitions=_npart(),
+        sizes, join_type="inner", num_partitions=np_,
         on=("doc_b",), right_on=("doc_id",),
     )
 
@@ -343,18 +360,23 @@ def _jaccard_join(cand, shingles, threshold: float):
     ``shingles`` feeds BOTH joins, so it is materialized (object-store
     blocks, spillable) — without this, Ray re-executes its upstream
     lineage once per consumer and the nested shuffle pools starve each
-    other. ``cand`` feeds exactly one join and stays lazy, fusing the
-    banding shuffle into the same streaming job."""
+    other. ``cand`` is materialized too: it is the SMALL output of the
+    banding shuffle, and its count both guards the empty case (a clean
+    corpus produces no candidates — Ray 2.49's join crashes on an
+    empty side) and sizes the join partitioning."""
     from ray.data.dataset import MaterializedDataset
     from ray.data.aggregate import Count, Min
 
     if not isinstance(shingles, MaterializedDataset):
         shingles = shingles.materialize()
-    # cand feeds exactly one join, so it stays lazy — its banding
-    # shuffle fuses into the same streaming job as the verify joins
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty_dataset(_PAIRS_SCHEMA)
+    np_ = join_np(n_cand, _npart())
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(
-        shingles, join_type="inner", num_partitions=_npart(),
+        shingles, join_type="inner", num_partitions=np_,
         on=("doc_a",), right_on=("doc_id",),
     ).map_batches(
         lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
@@ -367,7 +389,7 @@ def _jaccard_join(cand, shingles, threshold: float):
                                 "n_b": t["n_sh"]}),
             batch_format="pyarrow",
         ),
-        join_type="inner", num_partitions=_npart(),
+        join_type="inner", num_partitions=np_,
         on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
     )
     inter = both.groupby(["doc_a", "doc_b"]).aggregate(
@@ -482,17 +504,26 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the df-cap filter AND the join below
+    n_sh_rows = shingles.count()
+    if n_sh_rows == 0:  # token-free corpus: no shingles, no pairs
+        return empty_dataset(_PAIRS_SCHEMA)
 
-    # df-cap: drop hot shingles from the universe (distributed filter)
+    # df-cap: drop hot shingles from the universe (distributed filter).
+    # cold is materialized: its count guards the everything-is-
+    # boilerplate edge (empty join side crashes Ray 2.49's join) and it
+    # is the vocabulary table — small bytes relative to the shingle rows
     from ray.data.aggregate import Count
 
     df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
     cold = df.map_batches(
         lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if cold.count() == 0:
+        return empty_dataset(_PAIRS_SCHEMA)
     shingles = shingles.join(
-        cold, join_type="inner", num_partitions=_npart(), on=("sh",)
+        cold, join_type="inner", num_partitions=join_np(min(n_sh_rows, cold.count()), _npart()),
+        on=("sh",),
     ).materialize()  # consumed by sizes AND pair generation
 
     # pairs come one-per-shared-shingle, so counting pair rows IS the
@@ -674,6 +705,12 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
     from ray.data.aggregate import Min, Count
 
     pairs = dedup_minhash_lsh(sf_dir).drop_columns(["jaccard"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:  # no near-dups: no clusters to report
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+        )
+    np_ = join_np(n_pairs, _npart())
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -701,8 +738,10 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
 
     for _ in range(max_iters):
         # propagate: each node offers its label to every neighbor
+        # edges/labels/offered are all nonempty here (pairs > 0), so
+        # the plain join is safe once partitioning matches the scale
         offered = (
-            edges.join(labels, join_type="inner", num_partitions=_npart(),
+            edges.join(labels, join_type="inner", num_partitions=np_,
                        on=("src",), right_on=("node",))
             .map_batches(
                 lambda t: pa.table({"node": t["dst"], "offer": t["label"]}),
@@ -712,7 +751,7 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
             .aggregate(Min("offer", alias_name="offer"))
         )
         merged = labels.join(
-            offered, join_type="left_outer", num_partitions=_npart(), on=("node",)
+            offered, join_type="left_outer", num_partitions=np_, on=("node",)
         )
 
         def take_min(t: pa.Table) -> pa.Table:
@@ -955,8 +994,16 @@ def dup_span_fraction(sf_dir: str):
         .materialize()  # consumed by the df groupby AND the join below
     )
 
+    n_rows = shingles.count()
+    if n_rows == 0:  # token-free corpus: no docs to report
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64()),
+                       ("n_dup", pa.int64()), ("dup_ppm", pa.int64())])
+        )
     df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
-    tagged = shingles.join(df, join_type="inner", num_partitions=_npart(), on=("sh",))
+    tagged = shingles.join(
+        df, join_type="inner", num_partitions=join_np(n_rows, _npart()), on=("sh",)
+    )
 
     def flag(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1044,7 +1091,13 @@ def dedup_incremental(sf_dir: str):
             pc.not_equal(t["new_key"], pa.scalar(_INCR_SENTINEL))
         ).select(["doc_id", "h"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # small id/hash rows; count guards the no-new-docs case
+    n_new = new_rows.count()
+    if n_new == 0:
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("status", pa.string()),
+                       ("dup_of", pa.int64())])
+        )
 
     def verdict(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -1065,7 +1118,7 @@ def dedup_incremental(sf_dir: str):
         )
 
     return new_rows.join(
-        agg, join_type="inner", num_partitions=_npart(), on=("h",)
+        agg, join_type="inner", num_partitions=join_np(n_new, _npart()), on=("h",)
     ).map_batches(verdict, batch_format="pyarrow")
 
 

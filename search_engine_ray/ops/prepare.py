@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import docs_path, read_parquet_clean, small_input_blocks
+from ..io import clean_schema, docs_path, empty_dataset, join_np, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -97,6 +97,9 @@ def surviving_ids(sf_dir: str):
     from ray.data.aggregate import Count
     from .dedup import _npart
 
+    # drop is materialized: it is the small victim-id set, and its
+    # count guards the common clean-corpus case (no near-dups -> empty
+    # join side crashes Ray 2.49's join) while sizing the partitioning
     drop = (
         dedup_minhash_lsh(sf_dir)
         .map_batches(
@@ -104,9 +107,20 @@ def surviving_ids(sf_dir: str):
         )
         .groupby("doc_b")
         .aggregate(Count(alias_name="_marker"))
+        .materialize()
     )
+    n_drop = drop.count()
+    if n_drop == 0:
+        return exact  # nothing to anti-join away; exact stays lazy
+    # only the dup-bearing path pays the exact-side barrier (its count
+    # guards the everything-filtered edge case)
+    exact = exact.materialize()
+    n_exact = exact.count()
+    if n_exact == 0:
+        return empty_dataset(pa.schema([("doc_id", pa.int64())]))
     joined = exact.join(
-        drop, join_type="left_outer", num_partitions=_npart(),
+        drop, join_type="left_outer",
+        num_partitions=join_np(min(n_exact, n_drop), _npart()),
         on=("doc_id",), right_on=("doc_b",),
     )
     return joined.map_batches(
@@ -136,7 +150,15 @@ def clean_corpus(source: str, out_dir: str) -> dict:
 
     ids = surviving_ids(source)
     full = read_parquet_clean(docs_path(source))
-    kept = full.join(ids, join_type="inner", num_partitions=_npart(), on=("doc_id",))
+    ids = ids.materialize()  # small surviving-id set; count guards emptiness
+    n_ids = ids.count()
+    if n_ids == 0:
+        kept = empty_dataset(clean_schema(docs_path(source)))
+    else:
+        kept = full.join(
+            ids, join_type="inner",
+            num_partitions=join_np(n_ids, _npart()), on=("doc_id",),
+        )
     os.makedirs(out_dir, exist_ok=True)
     kept.write_parquet(out_dir)
     files = _glob.glob(os.path.join(out_dir, "*.parquet"))
@@ -220,23 +242,50 @@ def decontaminate(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    contaminated = (
-        train_sh.join(eval_sh, join_type="inner", num_partitions=_npart(),
-                      on=("sh",), right_on=("sh_e",))
-        .groupby("doc_id").aggregate(Count(alias_name="_c"))
-        .map_batches(
-            lambda t: pa.table({"bad": t["doc_id"], "_c": t["_c"]}),
-            batch_format="pyarrow",
-        )
-    )
     train_docs = ds.map_batches(
         lambda t: pa.table({"doc_id": t.filter(
             pc.not_equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
         )["doc_id"]}),
         batch_format="pyarrow",
     )
+    # eval_sh / contaminated carry counts (materialized — both small
+    # distinct sets): an empty side crashes Ray 2.49's join, and each
+    # empty case has a cheap exact answer — no eval shingles or no
+    # overlap means every train doc is clean. train_sh stays lazy (it
+    # is ~the whole shingle table; copying it into the object store
+    # again just for a count would double its footprint) — its
+    # emptiness is checked with one light pass over the already-
+    # materialized shingle blocks instead.
+    eval_sh = eval_sh.materialize()
+    n_eval = eval_sh.count()
+    n_train = int(
+        shingles.map_batches(
+            lambda t: pa.table({"n": pa.array([int(pc.sum(pc.not_equal(
+                pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))),
+                pa.scalar(0))).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum(on="n")
+        or 0
+    )
+    if n_eval == 0 or n_train == 0:
+        return train_docs.sort("doc_id")
+    contaminated = (
+        train_sh.join(eval_sh, join_type="inner",
+                      num_partitions=join_np(min(n_eval, n_train), _npart()),
+                      on=("sh",), right_on=("sh_e",))
+        .groupby("doc_id").aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table({"bad": t["doc_id"], "_c": t["_c"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_bad = contaminated.count()
+    if n_bad == 0:
+        return train_docs.sort("doc_id")
     clean = train_docs.join(
-        contaminated, join_type="left_outer", num_partitions=_npart(),
+        contaminated, join_type="left_outer",
+        num_partitions=join_np(n_bad, _npart()),
         on=("doc_id",), right_on=("bad",),
     )
     # anti-join: the "_c" marker column is null exactly for clean docs

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import empty_dataset, join_np, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
 from ..functions.analysis import split_tokens, split_tokens_arrow
@@ -571,6 +571,11 @@ def _per_doc_tf(t: pa.Table) -> pa.Table:
     )
 
 
+_TF_ROWS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+)
+
+
 def _doc_term_tf(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _per_doc_tf, batch_format="pyarrow"
@@ -592,7 +597,15 @@ def unigram_logprob(sf_dir: str):
         .aggregate(Sum("tf", alias_name="tf_global"))
         .materialize()  # consumed by the total below AND the join
     )
-    total = int(unigram.sum(on="tf_global"))
+    total = int(unigram.sum(on="tf_global") or 0)
+    if total == 0:  # token-free corpus: no docs to score
+        return empty_dataset(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("lp_micro", pa.int64()), ("lp_mean_micro", pa.int64())]
+            )
+        )
+    np_ = join_np(tf_rows.count(), _join_npart())
 
     def contrib(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy().astype(np.float64)
@@ -607,7 +620,7 @@ def unigram_logprob(sf_dir: str):
         )
 
     per_doc = (
-        tf_rows.join(unigram, join_type="inner", num_partitions=_join_npart(), on=("term",))
+        tf_rows.join(unigram, join_type="inner", num_partitions=np_, on=("term",))
         .map_batches(contrib, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("tf", alias_name="n_tokens"), Sum("lp_micro", alias_name="lp_micro"))
@@ -660,6 +673,13 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
     from ray.data.aggregate import Count
 
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds df, N, AND the join
+    n_tf = tf_rows.count()
+    if n_tf == 0:  # token-free corpus: no docs, no keywords
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                       ("tf", pa.int64()), ("tfidf_micro", pa.int64()),
+                       ("rank", pa.int64())])
+        )
     df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
     n_docs = tf_rows.groupby("doc_id").aggregate(Count(alias_name="c")).count()
     n_part = _join_npart() * 4
@@ -703,7 +723,7 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
         )
 
     return (
-        tf_rows.join(df_tbl, join_type="inner", num_partitions=_join_npart(), on=("term",))
+        tf_rows.join(df_tbl, join_type="inner", num_partitions=join_np(n_tf, _join_npart()), on=("term",))
         .map_batches(score, batch_format="pyarrow")
         .groupby("part")
         .map_groups(topk_part, batch_format="pyarrow")
@@ -787,7 +807,16 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
         .aggregate(Sum("tf", alias_name="uc"))
         .materialize()  # consumed twice (w1 and w2 joins) AND for T
     )
-    T = int(ucnt.sum(on="uc"))
+    T = int(ucnt.sum(on="uc") or 0)
+    _empty = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()),
+         ("n_pairs", pa.int64()), ("pmi_micro", pa.int64())]
+    ).empty_table()
+    if T == 0:
+        return ray.data.from_arrow(_empty)
+    n_bcnt = bcnt.count()
+    if n_bcnt == 0:  # every bigram below the min-count floor
+        return ray.data.from_arrow(_empty)
     # B counts ALL bigrams, not just the >= _PMI_MIN survivors: per-doc
     # bigram count is doclen-1, so B = T - n_nonempty_docs
     n_docs = int(
@@ -799,6 +828,8 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
         ).sum(on="n")
     )
     B = T - n_docs
+    if B <= 0:  # no adjacent pairs anywhere (all docs are 1 token)
+        return ray.data.from_arrow(_empty)
 
     u1 = ucnt.map_batches(
         lambda t: pa.table({"w1_": t["term"], "c1": t["uc"]}), batch_format="pyarrow"
@@ -806,10 +837,11 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     u2 = ucnt.map_batches(
         lambda t: pa.table({"w2_": t["term"], "c2": t["uc"]}), batch_format="pyarrow"
     )
+    np_ = join_np(n_bcnt, _join_npart())
     joined = bcnt.join(
-        u1, join_type="inner", num_partitions=_join_npart(), on=("w1",), right_on=("w1_",)
+        u1, join_type="inner", num_partitions=np_, on=("w1",), right_on=("w1_",)
     ).join(
-        u2, join_type="inner", num_partitions=_join_npart(), on=("w2",), right_on=("w2_",)
+        u2, join_type="inner", num_partitions=np_, on=("w2",), right_on=("w2_",)
     )
 
     def score(t: pa.Table) -> pa.Table:
