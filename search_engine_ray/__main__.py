@@ -101,10 +101,18 @@ def cmd_mixture(a) -> int:
     """Training-mixture plan: per-source epoch up/downsampling of a
     documents-shaped parquet source; (doc_id, source, copy_idx) rows
     written as partitioned parquet for the downstream tokenizer."""
+    import glob
+    import os
+
     from .ops.prepare import mixture_epochs
 
     import pyarrow.dataset as pads
 
+    if glob.glob(os.path.join(a.out, "*.parquet")):
+        # stale output would be double-counted below and double-read by
+        # the downstream tokenizer — refuse rather than silently mix
+        print(json.dumps({"error": f"output dir {a.out} already has parquet files"}))
+        return 1
     ds = mixture_epochs(a.source)
     ds.write_parquet(a.out)
     n = pads.dataset(a.out, format="parquet").count_rows()

@@ -108,9 +108,12 @@ def join_np(n_small: int, want: int) -> int:
     receives zero blocks from one side (``JoinAggregator.finalize``
     rebuilds it as a 0-column table and pyarrow rejects the key
     FieldRef), so a side must be large enough that every partition
-    statistically sees rows: below 32 rows/partition collapse to ONE
-    partition. Callers guard the truly-empty case separately (the op
-    early-exits with ``empty_dataset`` before any join). The row-count
-    heuristic assumes high-cardinality join keys — true for every call
-    site here (content hashes, shingles, terms, doc ids)."""
-    return want if n_small >= 32 * want else 1
+    statistically sees rows: cap the partition count at
+    ``n_small // 32`` (graceful, not a cliff to 1 — collapsing a join
+    whose OTHER side is corpus-sized into one partition would
+    serialize it and concentrate the big side's bytes in one task).
+    Callers guard the truly-empty case separately (the op early-exits
+    with ``empty_dataset`` before any join). The row-count heuristic
+    assumes high-cardinality join keys — true for every call site here
+    (content hashes, shingles, terms, doc ids)."""
+    return max(1, min(want, n_small // 32))

@@ -269,12 +269,14 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
     pair-generation shuffle, its count guards the empty case (a clean
     corpus has no candidate pairs — Ray 2.49's join crashes on an
     empty side), and the count sizes the join partitioning. ``sizes``
-    arrives materialized from the caller; the join outputs stay lazy."""
+    arrives materialized from the caller (its count is free, and it is
+    the smaller side in dup-heavy corpora — a 60-doc clone cluster has
+    ~1770 pairs but only 60 size rows); the join outputs stay lazy."""
     inter = inter.materialize()
     n_pairs = inter.count()
     if n_pairs == 0:
         return empty_dataset(_PAIRS_SCHEMA)
-    np_ = join_np(n_pairs, _npart())
+    np_ = join_np(min(n_pairs, sizes.count()), _npart())
     with_a = inter.join(
         sizes, join_type="inner", num_partitions=np_,
         on=("doc_a",), right_on=("doc_id",),
@@ -363,7 +365,9 @@ def _jaccard_join(cand, shingles, threshold: float):
     other. ``cand`` is materialized too: it is the SMALL output of the
     banding shuffle, and its count both guards the empty case (a clean
     corpus produces no candidates — Ray 2.49's join crashes on an
-    empty side) and sizes the join partitioning."""
+    empty side) and sizes the join partitioning (min with the shingle
+    count: under heavy duplication the per-doc shingle rows can be the
+    smaller side)."""
     from ray.data.dataset import MaterializedDataset
     from ray.data.aggregate import Count, Min
 
@@ -373,7 +377,7 @@ def _jaccard_join(cand, shingles, threshold: float):
     n_cand = cand.count()
     if n_cand == 0:
         return empty_dataset(_PAIRS_SCHEMA)
-    np_ = join_np(n_cand, _npart())
+    np_ = join_np(min(n_cand, shingles.count()), _npart())
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(
         shingles, join_type="inner", num_partitions=np_,
@@ -710,8 +714,6 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
         return empty_dataset(
             pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
         )
-    np_ = join_np(n_pairs, _npart())
-
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -735,6 +737,10 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
         )
         .materialize()
     )
+    # the smaller join side is labels (one row per NODE) — a dense
+    # clone cluster has far fewer nodes than pairs, so sizing by
+    # n_pairs would leave label-less partitions and crash the join
+    np_ = join_np(labels.count(), _npart())
 
     for _ in range(max_iters):
         # propagate: each node offers its label to every neighbor
@@ -1000,9 +1006,12 @@ def dup_span_fraction(sf_dir: str):
             pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64()),
                        ("n_dup", pa.int64()), ("dup_ppm", pa.int64())])
         )
-    df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
+    # df (one row per DISTINCT shingle) is the smaller join side — a
+    # boilerplate corpus can have thousands of shingle rows over a
+    # handful of distinct shingles, so size the join by df's count
+    df = shingles.groupby("sh").aggregate(Count(alias_name="df")).materialize()
     tagged = shingles.join(
-        df, join_type="inner", num_partitions=join_np(n_rows, _npart()), on=("sh",)
+        df, join_type="inner", num_partitions=join_np(df.count(), _npart()), on=("sh",)
     )
 
     def flag(t: pa.Table) -> pa.Table:
@@ -1082,10 +1091,12 @@ def dedup_incremental(sf_dir: str):
         )
 
     hashed = ds.map_batches(hash_flag, batch_format="pyarrow").materialize()
+    # agg has one row per DISTINCT hash — under a duplicate-flood batch
+    # it is far smaller than new_rows, so it sizes the join (min below)
     agg = hashed.groupby("h").aggregate(
         Min("exist_key", alias_name="min_exist"),
         Min("new_key", alias_name="min_new"),
-    )
+    ).materialize()
     new_rows = hashed.map_batches(
         lambda t: t.filter(
             pc.not_equal(t["new_key"], pa.scalar(_INCR_SENTINEL))
@@ -1118,7 +1129,8 @@ def dedup_incremental(sf_dir: str):
         )
 
     return new_rows.join(
-        agg, join_type="inner", num_partitions=join_np(n_new, _npart()), on=("h",)
+        agg, join_type="inner",
+        num_partitions=join_np(min(n_new, agg.count()), _npart()), on=("h",)
     ).map_batches(verdict, batch_format="pyarrow")
 
 

@@ -148,6 +148,11 @@ def clean_corpus(source: str, out_dir: str) -> dict:
     from ..io import docs_path
     from .dedup import _npart
 
+    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+        raise ValueError(
+            f"output dir {out_dir} already has parquet files — stale "
+            "output would be counted (and later read) as survivors"
+        )
     ids = surviving_ids(source)
     full = read_parquet_clean(docs_path(source))
     ids = ids.materialize()  # small surviving-id set; count guards emptiness

@@ -1274,9 +1274,9 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 def profile_table(sf_dir: str):
     """(col, n_rows, n_null, n_distinct) over ``documents``. Nulls are
     excluded from the distinct count (SQL COUNT(DISTINCT) semantics)."""
-    import hashlib as _hl
-
     from ray.data.aggregate import Count, Sum
+
+    from .dedup import _hash60
 
     ds = _read(sf_dir, "documents", columns=_PROFILE_COLS)
 
@@ -1295,17 +1295,13 @@ def profile_table(sf_dir: str):
         )
 
     def distinct_partial(t: pa.Table) -> pa.Table:
+        # the hash value never reaches the oracle (only the distinct
+        # COUNT does), so the shared _hash60 kernel is safe here and
+        # gives the vectorized FAST_CONTENT_HASH path on text bodies
         cols, hashes = [], []
         for c in _PROFILE_COLS:
-            arr = t[c].combine_chunks()
-            vals = pc.cast(arr.drop_null(), pa.string()).to_numpy(zero_copy_only=False)
-            h = np.unique(
-                np.fromiter(
-                    (int(_hl.md5(v.encode()).hexdigest()[:15], 16) for v in vals),
-                    dtype=np.int64,
-                    count=len(vals),
-                )
-            )
+            arr = pc.cast(t[c].combine_chunks().drop_null(), pa.string())
+            h = np.unique(_hash60(arr)) if len(arr) else np.empty(0, np.int64)
             cols.append(np.full(len(h), c, dtype=object))
             hashes.append(h)
         return pa.table(
@@ -1329,7 +1325,11 @@ def profile_table(sf_dir: str):
         .aggregate(Count(alias_name="n_distinct"))
         .to_pandas()
     )
-    merged = counts.merge(distinct, on="col")  # |columns| rows — driver-safe
+    # LEFT merge: an all-null column emits zero (col, vhash) rows, so
+    # an inner merge would silently drop it — the oracle (and any data-
+    # quality reader) expects the row present with n_distinct = 0
+    merged = counts.merge(distinct, on="col", how="left")  # |columns| rows
+    merged["n_distinct"] = merged["n_distinct"].fillna(0)
     merged = merged.sort_values("col").reset_index(drop=True)
     return pa.table(
         {

@@ -605,7 +605,9 @@ def unigram_logprob(sf_dir: str):
                  ("lp_micro", pa.int64()), ("lp_mean_micro", pa.int64())]
             )
         )
-    np_ = join_np(tf_rows.count(), _join_npart())
+    # the vocabulary (unigram) is the smaller join side — a template
+    # corpus can put 50k tf rows over a 50-word vocab
+    np_ = join_np(unigram.count(), _join_npart())
 
     def contrib(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy().astype(np.float64)
@@ -680,7 +682,10 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
                        ("tf", pa.int64()), ("tfidf_micro", pa.int64()),
                        ("rank", pa.int64())])
         )
-    df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+    # df_tbl (one row per DISTINCT term) is the smaller join side and
+    # sizes the join — small-vocab corpora would otherwise leave
+    # df-less partitions and crash Ray 2.49's hash join
+    df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df")).materialize()
     n_docs = tf_rows.groupby("doc_id").aggregate(Count(alias_name="c")).count()
     n_part = _join_npart() * 4
 
@@ -723,7 +728,8 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
         )
 
     return (
-        tf_rows.join(df_tbl, join_type="inner", num_partitions=join_np(n_tf, _join_npart()), on=("term",))
+        tf_rows.join(df_tbl, join_type="inner",
+                     num_partitions=join_np(df_tbl.count(), _join_npart()), on=("term",))
         .map_batches(score, batch_format="pyarrow")
         .groupby("part")
         .map_groups(topk_part, batch_format="pyarrow")
@@ -837,7 +843,9 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     u2 = ucnt.map_batches(
         lambda t: pa.table({"w2_": t["term"], "c2": t["uc"]}), batch_format="pyarrow"
     )
-    np_ = join_np(n_bcnt, _join_npart())
+    # the unigram vocabulary can be the smaller side (few distinct
+    # words, many surviving bigrams) — size the join by the min
+    np_ = join_np(min(n_bcnt, ucnt.count()), _join_npart())
     joined = bcnt.join(
         u1, join_type="inner", num_partitions=np_, on=("w1",), right_on=("w1_",)
     ).join(

@@ -1,8 +1,12 @@
 """Join-family ops must not crash on corpora that make intermediate
-datasets empty: a token-free corpus (null/empty/punctuation texts) and
-a clean corpus with no duplicates (empty candidate-pair sets). Ray
-2.49's hash-shuffle join loses block schemas in these regimes —
-io.safe_join guards every call site."""
+datasets empty or tiny: a token-free corpus (null/empty/punctuation
+texts), a clean corpus with no duplicates (empty candidate-pair sets),
+a dup-heavy corpus (many pairs over few docs — the SIZE/label side of
+the verify joins is the small one), and a small-vocab template corpus
+(many tf rows over few distinct terms). Ray 2.49's hash-shuffle join
+crashes when a partition receives zero blocks from one side —
+io.empty_dataset + io.join_np (sized by the SMALLER side) guard every
+call site."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -60,3 +64,28 @@ def test_clean_corpus_no_duplicates(ray_session, tmp_path, op):
         assert n == 0  # genuinely no near-dup pairs
     if op is text_ops.unigram_logprob:
         assert n == 50  # every doc scored
+
+
+@pytest.mark.parametrize("op", OPS, ids=lambda f: f.__name__)
+def test_dup_heavy_small_vocab_corpus(ray_session, tmp_path, op):
+    """The small-but-nonempty regime: 60 near-identical docs over a
+    tiny vocabulary. The candidate-pair table (~1770 rows) outnumbers
+    the per-doc sizes/labels table (60 rows) and the tf table
+    outnumbers the distinct-term table — joins sized by the BIG side
+    would leave small-side-empty partitions and crash Ray's hash
+    join. Also pins correctness: the clone cluster must come back."""
+    ids = list(range(60))
+    base = " ".join(f"common{j}" for j in range(12))
+    texts = [base + f" tail{i % 4}" for i in ids]
+    _write(tmp_path, ids, texts)
+    res = op(str(tmp_path))
+    n = res.num_rows if isinstance(res, pa.Table) else res.count()
+    if op is dedup.dedup_ngram_jaccard:
+        assert n >= 60 * 59 // 4  # dense near-dup pair set survives
+    if op is dedup.dedup_clusters:
+        df = res.to_pandas()
+        assert df["cluster_id"].nunique() <= 4  # ≤ one cluster per tail
+    if op is text_ops.doc_keywords:
+        assert n == 60 * 3  # top-3 keywords for every doc
+    if op is text_ops.unigram_logprob:
+        assert n == 60
