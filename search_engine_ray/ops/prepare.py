@@ -415,6 +415,12 @@ SQL_SCRUB_PII = _scrub_sql()
 _MIX_UP = ("src0", "src1", "src2", "src3")  # upweighted sources
 _MIX_HI_PPM = 150_000  # 15% of the mixture each
 _MIX_LO_PPM = 25_000   # remaining sources share the rest
+# ceiling on the per-source repeat factor (64 epochs): a tiny source
+# with a large target share would otherwise get an unbounded factor —
+# e.g. 10 tokens of a 1e9-token corpus at 15% -> 15,000,000x — and one
+# emit batch would materialize millions of rows per doc. Standard
+# practice in DoReMi-style epoching; mirrored with LEAST() in the SQL.
+_MIX_CAP_PPM = 64_000_000
 
 
 def mixture_epochs(sf_dir: str):
@@ -435,7 +441,10 @@ def mixture_epochs(sf_dir: str):
         text = pc.fill_null(t["text"].combine_chunks(), "")
         return pa.table(
             {
-                "source": t["source"],
+                # null source -> '' on BOTH sides (the SQL coalesces):
+                # a raw null would crash the sort-based groupby here and
+                # be silently dropped by the oracle's USING join
+                "source": pc.fill_null(t["source"].combine_chunks(), ""),
                 "n_tokens": pc.count_substring_regex(text, _BPE_PATTERN).cast(pa.int64()),
             }
         )
@@ -452,14 +461,19 @@ def mixture_epochs(sf_dir: str):
     )
     all_tokens = int(src["src_tokens"].sum())
     fac_ppm = {
-        s: ((_MIX_HI_PPM if s in _MIX_UP else _MIX_LO_PPM) * all_tokens) // int(v)
+        s: min(
+            ((_MIX_HI_PPM if s in _MIX_UP else _MIX_LO_PPM) * all_tokens) // int(v),
+            _MIX_CAP_PPM,
+        )
         for s, v in zip(src["source"], src["src_tokens"])
         if int(v) > 0
     }  # exact Python-int arithmetic; tiny, captured by value in emit
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        srcs = t["source"].to_numpy(zero_copy_only=False)
+        srcs = pc.fill_null(t["source"].combine_chunks(), "").to_numpy(
+            zero_copy_only=False
+        )
         fac = np.array([fac_ppm.get(s, -1) for s in srcs], dtype=np.int64)
         base = np.where(fac >= 0, fac // 1_000_000, 0)
         rem = np.where(fac >= 0, fac % 1_000_000, 0)
@@ -497,7 +511,7 @@ def _mixture_sql() -> str:
     hi = ", ".join(f"'{s}'" for s in _MIX_UP)
     return f"""
 WITH toks AS (
-    SELECT source,
+    SELECT coalesce(source, '') AS source,
            CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_tokens
     FROM documents
 ),
@@ -506,9 +520,10 @@ src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
 grand AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM toks),
 fac AS (
     SELECT source,
-           (CASE WHEN source IN ({hi}) THEN {_MIX_HI_PPM}
-                 ELSE {_MIX_LO_PPM} END
-            * (SELECT all_tokens FROM grand)) // src_tokens AS fac_ppm
+           LEAST((CASE WHEN source IN ({hi}) THEN {_MIX_HI_PPM}
+                       ELSE {_MIX_LO_PPM} END
+                  * (SELECT all_tokens FROM grand)) // src_tokens,
+                 {_MIX_CAP_PPM}) AS fac_ppm
     FROM src WHERE src_tokens > 0
 ),
 copies AS (
@@ -517,7 +532,8 @@ copies AS (
            + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                        % 1000000 < fac_ppm % 1000000
                   THEN 1 ELSE 0 END AS n_copies
-    FROM documents d JOIN fac USING (source)
+    FROM (SELECT doc_id, coalesce(source, '') AS source FROM documents) d
+    JOIN fac USING (source)
 )
 SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx
 FROM copies, UNNEST(range(CAST(n_copies AS BIGINT))) u(i)

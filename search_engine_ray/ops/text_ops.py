@@ -775,24 +775,30 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     from ray.data.aggregate import Sum
 
     def bigram_partial(t: pa.Table) -> pa.Table:
+        # tokens stay variable-width Arrow end-to-end; the earlier
+        # numpy np.char formulation widened EVERY bigram slot to the
+        # batch's longest token (one unbroken 10k-char token -> multi-GB
+        # fixed-width allocations), so the per-batch combine is a
+        # pyarrow group_by instead
         cfg = IndexConfig(stemming=False)
-        doc_idx, tok, _pos, _lens, _dl = split_tokens(t["text"].combine_chunks(), cfg)
+        doc_idx, tok, _pos, _lens, _dl = split_tokens_arrow(
+            t["text"].combine_chunks(), cfg
+        )
         if len(tok) < 2:
             return pa.table({"w1": pa.array([], pa.string()),
                              "w2": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
-        adj = doc_idx[:-1] == doc_idx[1:]
-        w1, w2 = tok[:-1][adj], tok[1:][adj]
-        # space separator is unambiguous: tokens match [0-9a-z]+ only
-        # (numpy fixed-width strings treat \x00 as padding, not data)
-        joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
-        uniq, counts = np.unique(joined, return_counts=True)
-        split = np.char.partition(uniq, " ")
+        adj = pa.array(doc_idx[:-1] == doc_idx[1:])
+        pairs = pa.table(
+            {"w1": tok.slice(0, len(tok) - 1).filter(adj),
+             "w2": tok.slice(1).filter(adj)}
+        )
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
         return pa.table(
             {
-                "w1": pa.array(split[:, 0], pa.string()),
-                "w2": pa.array(split[:, 2], pa.string()),
-                "c": pa.array(counts, pa.int64()),
+                "w1": g["w1"],
+                "w2": g["w2"],
+                "c": g["count_all"].cast(pa.int64()),
             }
         )
 
@@ -807,9 +813,9 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
         )
         .materialize()  # feeds B AND the score joins
     )
+    tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds ucnt AND n_docs
     ucnt = (
-        _doc_term_tf(sf_dir)
-        .groupby("term")
+        tf_rows.groupby("term")
         .aggregate(Sum("tf", alias_name="uc"))
         .materialize()  # consumed twice (w1 and w2 joins) AND for T
     )
@@ -824,14 +830,14 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     if n_bcnt == 0:  # every bigram below the min-count floor
         return ray.data.from_arrow(_empty)
     # B counts ALL bigrams, not just the >= _PMI_MIN survivors: per-doc
-    # bigram count is doclen-1, so B = T - n_nonempty_docs
+    # bigram count is doclen-1, so B = T - n_nonempty_docs. tf_rows
+    # uses the identical token definition (split_tokens, stemming
+    # off, no skip filter), so its distinct doc_id count IS the
+    # nonempty-doc count — no third read-and-tokenize pass.
+    from ray.data.aggregate import Count
+
     n_docs = int(
-        docs.map_batches(
-            lambda t: pa.table({"n": pa.array([int(np.count_nonzero(
-                split_tokens(t["text"].combine_chunks(), IndexConfig(stemming=False))[4]
-            ))], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum(on="n")
+        tf_rows.groupby("doc_id").aggregate(Count(alias_name="_c")).count()
     )
     B = T - n_docs
     if B <= 0:  # no adjacent pairs anywhere (all docs are 1 token)

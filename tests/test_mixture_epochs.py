@@ -69,3 +69,37 @@ def test_mixture_epochs_copy_counts(ray_session, tmp_path):
     up_copies = len(out[out.source.isin(_MIX_UP)])
     lo_copies = len(out[~out.source.isin(_MIX_UP)])
     assert up_copies > lo_copies
+
+
+def test_mixture_epochs_null_source_and_cap(ray_session, tmp_path):
+    """A null source must not crash the groupby (it is coalesced to ''
+    on both twins, matching english_filter's convention), and a tiny
+    upweighted source's repeat factor is clamped to _MIX_CAP_PPM
+    instead of exploding into a million-row emit batch."""
+    from search_engine_ray.ops.prepare import _MIX_CAP_PPM
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"w{j}" for j in range(500)),  # bulk corpus
+                    "tiny src0 doc",                        # upweighted, tiny
+                    "null source doc",
+                ],
+                pa.string(),
+            ),
+            "source": pa.array(["src4", "src0", None], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = mixture_epochs(str(tmp_path)).to_pandas()
+
+    # null source rides through as '' with its own (low-weight) factor
+    assert set(out["source"]) <= {"src0", "src4", ""}
+    # doc 1's uncapped factor would be 150000 * ~506 // 3 ppm
+    # (~25 epochs here; at corpus scale unbounded) — assert the cap
+    # binds the copy count exactly when the uncapped factor exceeds it
+    per_doc = out.groupby("doc_id").size()
+    assert per_doc.get(1, 0) <= _MIX_CAP_PPM // 1_000_000 + 1
