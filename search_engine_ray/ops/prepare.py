@@ -29,7 +29,7 @@ from ..io import clean_schema, docs_path, empty_dataset, join_np, read_parquet_c
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
-from .dedup import _SQL_SHINGLES, dedup_minhash_lsh
+from .dedup import _MD5_SQL, _SQL_SHINGLES, dedup_minhash_lsh
 
 _CFG = IndexConfig(stemming=False)
 
@@ -201,7 +201,7 @@ quality AS (
                           x -> x <> '')) >= {_MIN_TOKENS}
 ),
 exact AS (SELECT MIN(doc_id) AS doc_id FROM quality
-          GROUP BY ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT)
+          GROUP BY {_MD5_SQL.format("coalesce(text, '')")})
 SELECT doc_id FROM exact
 WHERE doc_id NOT IN (SELECT doc_b FROM neardups)
 ORDER BY doc_id
@@ -529,7 +529,7 @@ fac AS (
 copies AS (
     SELECT d.doc_id, d.source,
            fac_ppm // 1000000
-           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           + CASE WHEN {_MD5_SQL.format("CAST(d.doc_id AS VARCHAR)")}
                        % 1000000 < fac_ppm % 1000000
                   THEN 1 ELSE 0 END AS n_copies
     FROM (SELECT doc_id, coalesce(source, '') AS source FROM documents) d

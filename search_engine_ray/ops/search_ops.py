@@ -29,6 +29,7 @@ import ray.data
 from ..io import read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS
+from .dedup import _MD5_SQL
 from ..corpus import (
     TRANSCRIPTS_FROM_DOCUMENTS_SQL,
     transcripts_from_documents_batch,
@@ -735,7 +736,7 @@ ctx AS (
     FROM tr0
 )
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-       ('0x' || substr(md5(context), 1, 15))::BIGINT AS context_hash,
+       {_MD5_SQL.format("context")} AS context_hash,
        CAST(length(context) AS BIGINT) AS context_chars
 FROM ctx
 """
@@ -796,7 +797,7 @@ agg AS (
     FROM tr0 GROUP BY conv_id
 ),
 h AS (
-    SELECT conv_id, ('0x' || substr(md5(full_text), 1, 15))::BIGINT AS h
+    SELECT conv_id, {_MD5_SQL.format("full_text")} AS h
     FROM agg
 )
 SELECT min(conv_id) AS conv_id, count(*) AS n_dups FROM h GROUP BY h

@@ -18,6 +18,7 @@ from ..io import empty_dataset, join_np, read_parquet_clean, small_input_blocks
 
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
 from ..functions.analysis import split_tokens, split_tokens_arrow
+from .dedup import _MD5_SQL
 
 _SKIP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(SKIP_WORDS))
 _STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
@@ -1081,7 +1082,7 @@ def stratified_sample(sf_dir: str):
 
 SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+WHERE {_MD5_SQL.format("CAST(doc_id AS VARCHAR)")} % 100
       < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES["en"]} ELSE {_SAMPLE_DEFAULT} END
 """
 
