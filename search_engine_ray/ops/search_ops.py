@@ -23,6 +23,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -751,41 +752,66 @@ def conv_dedup(sf_dir: str):
     per identical stream survives, with the group size alongside. The
     transcript-payload twin of ``dedup.dedup_exact`` — whole-session
     re-logs (retried agent runs, duplicated uploads) dedupe here, not
-    at turn level. One conv_id shuffle + one bounded hash groupby."""
-    import hashlib as _hl
+    at turn level.
+
+    Shape: conversations are hash-bucketed so each map_groups call
+    processes a PARTITION of many conversations with vectorized
+    kernels (lexsort + list-offset binary_join + the shared _hash60
+    content hash) — not one Python task per conversation — and the
+    survivor pick is a native Min/Count groupby, not a per-hash-group
+    Python callback. Same doc_keywords ``groupby(part)`` pattern."""
+    from ray.data.aggregate import Count, Min
+
+    from .dedup import _hash60, _npart
 
     tdir = transcripts_dir(sf_dir)
+    n_buckets = _npart() * 4
 
-    def conv_hash(g: pa.Table) -> pa.Table:
-        idx = g["turn_idx"].to_numpy()
-        order = np.argsort(idx, kind="mergesort")
-        texts = g["text"].to_pylist()
-        full = " ".join((texts[i] or "") for i in order)
-        return pa.table(
-            {
-                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
-                "h": pa.array(
-                    [int(_hl.md5(full.encode()).hexdigest()[:15], 16)], pa.int64()
-                ),
-            }
+    def add_part(t: pa.Table) -> pa.Table:
+        # run-internal partition key only (never compared to the SQL
+        # twin), so the vectorized polars hash is safe here
+        import polars as pl
+
+        h = pl.from_arrow(t["conv_id"].combine_chunks()).hash(seed=0).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % n_buckets).astype(np.int64), pa.int64())
         )
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        convs = sorted(g["conv_id"].to_pylist())
+    def hash_bucket(g: pa.Table) -> pa.Table:
+        conv = g["conv_id"].to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        order = np.lexsort((g["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        texts = pc.fill_null(g["text"].combine_chunks(), "").take(
+            pa.array(order, pa.int64())
+        )
+        starts = np.concatenate(
+            [[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)]]
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(starts, pa.int32()), texts), " "
+        )
         return pa.table(
             {
-                "conv_id": pa.array([convs[0]], pa.string()),
-                "n_dups": pa.array([len(convs)], pa.int64()),
+                "conv_id": pa.array(conv[starts[:-1]], pa.string()),
+                "h": pa.array(_hash60(joined), pa.int64()),
             }
         )
 
     return (
         read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
                            override_num_blocks=small_input_blocks(tdir))
-        .groupby("conv_id")
-        .map_groups(conv_hash, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hash_bucket, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .aggregate(Min("conv_id", alias_name="conv_id"),
+                   Count(alias_name="n_dups"))
+        .map_batches(
+            lambda t: t.select(["conv_id", "n_dups"]), batch_format="pyarrow"
+        )
     )
 
 
