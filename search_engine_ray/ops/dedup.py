@@ -1166,6 +1166,7 @@ RAY_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dup_span_fraction": dup_span_fraction,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -1177,12 +1178,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
-}
-
-# past the driver's 50-entry window; tools_verify still checks them
-RAY_QUERIES_AUX = {
-    "dedup_incremental": dedup_incremental,
-}
-ORACLE_SQL_AUX = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }
+
+
