@@ -152,7 +152,9 @@ def cmd_stats(a) -> int:
     out["config"] = meta.get("config")
     try:
         out["docs"] = read_manifest(os.path.join(a.index, "docs"))
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers a half-written/corrupt _MANIFEST.json —
+        # stats is the post-crash inspection tool, it must keep going
         out["docs"] = None
     parts = []
     for d in sorted(glob_.glob(os.path.join(a.index, "segments", "part=*"))):
@@ -164,7 +166,7 @@ def cmd_stats(a) -> int:
         }
         try:
             entry["manifest"] = read_manifest(d)
-        except OSError:
+        except (OSError, ValueError):
             entry["manifest"] = None
         parts.append(entry)
     out["partitions"] = parts

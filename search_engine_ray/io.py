@@ -94,6 +94,15 @@ def small_input_blocks(path) -> int | None:
     return int(min(2 * cpus, max(2, cpus // 4, want)))
 
 
+def read_parquet_light(path, columns=None) -> "ray.data.Dataset":
+    """Pruned read with the size-aware block count — the ONE place the
+    light-work read policy lives (see small_input_blocks); op modules
+    alias this instead of re-inlining the incantation."""
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
+
+
 def empty_dataset(schema: pa.Schema) -> "ray.data.Dataset":
     """A one-empty-block dataset with an explicit schema — the typed
     empty result ops return when a guard detects there is nothing to

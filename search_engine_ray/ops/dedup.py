@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import docs_path, empty_dataset, join_np, read_parquet_clean, small_input_blocks
+from ..io import docs_path, empty_dataset, join_np, read_parquet_light
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -35,13 +35,7 @@ _CFG = IndexConfig(stemming=False)
 
 _MD5_SQL = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 
-
-
-def _read_light(path, columns):
-    """Light-work read: size-aware block count (see io.small_input_blocks)."""
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=small_input_blocks(path)
-    )
+_read_light = read_parquet_light
 
 def _npart() -> int:
     """Hash-join partition count sized to the cluster: each partition
@@ -910,14 +904,19 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
     ``emb_lsh_pairs``)."""
     import pyarrow.parquet as pq
 
-    first = next(
-        pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
-            batch_size=1, columns=["embedding"]
-        ),
-        None,
-    )
-    if first is None or not first["embedding"][0].is_valid:
-        # empty table / null first embedding: no pairs, but keep the
+    # dim comes from the first VALID embedding — an early null row must
+    # not blank the whole op (real duplicates elsewhere in the corpus
+    # would silently survive dedup while the oracle still reports them)
+    dim = None
+    for batch in pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=1024, columns=["embedding"]
+    ):
+        valid = batch["embedding"].drop_null()
+        if len(valid):
+            dim = len(valid[0])
+            break
+    if dim is None:
+        # empty table / all embeddings null: no pairs, but keep the
         # output schema so downstream unions/writes still line up
         return ray.data.from_arrow(
             pa.table(
@@ -928,7 +927,6 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
                 }
             )
         )
-    dim = len(first["embedding"][0])
     # the oracle inlines _planes_sql(·, _EMB_DIM) as constants, so a
     # corpus with a different dim must fail loudly here rather than
     # bucket with a plane matrix the SQL side doesn't share
@@ -937,7 +935,15 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
             f"gate entry is pinned to {_EMB_DIM}-dim embeddings (got {dim}); "
             "use emb_lsh_pairs(dim=...) for other widths"
         )
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # null embeddings are dropped on BOTH twins (the SQL's e CTE
+    # filters them too): they would land every null row in the sig-0
+    # bucket — inflating its size toward the cap — and an interior null
+    # would break the zero-copy flatten/reshape decode
+    ds = _read_light(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["embedding"])), batch_format="pyarrow"
+    )
     return emb_lsh_pairs(ds, threshold, _EMB_BANDS, _EMB_ROWS, dim=dim)
 
 
@@ -948,7 +954,7 @@ def _dedup_embedding_lsh_sql() -> str:
 WITH {_planes_sql(_EMB_BANDS * _EMB_ROWS, _EMB_DIM)},
 e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 sigs AS (
     SELECT vec_id, CAST(pl.i // {_EMB_ROWS} AS INTEGER) AS band,

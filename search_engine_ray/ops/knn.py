@@ -20,18 +20,14 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import read_parquet_clean, read_parquet_light
 
 _N_QUERIES = 5
 _TOP_K = 5
 
 
 
-def _read_light(path, columns):
-    """Light-work read: size-aware block count (see io.small_input_blocks)."""
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=small_input_blocks(path)
-    )
+_read_light = read_parquet_light
 
 def _emb_matrix(col, dim: int = 0) -> np.ndarray:
     """Decode a ``list<float>`` Arrow column to an (n, dim) float64

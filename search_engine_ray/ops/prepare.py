@@ -168,11 +168,13 @@ def clean_corpus(source: str, out_dir: str) -> dict:
     kept.write_parquet(out_dir)
     files = _glob.glob(os.path.join(out_dir, "*.parquet"))
     n_out = sum(_pq.read_metadata(f).num_rows for f in files)
-    n_in = sum(
-        _pq.read_metadata(f).num_rows
-        for f in (_glob.glob(os.path.join(docs_path(source), "*.parquet"))
-                  or [docs_path(source)])
-    )
+    # footer-only count that handles every layout the read path does
+    # (single file, flat dir, nested/hive shards) — a non-recursive
+    # glob would crash read_metadata on a directory after all the
+    # output was already written
+    import pyarrow.dataset as _pads
+
+    n_in = _pads.dataset(docs_path(source), format="parquet").count_rows()
     return {"input_rows": int(n_in), "kept_rows": int(n_out),
             "out_files": len(files), "out": out_dir}
 

@@ -1034,15 +1034,18 @@ def events_dau(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    return (
+    combined = (
         ds.map_batches(day_user, batch_format="pyarrow")
         .groupby(["day", "user_id"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
         .map_batches(count_by_day, batch_format="pyarrow")
-        .repartition(4)
-        .groupby("day")
-        .aggregate(Sum("n_part", alias_name="dau"))
+    )
+    # day keys are bounded, so the shared coalesce policy applies —
+    # not a hardcoded repartition(4) that would pin the final
+    # aggregation to 4 blocks on any cluster size
+    return _coalesced_groupby(combined, ["day"]).aggregate(
+        Sum("n_part", alias_name="dau")
     )
 
 

@@ -208,7 +208,40 @@ class DocShardedSearcher:
             index_dir, "serving_layout", uuid.uuid4().hex[:12]
         )
         self._gen = 0
+        self._sweep_stale_layouts()
         self._start()
+
+    _STALE_LAYOUT_S = 24 * 3600
+
+    def _sweep_stale_layouts(self) -> None:
+        """Remove sibling layout dirs whose newest file is older than a
+        day: a SIGKILL'd serve process / OOM'd bench run never reaches
+        close(), so without a sweep every unclean shutdown leaks a
+        uuid dir inside the otherwise content-addressed index tree
+        forever (and into every index copy/backup). A live searcher
+        rewrites its layouts on every refresh, so age is a safe
+        liveness proxy at this horizon."""
+        import shutil
+        import time
+
+        root = os.path.dirname(self._layout_dir)
+        if not os.path.isdir(root):
+            return
+        cutoff = time.time() - self._STALE_LAYOUT_S
+        for name in os.listdir(root):
+            d = os.path.join(root, name)
+            if d == self._layout_dir or not os.path.isdir(d):
+                continue
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(dp, f))
+                     for dp, _dn, fns in os.walk(d) for f in fns),
+                    default=os.path.getmtime(d),
+                )
+                if newest < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue  # concurrent sweep/teardown; leave it
 
     @staticmethod
     def _layout(index_dir: str, n_shards: int):

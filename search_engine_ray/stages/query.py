@@ -463,7 +463,15 @@ class LocalIndex:
     def explain(self, query: str, mode: str = "AND") -> dict:
         """Query debugging surface: the analyzer's term stream, per-term
         df / segment count / block-max upper bound, and which pruning
-        strategy the given mode would use. Read-only; no scoring."""
+        strategy the given mode would use. Read-only; no scoring.
+
+        Caveat on doc-sharded deployments: the volume gate here uses
+        dictionary df (corpus-wide when a global dictionary is
+        installed), which upper-bounds any one shard's decoded posting
+        volume — so a label of "dense-accumulate"/"maxscore" means "at
+        most this"; an individual shard whose local volume misses the
+        DENSE_* gate still falls back to sorted-merge at decode time
+        (same shared constants, evaluated on actual decoded size)."""
         terms, stopword_only = analyze_query(query, self.cfg)
         out_terms = []
         for t in terms:
@@ -642,7 +650,7 @@ def score_decoded_terms(
         else:
             ids = np.concatenate(all_ids)
             sc = np.concatenate(all_scores)
-            if N <= max(1 << 24, 4 * ids.size):
+            if N <= max(DENSE_MIN_N, DENSE_VOLUME_FACTOR * ids.size):
                 # dense accumulation (bincount is fast C); per-query
                 # memory is O(N) so this is the small-shard path — the
                 # sorted-merge path below handles shards too large for

@@ -336,3 +336,50 @@ def test_emb_matrix_empty_block_shapes():
     q = np.ones((5, 64))
     v = _emb_matrix(empty_list, 64)
     assert (q @ v.T).shape == (5, 0)
+
+
+def test_emb_lsh_null_embeddings_do_not_blank_pairs(ray_session, tmp_path):
+    """Null embedding rows — including row 0 — must neither
+    short-circuit dedup_embedding_lsh to zero pairs (real duplicates
+    elsewhere would silently survive) nor break the zero-copy
+    flatten/reshape decode; nulls drop on both twins and the valid
+    near-dup pair is still found. All-null input returns the typed
+    empty table."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    vecs = [
+        None,
+        base + rng.standard_normal(64) * 1e-3,
+        None,
+        base + rng.standard_normal(64) * 1e-3,
+        rng.standard_normal(64) * 2,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [None if v is None else [float(x) for x in v] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = dedup.dedup_embedding_lsh(str(tmp_path), threshold=0.99).to_pandas()
+    assert (1, 3) in {tuple(p) for p in got[["vec_a", "vec_b"]].itertuples(index=False)}
+
+    allnull = tmp_path / "allnull"
+    allnull.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array([None, None], pa.list_(pa.float32())),
+            }
+        ),
+        str(allnull / "embeddings.parquet"),
+    )
+    empty = dedup.dedup_embedding_lsh(str(allnull))
+    assert empty.count() == 0
+    assert empty.schema().names == ["vec_a", "vec_b", "cosine"]
