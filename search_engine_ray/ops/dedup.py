@@ -29,7 +29,7 @@ from ..io import docs_path, empty_dataset, join_np, read_parquet_light
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
-from .knn import _emb_matrix
+from .knn import _emb_matrix, _read_emb
 
 _CFG = IndexConfig(stemming=False)
 
@@ -670,14 +670,14 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
 SQL_DEDUP_EMBEDDING = """
 WITH n AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
@@ -935,15 +935,10 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
             f"gate entry is pinned to {_EMB_DIM}-dim embeddings (got {dim}); "
             "use emb_lsh_pairs(dim=...) for other widths"
         )
-    # null embeddings are dropped on BOTH twins (the SQL's e CTE
-    # filters them too): they would land every null row in the sig-0
-    # bucket — inflating its size toward the cap — and an interior null
-    # would break the zero-copy flatten/reshape decode
-    ds = _read_light(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(
-        lambda t: t.filter(pc.is_valid(t["embedding"])), batch_format="pyarrow"
-    )
+    # null embeddings are dropped on BOTH twins (see knn._read_emb):
+    # they would land every null row in the sig-0 bucket — inflating
+    # its size toward the cap — and break the zero-copy decode
+    ds = _read_emb(sf_dir)
     return emb_lsh_pairs(ds, threshold, _EMB_BANDS, _EMB_ROWS, dim=dim)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -28,6 +29,19 @@ _TOP_K = 5
 
 
 _read_light = read_parquet_light
+
+
+def _read_emb(sf_dir: str):
+    """The (vec_id, embedding) read every vector op starts from, with
+    null embeddings dropped on BOTH twins (each SQL twin filters
+    ``embedding IS NOT NULL``): a null row would break the zero-copy
+    flatten/reshape decode in _emb_matrix, and vector semantics for a
+    missing vector are "absent", not "zero"."""
+    return _read_light(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["embedding"])), batch_format="pyarrow"
+    )
 
 def _emb_matrix(col, dim: int = 0) -> np.ndarray:
     """Decode a ``list<float>`` Arrow column to an (n, dim) float64
@@ -102,7 +116,7 @@ def knn_cosine(sf_dir: str):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     scored = ds.map_batches(score, batch_format="pyarrow")
 
     # per-batch partial top-k would go here at scale; at sf sizes a
@@ -126,7 +140,8 @@ def knn_cosine(sf_dir: str):
 
 SQL_KNN_COSINE = f"""
 WITH q AS (
-    SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
 ),
 s AS (
     -- cast to DOUBLE[] so both the arithmetic and the output dtype
@@ -136,7 +151,7 @@ s AS (
                list_transform(q.qe, x -> CAST(x AS DOUBLE)),
                list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS sim
     FROM q CROSS JOIN embeddings e
-    WHERE e.vec_id <> q.qid
+    WHERE e.vec_id <> q.qid AND e.embedding IS NOT NULL
 ),
 r AS (
     SELECT qid, vec_id, sim,
@@ -221,7 +236,7 @@ def knn_lsh(sf_dir: str, n_planes: int = _N_PLANES):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     scored = ds.map_batches(bucket_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -230,7 +245,7 @@ SQL_KNN_LSH = f"""
 WITH {_planes_sql(_N_PLANES, _EMB_DIM)},
 e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 sig AS (
     SELECT vec_id,
@@ -308,7 +323,7 @@ def knn_lsh_multiprobe(sf_dir: str, n_planes: int = _N_PLANES):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     scored = ds.map_batches(probe_buckets, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -317,7 +332,7 @@ SQL_KNN_LSH_MULTIPROBE = f"""
 WITH {_planes_sql(_N_PLANES, _EMB_DIM)},
 e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 sig AS (
     SELECT vec_id,
@@ -416,7 +431,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     scored = ds.map_batches(probe_score, batch_format="pyarrow")
     return _topk_per_qid(scored)
 
@@ -424,7 +439,7 @@ def knn_ivf(sf_dir: str, n_lists: int = 8, n_probe: int = 2):
 SQL_KNN_IVF = f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 cents AS (
     SELECT vec_id AS cid, e AS ce FROM e
@@ -551,7 +566,7 @@ def embedding_quantize(sf_dir: str):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     return ds.map_batches(quant, batch_format="pyarrow")
 
 
@@ -585,7 +600,7 @@ def dequantize_codes(codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) ->
 SQL_EMBEDDING_QUANTIZE = """
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 mm AS (
     SELECT vec_id, e, list_min(e) AS mn,
@@ -610,14 +625,14 @@ def embedding_norms(sf_dir: str):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     return ds.map_batches(norms, batch_format="pyarrow")
 
 
 SQL_EMBEDDING_NORMS = """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
@@ -667,7 +682,7 @@ def embedding_stats(sf_dir: str):
             }
         )
 
-    ds = _read_light(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_emb(sf_dir)
     return ds.map_batches(stats, batch_format="pyarrow")
 
 

@@ -369,6 +369,10 @@ def test_emb_lsh_null_embeddings_do_not_blank_pairs(ray_session, tmp_path):
     got = dedup.dedup_embedding_lsh(str(tmp_path), threshold=0.99).to_pandas()
     assert (1, 3) in {tuple(p) for p in got[["vec_a", "vec_b"]].itertuples(index=False)}
 
+    # the shared _read_emb drop applies to every vector op
+    stats = knn.embedding_stats(str(tmp_path)).to_pandas()
+    assert set(stats["vec_id"]) == {1, 3, 4}  # null rows absent, not zeroed
+
     allnull = tmp_path / "allnull"
     allnull.mkdir()
     pq.write_table(
