@@ -8,6 +8,8 @@ is Ray-Data-specific physical tuning.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, asdict
 
 # Reference constants (Indexer.java:33)
@@ -53,7 +55,14 @@ STOPWORD_PENALTY = 0.05
 # True = polars' vectorized xxhash64 (no per-string Python loop) for
 # production runs where SQL mirrorability is not needed; flips the
 # concrete hash values but not any operator's semantics.
-FAST_CONTENT_HASH = False
+#
+# Initialized from SERAY_FAST_HASH so it reaches Ray WORKERS: the UDFs
+# pickle by module reference, so each worker re-imports this module and
+# re-reads the env it inherited from the cluster launch — mutating the
+# module attribute on the driver after ray.init only affects
+# driver-local code. Export SERAY_FAST_HASH=1 before starting Ray for
+# a distributed fast-hash run.
+FAST_CONTENT_HASH = os.environ.get("SERAY_FAST_HASH", "") == "1"
 
 
 @dataclass(frozen=True)

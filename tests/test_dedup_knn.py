@@ -387,3 +387,40 @@ def test_emb_lsh_null_embeddings_do_not_blank_pairs(ray_session, tmp_path):
     empty = dedup.dedup_embedding_lsh(str(allnull))
     assert empty.count() == 0
     assert empty.schema().names == ["vec_a", "vec_b", "cosine"]
+
+
+def test_fast_hash_env_reaches_ray_workers(tmp_path):
+    """SERAY_FAST_HASH=1 must flip the content hash INSIDE Ray workers:
+    the batch UDFs pickle by module reference, so each worker re-imports
+    config and re-reads the env it inherited at cluster launch — a
+    driver-side `config.FAST_CONTENT_HASH = True` does NOT travel. The
+    production fast path only counts if it engages distributed."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+import pyarrow as pa
+import search_engine_ray.config as config
+from search_engine_ray.ops.dedup import hash_content_batch
+assert config.FAST_CONTENT_HASH, "env did not reach the driver import"
+t = pa.table({"doc_id": pa.array([0], pa.int64()),
+              "text": pa.array(["hello world"], pa.string())})
+local = int(hash_content_batch(t)["h"][0].as_py())
+remote = int(ray.data.from_arrow(t).map_batches(
+    hash_content_batch, batch_format="pyarrow").to_pandas()["h"][0])
+config.FAST_CONTENT_HASH = False
+md5 = int(hash_content_batch(t)["h"][0].as_py())
+print("OK" if (remote == local and remote != md5) else "MISMATCH", local, remote, md5)
+ray.shutdown()
+"""
+    env = dict(os.environ)
+    env["SERAY_FAST_HASH"] = "1"
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().startswith("OK"), (out.stdout, out.stderr[-1000:])
