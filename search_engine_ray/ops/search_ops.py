@@ -688,41 +688,77 @@ _CTX_TURNS = 2  # preceding turns included in a training example
 def conv_context_windows(sf_dir: str):
     """For every turn: the training-example context = the previous
     {_CTX_TURNS} turns of the same conversation + the turn itself,
-    joined with single spaces. Conversation-partitioned map_groups (one
-    hash shuffle on conv_id, per-group sorted windowing) — the
-    example-construction transform an SFT pipeline runs before
-    tokenization. Output carries the md5-60 hash and length of each
-    context so the gate compares exactly without shipping megabytes of
-    concatenated text."""
-    import hashlib as _hl
+    joined with single spaces — the example-construction transform an
+    SFT pipeline runs before tokenization. Output carries the md5-60
+    hash and length of each context so the gate compares exactly
+    without shipping megabytes of concatenated text.
+
+    Shape: conversations are hash-bucketed (conv_dedup's pattern) so
+    each map_groups call handles a whole PARTITION of conversations
+    with array kernels — windows materialize as a flat gather-index
+    into the sorted text array (<= (W+1)x duplication, W=_CTX_TURNS),
+    one list-offset binary_join builds every context string, and the
+    shared _hash60 kernel hashes them. No per-conversation Python task,
+    no per-turn Python join."""
+    from .dedup import _hash60, _npart
 
     tdir = transcripts_dir(sf_dir)
+    n_buckets = _npart() * 4
 
-    def windows(g: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t["conv_id"].combine_chunks()).hash(seed=0).to_numpy()
+        return t.append_column(
+            "part", pa.array((h % n_buckets).astype(np.int64), pa.int64())
+        )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        conv = g["conv_id"].to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int64()),
+                             "context_hash": pa.array([], pa.int64()),
+                             "context_chars": pa.array([], pa.int64())})
         idx = g["turn_idx"].to_numpy()
-        order = np.argsort(idx, kind="mergesort")
-        texts = g["text"].to_pylist()
-        texts = [texts[i] or "" for i in order]
-        conv = g["conv_id"][0].as_py()
-        out_hash, out_len = [], []
-        for i in range(len(texts)):
-            ctx = " ".join(texts[max(0, i - _CTX_TURNS): i + 1])
-            out_hash.append(int(_hl.md5(ctx.encode()).hexdigest()[:15], 16))
-            out_len.append(len(ctx))
+        order = np.lexsort((idx, conv))
+        conv, idx = conv[order], idx[order]
+        texts = pc.fill_null(g["text"].combine_chunks(), "").take(
+            pa.array(order, pa.int64())
+        )
+        n = len(conv)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1]
+        )
+        conv_start = starts.repeat(np.diff(np.concatenate([starts, [n]])))
+        pos = np.arange(n) - conv_start
+        lens = np.minimum(pos, _CTX_TURNS) + 1
+        # flat gather index: row i's window is rows [i-lens_i+1 .. i]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat = np.arange(offs[-1]) - offs[:-1].repeat(lens) + (
+            np.arange(n) - lens + 1
+        ).repeat(lens)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), texts.take(pa.array(flat, pa.int64()))
+            ),
+            " ",
+        )
         return pa.table(
             {
-                "conv_id": pa.array([conv] * len(texts), pa.string()),
-                "turn_idx": pa.array(idx[order].astype(np.int64), pa.int64()),
-                "context_hash": pa.array(out_hash, pa.int64()),
-                "context_chars": pa.array(out_len, pa.int64()),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(idx.astype(np.int64), pa.int64()),
+                "context_hash": pa.array(_hash60(joined), pa.int64()),
+                "context_chars": pc.utf8_length(joined).cast(pa.int64()),
             }
         )
 
     return (
         read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
                            override_num_blocks=small_input_blocks(tdir))
-        .groupby("conv_id")
-        .map_groups(windows, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(window_bucket, batch_format="pyarrow")
     )
 
 
