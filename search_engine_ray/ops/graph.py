@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import read_parquet_light
 
 from ..pipelines.pagerank import pagerank
 
@@ -26,10 +26,8 @@ _PRED = "l_orderkey % 5 = 0"
 
 
 def _edges(sf_dir: str) -> "ray.data.Dataset":
-    _p = f"{sf_dir}/lineitem.parquet"
-    ds = read_parquet_clean(
-        _p, columns=["l_orderkey", "l_partkey"],
-        override_num_blocks=small_input_blocks(_p),
+    ds = read_parquet_light(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
     def to_edges(t: pa.Table) -> pa.Table:

@@ -21,16 +21,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import read_parquet_light
 
 _FRAME = 1000   # bytes per fake "frame"
 _EVERY = 3      # sample every k-th frame
 
 
 def _payloads(sf_dir: str) -> "ray.data.Dataset":
-    _p = f"{sf_dir}/documents.parquet"
-    ds = read_parquet_clean(_p, columns=["doc_id", "text"],
-                            override_num_blocks=small_input_blocks(_p))
+    ds = read_parquet_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.table(
             {

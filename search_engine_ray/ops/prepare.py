@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import clean_schema, docs_path, empty_dataset, join_np, read_parquet_clean, small_input_blocks
+from ..io import clean_schema, docs_path, empty_dataset, join_np, read_parquet_clean, read_parquet_light
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -64,11 +64,7 @@ def surviving_ids(sf_dir: str):
 
     from ray.data.aggregate import Min
 
-    _p = docs_path(sf_dir)
-    ds = read_parquet_clean(
-        _p, columns=["doc_id", "lang", "text"],
-        override_num_blocks=small_input_blocks(_p),
-    )
+    ds = read_parquet_light(docs_path(sf_dir), columns=["doc_id", "lang", "text"])
     clean = (
         ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).drop_columns(["lang"]),
@@ -226,9 +222,7 @@ def decontaminate(sf_dir: str):
     from ray.data.aggregate import Count
     from .dedup import _shingle_batch, _npart
 
-    _p = docs_path(sf_dir)
-    ds = read_parquet_clean(_p, columns=["doc_id", "text"],
-                            override_num_blocks=small_input_blocks(_p))
+    ds = read_parquet_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()
@@ -376,10 +370,7 @@ def scrub_pii(sf_dir: str):
             }
         )
 
-    _p = docs_path(sf_dir)
-    return read_parquet_clean(
-        _p, columns=["doc_id", "text"], override_num_blocks=small_input_blocks(_p)
-    ).map_batches(scrub, batch_format="pyarrow")
+    return read_parquet_light(docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(scrub, batch_format="pyarrow")
 
 
 def _scrub_sql() -> str:
@@ -452,10 +443,7 @@ def mixture_epochs(sf_dir: str):
         )
 
     src = (
-        read_parquet_clean(
-            docs_path(sf_dir), columns=["source", "text"],
-            override_num_blocks=small_input_blocks(docs_path(sf_dir)),
-        )
+        read_parquet_light(docs_path(sf_dir), columns=["source", "text"])
         .map_batches(toks, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n_tokens", alias_name="src_tokens"))
@@ -500,10 +488,7 @@ def mixture_epochs(sf_dir: str):
             }
         )
 
-    return read_parquet_clean(
-        docs_path(sf_dir), columns=["doc_id", "source"],
-        override_num_blocks=small_input_blocks(docs_path(sf_dir)),
-    ).map_batches(emit, batch_format="pyarrow")
+    return read_parquet_light(docs_path(sf_dir), columns=["doc_id", "source"]).map_batches(emit, batch_format="pyarrow")
 
 
 def _mixture_sql() -> str:

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import read_parquet_light
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -28,9 +28,7 @@ def _read(sf_dir: str, table: str, columns=None):
     # ops are shuffle-bound — see io.small_input_blocks (results are
     # block-count-invariant: hash sampling, row-wise maps, groupbys)
     path = f"{sf_dir}/{table}.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=small_input_blocks(path)
-    )
+    return read_parquet_light(path, columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:

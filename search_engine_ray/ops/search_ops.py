@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean, small_input_blocks
+from ..io import read_parquet_clean, read_parquet_light
 
 from ..config import IndexConfig, SKIP_WORDS
 from .dedup import _MD5_SQL
@@ -633,6 +633,19 @@ FROM ranked WHERE rn <= {_STEM_K}
 # ---- conversation-level rollups (the transcript-domain grouped
 #      aggregate a training pipeline runs before per-conv sampling) ----
 
+def _conv_bucket_ids(col, n_buckets: int) -> np.ndarray:
+    """Bucket ids for a conv_id column — run-internal partition key
+    only (never compared to a SQL twin), so the vectorized polars hash
+    is safe. Shared by conv_dedup and conv_context_windows so their
+    partitioning can never drift apart."""
+    import polars as pl
+
+    h = pl.from_arrow(
+        col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    ).hash(seed=0).to_numpy()
+    return (h % n_buckets).astype(np.int64)
+
+
 def conv_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum, Min, Max
 
@@ -655,7 +668,7 @@ def conv_stats(sf_dir: str):
         )
 
     return (
-        read_parquet_clean(tdir, override_num_blocks=small_input_blocks(tdir))
+        read_parquet_light(tdir)
         .map_batches(pre, batch_format="pyarrow")
         .groupby("conv_id")
         .aggregate(
@@ -706,11 +719,8 @@ def conv_context_windows(sf_dir: str):
     n_buckets = _npart() * 4
 
     def add_part(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        h = pl.from_arrow(t["conv_id"].combine_chunks()).hash(seed=0).to_numpy()
         return t.append_column(
-            "part", pa.array((h % n_buckets).astype(np.int64), pa.int64())
+            "part", pa.array(_conv_bucket_ids(t["conv_id"], n_buckets), pa.int64())
         )
 
     def window_bucket(g: pa.Table) -> pa.Table:
@@ -723,9 +733,11 @@ def conv_context_windows(sf_dir: str):
         idx = g["turn_idx"].to_numpy()
         order = np.lexsort((idx, conv))
         conv, idx = conv[order], idx[order]
-        texts = pc.fill_null(g["text"].combine_chunks(), "").take(
-            pa.array(order, pa.int64())
-        )
+        # large_string/LargeList: the gathered window text is up to
+        # (W+1)x the bucket's bytes — int32 offsets cap out at 2 GiB
+        texts = pc.fill_null(g["text"].combine_chunks(), "").cast(
+            pa.large_string()
+        ).take(pa.array(order, pa.int64()))
         n = len(conv)
         starts = np.concatenate(
             [[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1]
@@ -739,10 +751,10 @@ def conv_context_windows(sf_dir: str):
             np.arange(n) - lens + 1
         ).repeat(lens)
         joined = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()), texts.take(pa.array(flat, pa.int64()))
+            pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), texts.take(pa.array(flat, pa.int64()))
             ),
-            " ",
+            pa.scalar(" ", pa.large_string()),
         )
         return pa.table(
             {
@@ -754,8 +766,7 @@ def conv_context_windows(sf_dir: str):
         )
 
     return (
-        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
-                           override_num_blocks=small_input_blocks(tdir))
+        read_parquet_light(tdir, columns=["conv_id", "turn_idx", "text"])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(window_bucket, batch_format="pyarrow")
@@ -766,7 +777,7 @@ SQL_CONV_CONTEXT = f"""
 WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
 ctx AS (
     SELECT conv_id, turn_idx,
-           string_agg(text, ' ') OVER (
+           string_agg(coalesce(text, ''), ' ') OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN {_CTX_TURNS} PRECEDING AND CURRENT ROW
            ) AS context
@@ -804,13 +815,8 @@ def conv_dedup(sf_dir: str):
     n_buckets = _npart() * 4
 
     def add_part(t: pa.Table) -> pa.Table:
-        # run-internal partition key only (never compared to the SQL
-        # twin), so the vectorized polars hash is safe here
-        import polars as pl
-
-        h = pl.from_arrow(t["conv_id"].combine_chunks()).hash(seed=0).to_numpy()
         return t.append_column(
-            "part", pa.array((h % n_buckets).astype(np.int64), pa.int64())
+            "part", pa.array(_conv_bucket_ids(t["conv_id"], n_buckets), pa.int64())
         )
 
     def hash_bucket(g: pa.Table) -> pa.Table:
@@ -820,14 +826,17 @@ def conv_dedup(sf_dir: str):
                              "h": pa.array([], pa.int64())})
         order = np.lexsort((g["turn_idx"].to_numpy(), conv))
         conv = conv[order]
-        texts = pc.fill_null(g["text"].combine_chunks(), "").take(
-            pa.array(order, pa.int64())
-        )
+        # large_string/LargeList: a bucket's concatenated text can pass
+        # 2 GiB at scale, which int32-offset arrays cannot address
+        texts = pc.fill_null(g["text"].combine_chunks(), "").cast(
+            pa.large_string()
+        ).take(pa.array(order, pa.int64()))
         starts = np.concatenate(
             [[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)]]
         )
         joined = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(starts, pa.int32()), texts), " "
+            pa.LargeListArray.from_arrays(pa.array(starts, pa.int64()), texts),
+            pa.scalar(" ", pa.large_string()),
         )
         return pa.table(
             {
@@ -837,8 +846,7 @@ def conv_dedup(sf_dir: str):
         )
 
     return (
-        read_parquet_clean(tdir, columns=["conv_id", "turn_idx", "text"],
-                           override_num_blocks=small_input_blocks(tdir))
+        read_parquet_light(tdir, columns=["conv_id", "turn_idx", "text"])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(hash_bucket, batch_format="pyarrow")

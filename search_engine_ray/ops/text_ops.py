@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..io import empty_dataset, join_np, read_parquet_clean, small_input_blocks
+from ..io import empty_dataset, join_np, read_parquet_light
 
 from ..config import IndexConfig, SKIP_WORDS, STOPWORDS
 from ..functions.analysis import split_tokens, split_tokens_arrow
@@ -52,9 +52,7 @@ def _docs(sf_dir: str, columns=None):
     # size-aware block count (io.small_input_blocks): tokenization is
     # real per-row work, but blocks stay >= cpus/4 so it still spreads
     path = f"{sf_dir}/documents.parquet"
-    return read_parquet_clean(
-        path, columns=columns, override_num_blocks=small_input_blocks(path)
-    )
+    return read_parquet_light(path, columns=columns)
 
 
 # ---- term statistics (df + collection tf) — the dictionary build as a

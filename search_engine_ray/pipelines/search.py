@@ -208,40 +208,80 @@ class DocShardedSearcher:
             index_dir, "serving_layout", uuid.uuid4().hex[:12]
         )
         self._gen = 0
+        self._write_owner()
         self._sweep_stale_layouts()
         self._start()
 
-    _STALE_LAYOUT_S = 24 * 3600
+    # fallback horizon for layout dirs owned by OTHER hosts (no pid
+    # visibility there) — generous because a false sweep breaks a live
+    # searcher's shard restarts
+    _STALE_LAYOUT_S = 7 * 24 * 3600
+
+    def _write_owner(self) -> None:
+        """Record this searcher's owner (host, pid) in its layout dir so
+        sweeps can test liveness instead of guessing from mtime — a
+        searcher serving a static index never rewrites its layouts, so
+        age alone would misclassify it as dead."""
+        import json
+        import socket
+
+        os.makedirs(self._layout_dir, exist_ok=True)
+        tmp = os.path.join(self._layout_dir, "owner.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"host": socket.gethostname(), "pid": os.getpid()}, f)
+        os.replace(tmp, os.path.join(self._layout_dir, "owner.json"))
 
     def _sweep_stale_layouts(self) -> None:
-        """Remove sibling layout dirs whose newest file is older than a
-        day: a SIGKILL'd serve process / OOM'd bench run never reaches
-        close(), so without a sweep every unclean shutdown leaks a
-        uuid dir inside the otherwise content-addressed index tree
-        forever (and into every index copy/backup). A live searcher
-        rewrites its layouts on every refresh, so age is a safe
-        liveness proxy at this horizon."""
+        """Remove DEAD sibling layout dirs: a SIGKILL'd serve process /
+        OOM'd bench run never reaches close(), so without a sweep every
+        unclean shutdown leaks a uuid dir inside the otherwise
+        content-addressed index tree forever (and into every index
+        copy/backup). Liveness, not age, is the primary test: a
+        same-host owner whose pid is gone is dead; a live pid is always
+        skipped (its DocShardActors re-read these files on restart).
+        Other-host owners (shared-storage clusters) and ownerless dirs
+        fall back to a 7-day age horizon."""
         import shutil
+        import socket
         import time
 
         root = os.path.dirname(self._layout_dir)
         if not os.path.isdir(root):
             return
+        me = socket.gethostname()
         cutoff = time.time() - self._STALE_LAYOUT_S
         for name in os.listdir(root):
             d = os.path.join(root, name)
             if d == self._layout_dir or not os.path.isdir(d):
                 continue
             try:
-                newest = max(
-                    (os.path.getmtime(os.path.join(dp, f))
-                     for dp, _dn, fns in os.walk(d) for f in fns),
-                    default=os.path.getmtime(d),
-                )
-                if newest < cutoff:
+                owner_path = os.path.join(d, "owner.json")
+                dead = False
+                owner = None
+                if os.path.exists(owner_path):
+                    import json
+
+                    with open(owner_path) as f:
+                        owner = json.load(f)
+                if owner and owner.get("host") == me:
+                    try:
+                        os.kill(int(owner["pid"]), 0)
+                    except ProcessLookupError:
+                        dead = True
+                    except (PermissionError, ValueError):
+                        pass  # pid exists (other user) or malformed: keep
+                else:
+                    # foreign host or pre-owner-file dir: age fallback
+                    newest = max(
+                        (os.path.getmtime(os.path.join(dp, f))
+                         for dp, _dn, fns in os.walk(d) for f in fns),
+                        default=os.path.getmtime(d),
+                    )
+                    dead = newest < cutoff
+                if dead:
                     shutil.rmtree(d, ignore_errors=True)
-            except OSError:
-                continue  # concurrent sweep/teardown; leave it
+            except (OSError, ValueError):
+                continue  # concurrent sweep/teardown or bad json; leave it
 
     @staticmethod
     def _layout(index_dir: str, n_shards: int):

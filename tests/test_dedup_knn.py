@@ -420,7 +420,8 @@ ray.shutdown()
     env["SERAY_FAST_HASH"] = "1"
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
-        env=env, cwd="/root/repo", timeout=300,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().startswith("OK"), (out.stdout, out.stderr[-1000:])

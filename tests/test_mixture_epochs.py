@@ -83,8 +83,8 @@ def test_mixture_epochs_null_source_and_cap(ray_session, tmp_path):
             "doc_id": pa.array([0, 1, 2], pa.int64()),
             "text": pa.array(
                 [
-                    " ".join(f"w{j}" for j in range(500)),  # bulk corpus
-                    "tiny src0 doc",                        # upweighted, tiny
+                    " ".join(f"w{j}" for j in range(2000)),  # bulk corpus
+                    "tiny src0 doc",                         # upweighted, tiny
                     "null source doc",
                 ],
                 pa.string(),
@@ -98,8 +98,13 @@ def test_mixture_epochs_null_source_and_cap(ray_session, tmp_path):
 
     # null source rides through as '' with its own (low-weight) factor
     assert set(out["source"]) <= {"src0", "src4", ""}
-    # doc 1's uncapped factor would be 150000 * ~506 // 3 ppm
-    # (~25 epochs here; at corpus scale unbounded) — assert the cap
-    # binds the copy count exactly when the uncapped factor exceeds it
+    # doc 1's UNCAPPED factor is 150000 * ~2006 // 3 ppm (~100 epochs)
+    # — above the 64-epoch cap, so the clamp must bind: exactly
+    # cap//1e6 copies (cap has no fractional remainder). Without the
+    # min()/LEAST() on both twins this reads ~100.
+    from search_engine_ray.ops.prepare import _MIX_HI_PPM as _HI
+    n_tok = {0: 2000, 1: 3, 2: 3}
+    uncapped = _HI * sum(n_tok.values()) // n_tok[1]
+    assert uncapped > _MIX_CAP_PPM, "fixture no longer exceeds the cap"
     per_doc = out.groupby("doc_id").size()
-    assert per_doc.get(1, 0) <= _MIX_CAP_PPM // 1_000_000 + 1
+    assert per_doc.get(1, 0) == _MIX_CAP_PPM // 1_000_000

@@ -517,3 +517,46 @@ def test_refresh_is_atomic_under_concurrent_queries(ray_session, tmp_path):
             t.join(timeout=30)
     assert not errors, errors[:3]
     sharded.close()
+
+
+def test_layout_sweep_is_liveness_based(index_dir):
+    """The serving_layout sweep must remove dirs whose same-host owner
+    pid is dead (leaked by SIGKILL'd servers) but NEVER a dir owned by
+    a live pid — a long-lived searcher serving a static index does not
+    rewrite its layouts, so age alone would misclassify it as dead and
+    break its shard-actor restarts."""
+    import json
+    import os
+    import socket
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    root = os.path.join(index_dir, "serving_layout")
+    os.makedirs(root, exist_ok=True)
+
+    def plant(name, pid):
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "owner.json"), "w") as f:
+            json.dump({"host": socket.gethostname(), "pid": pid}, f)
+        # an old layout file, as a >24h-idle live searcher would have
+        gen = os.path.join(d, "gen-0")
+        os.makedirs(gen, exist_ok=True)
+        path = os.path.join(gen, "shard-0.json")
+        with open(path, "w") as f:
+            json.dump({"parts": [0]}, f)
+        os.utime(path, (1, 1))
+        os.utime(d, (1, 1))
+        return d
+
+    # a pid that is certainly dead (max pid space exhausted below this)
+    dead_dir = plant("deadbeef0001", 2**22 + 12345)
+    live_dir = plant("cafebabe0002", os.getpid())
+
+    s = DocShardedSearcher(index_dir, n_shards=2)
+    try:
+        assert not os.path.exists(dead_dir), "dead owner's dir must be swept"
+        assert os.path.exists(live_dir), "live owner's dir must survive"
+        assert os.path.exists(os.path.join(s._layout_dir, "owner.json"))
+    finally:
+        s.close()
