@@ -923,6 +923,55 @@ SELECT 'roletool' AS variant, term, doc_id, tf FROM ({SQL_POSTINGS_ROLETOOL})
 """
 
 
+# ---- group-aware train/val/test split (leakage prevention) ----
+
+_SPLIT_VAL_PPM = 980_000   # train < 980000 <= val < 990000 <= test
+_SPLIT_TEST_PPM = 990_000
+
+
+def train_val_test_split(sf_dir: str):
+    """(conv_id, turn_idx, split): deterministic 98/1/1 train/val/test
+    assignment keyed on md5-60 of the CONVERSATION id — every turn of a
+    conversation lands in the same split, so near-identical context
+    windows can never straddle the train/eval boundary (the leakage
+    rule group-aware splitting exists for). Stateless per-batch map;
+    invariant to row order, partitioning and re-runs."""
+    tdir = transcripts_dir(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .dedup import _md5_60_arr
+
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        draw = _md5_60_arr(conv) % 1_000_000
+        split = np.where(
+            draw < _SPLIT_VAL_PPM, "train",
+            np.where(draw < _SPLIT_TEST_PPM, "val", "test"),
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pa.array(
+                    t["turn_idx"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return read_parquet_light(
+        tdir, columns=["conv_id", "turn_idx"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+SQL_TRAIN_VAL_TEST = f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CASE WHEN {_MD5_SQL.format("conv_id")} % 1000000 < {_SPLIT_VAL_PPM} THEN 'train'
+            WHEN {_MD5_SQL.format("conv_id")} % 1000000 < {_SPLIT_TEST_PPM} THEN 'val'
+            ELSE 'test' END AS split
+FROM tr0
+"""
+
+
 RAY_QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_topk_and": bm25_topk_and,
@@ -951,4 +1000,12 @@ ORACLE_SQL = {
     "conv_stats": SQL_CONV_STATS,
     "conv_context_windows": SQL_CONV_CONTEXT,
     "conv_dedup": SQL_CONV_DEDUP,
+}
+
+# past the driver's 50-entry window; tools_verify still checks it
+RAY_QUERIES_AUX = {
+    "train_val_test_split": train_val_test_split,
+}
+ORACLE_SQL_AUX = {
+    "train_val_test_split": SQL_TRAIN_VAL_TEST,
 }

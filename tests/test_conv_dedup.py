@@ -29,3 +29,18 @@ def test_conv_dedup_collapses_identical_conversations(ray_session, tmp_path):
     got = dict(zip(out["conv_id"], out["n_dups"]))
     # the duplicated stream survives once, under the SMALLEST conv_id
     assert got == {"conv-00000000": 2, "conv-00000002": 1}
+
+
+def test_train_val_test_split_is_conversation_atomic(ray_session):
+    """Every turn of a conversation must share one split — the
+    group-aware property the op exists for — and the 98/1/1 draw must
+    be deterministic across re-runs."""
+    from search_engine_ray.ops.search_ops import train_val_test_split
+
+    df = train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    per_conv = df.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all(), "a conversation straddles splits"
+    assert set(df["split"]) <= {"train", "val", "test"}
+    again = train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    assert df.sort_values(["conv_id", "turn_idx"])["split"].tolist() == \
+        again.sort_values(["conv_id", "turn_idx"])["split"].tolist()
