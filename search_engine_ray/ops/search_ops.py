@@ -939,10 +939,12 @@ def train_val_test_split(sf_dir: str):
     tdir = transcripts_dir(sf_dir)
 
     def assign(t: pa.Table) -> pa.Table:
-        from .dedup import _md5_60_arr
+        # shared _hash60 kernel: md5-60 by default (oracle-identical);
+        # SERAY_FAST_HASH runs get the vectorized xxhash draw — a
+        # different but equally valid deterministic assignment
+        from .dedup import _hash60
 
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        draw = _md5_60_arr(conv) % 1_000_000
+        draw = _hash60(t["conv_id"].combine_chunks()) % 1_000_000
         split = np.where(
             draw < _SPLIT_VAL_PPM, "train",
             np.where(draw < _SPLIT_TEST_PPM, "val", "test"),
