@@ -185,9 +185,17 @@ class _TermSegments:
     def decode_positions(self):
         """(doc_ids, tfs, pos_starts, pos_values): positions of entry i
         are ``pos_values[pos_starts[i]:pos_starts[i+1]]`` (ascending).
-        Requires the index loaded with positions."""
+        Requires the index loaded with positions. Memoized in the same
+        byte-bounded LRU as ``decode()`` — a serving actor answering
+        repeated phrase queries over hot terms must not re-pay the
+        varbyte + segmented-cumsum cost per query."""
         if self.pos_bytes is None or self.pos_bytes[0] is None:
             raise ValueError("index loaded without positions")
+        key = ("pos", self._key[1])
+        if self._cache is not None:
+            full = self._cache.get(key)
+            if full is not None:
+                return full
         ids, tfs, _dls = self.decode()
         gaps = np.concatenate([
             vb.decode(self.pos_bytes[i]).astype(np.int64)
@@ -201,7 +209,10 @@ class _TermSegments:
         nz = starts > 0
         base[nz] = total[starts[nz] - 1]
         values = total - np.repeat(base, tfs)
-        return ids, tfs, np.concatenate([starts, [len(gaps)]]), values
+        full = (ids, tfs, np.concatenate([starts, [len(gaps)]]), values)
+        if self._cache is not None:
+            self._cache.put(key, full, int(sum(a.nbytes for a in full)))
+        return full
 
 
 class LocalIndex:
@@ -416,15 +427,29 @@ class LocalIndex:
 
         empty = np.empty(0, np.int64), np.empty(0, np.float64)
         terms = analyze_phrase(phrase, self.cfg)
-        if not terms or not self.has_positions:
+        if not terms:
             return empty
+        if not self.has_positions:
+            # raise, never fabricate a correct-looking "no match": a
+            # caller who forgot load_positions=True (or queried a
+            # positions=False index) must hear about it
+            raise ValueError(
+                "phrase_search requires an index loaded with positions "
+                "(LocalIndex(..., load_positions=True) on a "
+                "positions-built index)"
+            )
         segs = []
         for t in terms:
             ts = self.terms.get(t)
             if ts is None:
                 return empty
             segs.append(ts)
-        decoded = [ts.decode_positions() for ts in segs]
+        # decode each DISTINCT term once ('fox fox' shares one decode)
+        dec_by_term: dict = {}
+        decoded = [
+            dec_by_term.setdefault(t, ts.decode_positions())
+            for t, ts in zip(terms, segs)
+        ]
         cand = decoded[0][0]
         for ids, *_ in decoded[1:]:
             cand = _intersect_sorted(cand, ids)
@@ -447,18 +472,20 @@ class LocalIndex:
         if not matched:
             return empty
         mids = np.asarray(matched, dtype=np.int64)
-        # doclen from the first term's per-posting stream (memoized full
-        # decode — no O(N) doclen table; mids is a subset of its ids)
+        # score through the ONE shared kernel (score_decoded_terms'
+        # AND branch), restricted to the matched docs — doclen from the
+        # first term's per-posting stream (no O(N) doclen table), so a
+        # scoring change (penalty, tie-break) can never silently leave
+        # phrase ranking behind
         ids0, _tf0, dls0 = segs[0].decode()
         dl = dls0[np.searchsorted(ids0, mids)]
-        scores = np.zeros(mids.size, np.float64)
-        for (ids, tfs, *_), ts in zip(decoded, segs):
-            pos = np.searchsorted(ids, mids)
-            scores += scoring.bm25_term_scores(
-                tfs[pos], dl, self.N, ts.df, self.avgdl, self.cfg.k1, self.cfg.b
-            )
-        idx = scoring.topk_indices(scores, mids, k)
-        return mids[idx], scores[idx]
+        decoded_terms = [
+            (t, mids, d[1][np.searchsorted(d[0], mids)], dl, ts.df)
+            for t, d, ts in zip(terms, decoded, segs)
+        ]
+        return score_decoded_terms(
+            decoded_terms, self.N, self.avgdl, self.cfg, k, "AND", False
+        )
 
     def explain(self, query: str, mode: str = "AND") -> dict:
         """Query debugging surface: the analyzer's term stream, per-term
@@ -497,7 +524,10 @@ class LocalIndex:
         # than claiming dense unconditionally
         total_df = sum(t["df"] for t in out_terms)
         strategy = (
-            "empty" if n_present == 0
+            # AND with ANY missing term short-circuits to empty in
+            # search() before range skipping can run — label it so
+            "empty" if (n_present == 0
+                        or (mode == "AND" and n_present < len(out_terms)))
             else "and-range-skip" if mode == "AND"
             else "maxscore" if (
                 n_present > 1
@@ -553,7 +583,10 @@ def score_decoded_terms(
     and the sharded path end here, so their results are bit-identical
     (fixed term order, float64 everywhere, (score desc, doc_id asc)
     tie-break — SURVEY.md §7.4)."""
-    if not decoded:
+    if not decoded or k <= 0:
+        # k <= 0 means "no results requested" — a raw np.partition /
+        # argpartition would raise (k=0) or silently mis-rank (k<0);
+        # callers like evaluate_queries feed k from unvalidated data
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if mode == "AND":
         cand = decoded[0][1]
@@ -609,9 +642,15 @@ def score_decoded_terms(
                     if score_cache is not None:
                         score_cache[term] = sc
                 acc[ids] += sc
+                if n_seen < k:
+                    # incremental: count only the docs this term adds,
+                    # never a full O(N) seen.sum() scan per term
+                    n_seen += int(np.count_nonzero(~seen[ids]))
                 seen[ids] = True
-                n_seen = int(seen.sum()) if n_seen < k else n_seen
                 if n_seen >= k:
+                    # O(N) boolean gather, but bounded: this branch
+                    # requires volume >= N/DENSE_VOLUME_FACTOR, and it
+                    # runs at most once per ADMITTED term
                     vals = acc[seen]
                     kth = float(np.partition(vals, len(vals) - k)[len(vals) - k])
                     if rem < kth:
@@ -632,7 +671,26 @@ def score_decoded_terms(
                     )
                 acc[ids[mask]] += sc
         doc_ids = np.flatnonzero(seen)
-        scores = acc[doc_ids]
+        # final scores re-accumulated in the FIXED analyzer term order:
+        # the ub-descending pass above decides ADMISSION only. Float
+        # addition is order-sensitive at the ulp level, and the
+        # module's contracts (filtered == post-filtered unfiltered,
+        # doc-sharded == unsharded, bit-for-bit) hold only if every
+        # path sums per-doc contributions in the same order as the
+        # dense/sorted-merge branches.
+        scores = np.zeros(doc_ids.size, dtype=np.float64)
+        for term, ids, tfs, dls, df in decoded:
+            mask = seen[ids]
+            if not mask.any():
+                continue
+            sc = score_cache.get(term) if score_cache is not None else None
+            if sc is not None:
+                sc_m = sc[mask]
+            else:
+                sc_m = scoring.bm25_term_scores(
+                    tfs[mask], dls[mask], N, df, avgdl, cfg.k1, cfg.b
+                )
+            scores[np.searchsorted(doc_ids, ids[mask])] += sc_m
     else:
         all_ids = [ids for _, ids, _, _, _ in decoded]
         all_scores = []

@@ -117,8 +117,9 @@ def test_doc_sharded_matches_local(index_dir):
             ids_l, sc_l = local.search(q, 50, mode=mode)
             ids_s, sc_s = sharded.search(q, 50, mode=mode)
             assert ids_l.tolist() == ids_s.tolist(), (q, mode)
-            if len(sc_l):
-                assert np.abs(sc_l - sc_s).max() < 1e-12, (q, mode)
+            # bitwise: every scoring path re-accumulates per-doc sums
+            # in the fixed analyzer term order, so no ulp slop needed
+            assert sc_l.tolist() == sc_s.tolist(), (q, mode)
 
 
 def test_http_search_endpoint(index_dir):
@@ -560,3 +561,52 @@ def test_layout_sweep_is_liveness_based(index_dir):
         assert os.path.exists(os.path.join(s._layout_dir, "owner.json"))
     finally:
         s.close()
+
+
+def test_k_zero_and_negative_return_empty(index_dir):
+    """k <= 0 must yield an empty result, not a numpy ValueError (the
+    batch path feeds k straight from an unvalidated queries column) —
+    and MaxScore / filtered / phrase paths all route through the guard."""
+    local = LocalIndex(index_dir)
+    for k in (0, -1):
+        for mode in ("OR", "AND"):
+            ids, sc = local.search("running meetings", k, mode=mode)
+            assert ids.size == 0 and sc.size == 0
+        ids, sc = local.search(
+            "running meetings", k, mode="OR", doc_filter=lambda d: d % 2 == 0
+        )
+        assert ids.size == 0
+
+
+def test_explain_and_with_missing_term_reports_empty(index_dir):
+    """AND with any absent term short-circuits to an empty result in
+    search(); explain() must say 'empty', not 'and-range-skip'."""
+    local = LocalIndex(index_dir)
+    e = local.explain("running zzznope", mode="AND")
+    assert e["strategy"] == "empty"
+    ids, _ = local.search("running zzznope", 10, mode="AND")
+    assert ids.size == 0
+    assert local.explain("running meetings", mode="AND")["strategy"] == "and-range-skip"
+
+
+def test_phrase_without_positions_raises(index_dir):
+    """A positions-less load must raise on phrase_search, never return
+    a correct-looking empty no-match."""
+    import pytest as _pytest
+
+    local = LocalIndex(index_dir)  # load_positions defaults to False
+    with _pytest.raises(ValueError, match="positions"):
+        local.phrase_search("running meetings")
+
+
+def test_maxscore_bitwise_matches_filtered_path(index_dir):
+    """The MaxScore branch (upper_bounds set) and the doc_filter branch
+    (no upper bounds) must produce bitwise-identical scores for the
+    surviving docs — the 'filtered == post-filtered unfiltered'
+    contract at full float64 precision."""
+    local = LocalIndex(index_dir)
+    for q in ["running meetings", "caresses ponies ties", "w0017 runs the"]:
+        ids_u, sc_u = local.search(q, 10**9, mode="OR")
+        ids_f, sc_f = local.search(q, 10**9, mode="OR", doc_filter=lambda d: d >= 0)
+        assert ids_u.tolist() == ids_f.tolist(), q
+        assert sc_u.tolist() == sc_f.tolist(), q
