@@ -60,6 +60,20 @@ def encode_concat(arrays: list[np.ndarray]) -> list[bytes]:
     return res
 
 
+def binary_column(blob: bytes, byte_offsets: np.ndarray):
+    """LargeBinaryArray over ``encode_offsets`` output with ZERO per-
+    group copies: the (blob, byte_offsets) pair IS the Arrow layout, so
+    the column is two buffer wraps — never a Python loop slicing one
+    bytes object per group (the hottest-stage cost that loop was)."""
+    import pyarrow as pa
+
+    offs = np.ascontiguousarray(byte_offsets, dtype=np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(offs) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)],
+    )
+
+
 def encode_offsets(values: np.ndarray, offsets: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode ``values`` once; return (blob, byte_offsets) where
     ``blob[byte_offsets[i]:byte_offsets[i+1]]`` is the encoding of

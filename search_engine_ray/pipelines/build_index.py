@@ -69,7 +69,7 @@ def _expand(source) -> list[str]:
 
 # Bump when the on-disk index layout or segment schema changes — part of
 # every stage fingerprint, so resume never trusts stale-format output.
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4  # v4: roletool dl stream counts the augmented token stream
 
 
 def _fingerprint(items, cfg: IndexConfig | None = None) -> str:
@@ -402,6 +402,14 @@ def _finish_build(
     # zero-row docs files (empty corpus / empty write artifacts) carry
     # no postings and may lack the full schema — never partition them
     uncovered = [f for f in docs_files if f not in covered and _pq_rows(f) > 0]
+    # order by DOC RANGE (footer stats), never by filename: extension
+    # files ('ext-…') sort lexically before the ~1/16 of Ray's
+    # uuid-named base files starting with 'f', so a name sort can place
+    # high-doc-id extension files ahead of base files — array_split
+    # would then form overlapping partition ranges, and compaction (or
+    # any rebuild) of an extended index would abort on the disjointness
+    # check
+    uncovered.sort(key=lambda f: _file_doc_range(f)[0])
     new_parts: list[tuple[int, list[str]]] = []
     if uncovered:
         next_id = max((k for k, _ in existing), default=-1) + 1
@@ -453,7 +461,7 @@ def _finish_build(
                 batch_format="pyarrow",
                 batch_size=None,
             )
-        merged = merge_partials(partials, cfg_eff)
+        merged = merge_partials(partials)
         wave_tmp = os.path.join(seg_root, "_wave.tmp")
         shutil.rmtree(wave_tmp, ignore_errors=True)
         merged.write_parquet(wave_tmp, partition_cols=["part"])

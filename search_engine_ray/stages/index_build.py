@@ -153,6 +153,14 @@ def build_partials(
     tb = tokenize_batch(texts, cfg, stemmer)
     if len(tb.term_code) == 0:
         return SEGMENT_SCHEMA.empty_table()
+    if cfg.index_role_tool:
+        # the stored doclen must count the stream actually indexed —
+        # with role/tool prepended, positions run over the augmented
+        # stream, and the normative invariant is doclen == max
+        # position. The docs-store doclen (text-only) would make BM25
+        # normalize role-term tf with a length that excludes the
+        # tokens that produced it, and break position <= doclen.
+        doclens = tb.doclens.astype(np.int64)
 
     # ---- aggregate exploded tokens to (term, doc) entries ----
     # (codes group contiguously under lexsort regardless of lexical
@@ -180,6 +188,13 @@ def build_partials(
     bucket = (entry_doc // cfg.doc_bucket_size).astype(np.int64)
     if part_bounds is not None:
         slot = np.searchsorted(part_bounds, entry_doc, side="right") - 1
+        if slot.size and slot.min() < 0:
+            # a doc below every bound would WRAP to part_ids[-1] and be
+            # committed under the wrong partition with a lying manifest
+            raise ValueError(
+                f"doc_id {int(entry_doc[slot.argmin()])} below the first "
+                f"partition bound {int(part_bounds[0])}"
+            )
         part = (part_ids[slot] if part_ids is not None else slot).astype(np.int32)
     else:
         part = np.zeros(len(entry_doc), dtype=np.int32)
@@ -223,9 +238,9 @@ def build_partials(
         pr_blob, pr_boff = vb.encode_offsets(
             priors[entry_local], np.concatenate([grp_start, [n_entries]])
         )
-        pr_col = [pr_blob[pr_boff[g] : pr_boff[g + 1]] for g in range(n_groups)]
+        pr_col = vb.binary_column(pr_blob, pr_boff)
     else:
-        pr_col = [None] * n_groups
+        pr_col = pa.nulls(n_groups, pa.large_binary())
 
     # ---- position stream (gaps reset at each entry) ----
     if cfg.positions:
@@ -235,9 +250,9 @@ def build_partials(
         pos_gaps[entry_tok_start] = pos_sorted[entry_tok_start]
         grp_tok_offsets = np.concatenate([entry_tok_start[grp_start], [len(pos_sorted)]])
         pos_blob, pos_boff = vb.encode_offsets(pos_gaps, grp_tok_offsets)
-        pos_col = [pos_blob[pos_boff[g] : pos_boff[g + 1]] for g in range(n_groups)]
+        pos_col = vb.binary_column(pos_blob, pos_boff)
     else:
-        pos_col = [None] * n_groups
+        pos_col = pa.nulls(n_groups, pa.large_binary())
 
     return pa.table(
         {
@@ -249,19 +264,10 @@ def build_partials(
             "df": pa.array(df, pa.int32()),
             "max_tf": pa.array(max_tf, pa.int32()),
             "min_doclen": pa.array(min_doclen, pa.int32()),
-            "doc_bytes": pa.array(
-                [doc_blob[doc_boff[g] : doc_boff[g + 1]] for g in range(n_groups)],
-                pa.large_binary(),
-            ),
-            "tf_bytes": pa.array(
-                [tf_blob[tf_boff[g] : tf_boff[g + 1]] for g in range(n_groups)],
-                pa.large_binary(),
-            ),
-            "dl_bytes": pa.array(
-                [dl_blob[dl_boff[g] : dl_boff[g + 1]] for g in range(n_groups)],
-                pa.large_binary(),
-            ),
-            "pos_bytes": pa.array(pos_col, pa.large_binary()),
-            "pr_bytes": pa.array(pr_col, pa.large_binary()),
+            "doc_bytes": vb.binary_column(doc_blob, doc_boff),
+            "tf_bytes": vb.binary_column(tf_blob, tf_boff),
+            "dl_bytes": vb.binary_column(dl_blob, dl_boff),
+            "pos_bytes": pos_col,
+            "pr_bytes": pr_col,
         }
     )

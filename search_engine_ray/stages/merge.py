@@ -30,11 +30,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import IndexConfig
 from ..functions import varbyte as vb
 
 
-def merge_partials(partials, cfg: IndexConfig | None = None):
+def merge_partials(partials):
     """partials: Dataset of SEGMENT_SCHEMA rows -> merged Dataset.
 
     BUCKET-major sort key: with term-major order every hot term's byte
@@ -100,8 +99,15 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
     with one vectorized span-gather over the whole batch.
     """
     n = batch.num_rows
+    out_order = [
+        "term", "bucket", "first_doc", "last_doc", "df", "max_tf",
+        "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+    ] + [c for c in ("pr_bytes", "part") if c in batch.column_names]
     if n == 0:
-        return batch
+        # project even the empty block: Ray's sort range-partitioning
+        # can emit 0-row blocks, and a field-order mismatch against the
+        # non-empty outputs breaks strict schema checks downstream
+        return batch.select(out_order)
     term = batch["term"].combine_chunks()
     term_code = term.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     bucket = batch["bucket"].to_numpy()
@@ -118,10 +124,6 @@ def merge_segment_batch(batch: pa.Table) -> pa.Table:
         np.logical_or(change[1:], part[1:] != part[:-1], out=change[1:])
     grp_start = np.flatnonzero(change)
     grp_end = np.concatenate([grp_start[1:], [n]])
-    out_order = [
-        "term", "bucket", "first_doc", "last_doc", "df", "max_tf",
-        "min_doclen", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
-    ] + [c for c in ("pr_bytes", "part") if c in batch.column_names]
     if len(grp_start) == n:
         # nothing to merge — still project to the canonical column
         # order so fast-path and rebuilt blocks share one schema

@@ -180,3 +180,38 @@ def test_orphan_extension_files_never_indexed(ray_session, tmp_path, split_corpu
     assert li.N == n
     ids, _sc = li.search("orphan", k=10, mode="OR")
     assert len(ids) == 0
+
+
+def test_repartition_orders_docs_files_by_doc_range(ray_session, tmp_path, split_corpus):
+    """Partition grouping must order docs files by DOC RANGE, not
+    filename: extension files ('ext-…') sort lexically before uuid
+    base files starting with 'f', so a name sort can interleave a
+    high-doc-id extension among the base files and produce overlapping
+    partition ranges — compaction of an extended index would abort.
+    Forced deterministically by renaming a low-range docs file to sort
+    LAST, invalidating the inventory so everything re-partitions."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.build_index import compact_index
+
+    _full, a, b = split_corpus
+    cfg = IndexConfig(doc_bucket_size=128)
+    idx = str(tmp_path / "idx_reorder")
+    build_index(a, idx, cfg, n_partitions=2)
+    extend_index(idx, b, n_partitions=2)
+    before = LocalIndex(idx)
+    n_before = before.N
+    ids_before, _ = before.search("meetings", k=20, mode="OR")
+
+    docs_dir = os.path.join(idx, "docs")
+    files = sorted(glob.glob(os.path.join(docs_dir, "*.parquet")))
+    lowest = min(files, key=lambda f: pq.read_metadata(f).row_group(0)
+                 .column(0).statistics.min)
+    renamed = os.path.join(docs_dir, "zzz-renamed-00000.parquet")
+    os.rename(lowest, renamed)  # name order now disagrees with doc order
+
+    compact_index(idx, n_partitions=2)  # must re-partition cleanly
+    after = LocalIndex(idx)
+    assert after.N == n_before
+    ids_after, _ = after.search("meetings", k=20, mode="OR")
+    assert ids_before.tolist() == ids_after.tolist()
