@@ -356,23 +356,47 @@ class DocShardedSearcher:
         fresh = [DocShardActor.remote(self.index_dir, p) for p in paths]
         ray.get([a.ping.remote() for a in fresh])
         old, self.shards, self._groups = self.shards, fresh, groups
-        # retire (don't kill) the old generation: an in-flight query
-        # that snapshotted the old list must be able to finish; the
-        # ms-scale queries are long done by the next refresh/close
-        for a in getattr(self, "_retired", []):
-            ray.kill(a)
-        if self._gen >= 2:
-            # the generation whose actors were just killed can no longer
-            # restart — reclaim its layout files
-            shutil.rmtree(
-                os.path.join(self._layout_dir, f"gen-{self._gen - 2}"),
-                ignore_errors=True,
-            )
-        self._retired = old
+        # retire (don't kill) the old generation: an in-flight query —
+        # including a seconds-long /batch — that snapshotted the old
+        # list must be able to finish. Retired generations are reaped
+        # after a grace period (here and on each search), so memory is
+        # bounded at ~1 extra generation in steady state rather than
+        # holding the pre-refresh actor set forever when no further
+        # refresh arrives.
+        import time as _time
+
+        self._reap_retired()
+        self._retired = getattr(self, "_retired", [])
+        self._retired.append((_time.monotonic(), old, self._gen - 1))
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.cfg = IndexConfig.from_json(meta["config"])
         return True
+
+    _RETIRE_GRACE_S = 60.0
+
+    def _reap_retired(self, force: bool = False) -> None:
+        """Kill retired shard generations older than the grace period
+        (or all of them with ``force``) and reclaim their layout files
+        — a killed generation's actors can no longer restart."""
+        import shutil
+        import time as _time
+
+        kept = []
+        for ts, actors, gen in getattr(self, "_retired", []):
+            if force or _time.monotonic() - ts > self._RETIRE_GRACE_S:
+                for a in actors:
+                    try:
+                        ray.kill(a)
+                    except Exception:  # noqa: BLE001 - already dead
+                        pass
+                shutil.rmtree(
+                    os.path.join(self._layout_dir, f"gen-{gen}"),
+                    ignore_errors=True,
+                )
+            else:
+                kept.append((ts, actors, gen))
+        self._retired = kept
 
     def close(self) -> None:
         """Tear down shard actors and remove this searcher's layout
@@ -381,7 +405,8 @@ class DocShardedSearcher:
         content-addressed) index tree."""
         import shutil
 
-        for a in self.shards + list(getattr(self, "_retired", [])):
+        self._reap_retired(force=True)
+        for a in self.shards:
             try:
                 ray.kill(a)
             except Exception:  # noqa: BLE001 - actor may already be dead
@@ -402,6 +427,10 @@ class DocShardedSearcher:
     def explain(self, query: str, mode: str = "OR") -> dict:
         """Query debugging through shard 0 (df/upper bounds are GLOBAL
         on every shard; only doc_range is shard-local)."""
+        if not self.shards:  # empty index or closed searcher
+            return {"query": query, "mode": mode, "terms": [],
+                    "stopword_only": False, "strategy": "empty",
+                    "note": "no shards (empty index or closed searcher)"}
         out = ray.get(self.shards[0].explain.remote(query, mode))
         out["note"] = "per-term doc_range is shard-0-local; stats are global"
         return out
@@ -411,6 +440,7 @@ class DocShardedSearcher:
         are launched before any result is gathered, so shard actors
         work on query i+1 while the driver merges query i — higher
         throughput than sequential search() at identical results."""
+        self._reap_retired()  # grace-expired old generations
         from ..functions import scoring
 
         # one snapshot of the shard list: a refresh() swapping

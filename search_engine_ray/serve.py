@@ -57,15 +57,22 @@ document.getElementById('f').addEventListener('submit', async (ev) => {
   const j = await r.json();
   document.getElementById('spell').textContent =
     j.spellcheck ? 'searched instead for: ' + j.spellcheck.join(' ') : '';
+  const esc = s => String(s).replace(/[&<>"']/g,
+    c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
   document.getElementById('out').innerHTML = (j.results || []).map(h =>
-    '<div class="hit"><div class="meta">#' + h.rank + ' doc ' + h.doc_id +
-    ' (' + (h.conv_id || '') + ' / turn ' + (h.turn_idx ?? '') + ') score ' +
-    h.score.toFixed(4) + '</div><div>' +
-    (h.snippet || '').replace(/</g, '&lt;') + '</div></div>').join('') ||
+    '<div class="hit"><div class="meta">#' + esc(h.rank) + ' doc ' + esc(h.doc_id) +
+    ' (' + esc(h.conv_id || '') + ' / turn ' + esc(h.turn_idx ?? '') + ') score ' +
+    esc(h.score.toFixed(4)) + '</div><div>' +
+    esc(h.snippet || '') + '</div></div>').join('') ||
     '<p>no results</p>';
 });
 </script></body></html>
 """
+
+
+# largest k a single HTTP request may ask for — beyond this a query
+# materializes corpus-scale results in one response; paginate instead
+MAX_K = 1000
 
 
 class DocStore:
@@ -161,6 +168,31 @@ class SearchServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                try:
+                    self._route_get()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-response
+                except Exception as ex:  # noqa: BLE001 - HTTP boundary
+                    # a backend error (dead shard actor mid-refresh, a
+                    # parquet read failure) must answer 500 JSON, not
+                    # slam the connection shut with no response
+                    try:
+                        self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+                    except Exception:  # noqa: BLE001 - headers already sent
+                        pass
+
+            def do_POST(self):
+                try:
+                    self._route_post()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception as ex:  # noqa: BLE001 - HTTP boundary
+                    try:
+                        self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+                    except Exception:  # noqa: BLE001
+                        pass
+
+            def _route_get(self):
                 u = urlparse(self.path)
                 if u.path == "/healthz":
                     self._json(200, {"ok": True})
@@ -177,6 +209,9 @@ class SearchServer:
                     qs = parse_qs(u.query)
                     query = (qs.get("query") or [""])[0]
                     mode = (qs.get("mode") or ["OR"])[0].upper()
+                    if mode not in ("AND", "OR"):
+                        self._json(400, {"error": "mode must be AND or OR"})
+                        return
                     exp = getattr(outer.searcher, "explain", None)
                     if exp is None:
                         self._json(501, {"error": "searcher has no explain"})
@@ -199,7 +234,18 @@ class SearchServer:
                 if k < 1:
                     self._json(400, {"error": "k must be >= 1"})
                     return
+                if k > MAX_K:
+                    # unbounded k lets one request rank-and-materialize
+                    # the whole corpus (full parquet reads, multi-GB
+                    # JSON); paginate instead
+                    self._json(400, {"error": f"k must be <= {MAX_K}"})
+                    return
                 mode = (qs.get("mode") or ["OR"])[0].upper()
+                if mode not in ("AND", "OR"):
+                    # an unknown mode would silently behave as OR —
+                    # semantically wrong results with no signal
+                    self._json(400, {"error": "mode must be AND or OR"})
+                    return
                 corrected = None
                 run_query = query
                 if outer.speller is not None:
@@ -235,7 +281,7 @@ class SearchServer:
                     payload["spellcheck"] = corrected
                 self._json(200, payload)
 
-            def do_POST(self):
+            def _route_post(self):
                 u = urlparse(self.path)
                 if u.path != "/batch":
                     self._json(404, {"error": "unknown route"})
@@ -248,8 +294,12 @@ class SearchServer:
                         for q in req["queries"]
                     ]
                     mode = str(req.get("mode", "OR")).upper()
+                    if mode not in ("AND", "OR"):
+                        raise ValueError("mode must be AND or OR")
                     if any(k < 1 for _, k in queries):
                         raise ValueError("k must be >= 1")
+                    if any(k > MAX_K for _, k in queries):
+                        raise ValueError(f"k must be <= {MAX_K}")
                     if any(not isinstance(q, str) for q, _ in queries):
                         raise ValueError("query must be a string")
                 except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:

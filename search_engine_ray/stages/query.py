@@ -44,28 +44,36 @@ class _LRUBytes:
     indefinitely; with it, steady-state memory is capped."""
 
     def __init__(self, budget_bytes: int):
+        import threading
         from collections import OrderedDict
 
         self._d: "OrderedDict[object, tuple]" = OrderedDict()
         self._bytes = 0
         self._budget = budget_bytes
+        # serve.py's ThreadingHTTPServer drives LocalIndex/Sharded
+        # searchers from concurrent request threads; unlocked compound
+        # pop/insert/evict would corrupt the byte accounting and the
+        # budget would never evict again
+        self._lock = threading.Lock()
 
     def get(self, key):
-        hit = self._d.get(key)
-        if hit is None:
-            return None
-        self._d.move_to_end(key)
-        return hit[0]
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is None:
+                return None
+            self._d.move_to_end(key)
+            return hit[0]
 
     def put(self, key, value, nbytes: int):
-        old = self._d.pop(key, None)
-        if old is not None:
-            self._bytes -= old[1]
-        self._d[key] = (value, nbytes)
-        self._bytes += nbytes
-        while self._bytes > self._budget and len(self._d) > 1:
-            _, (_, nb) = self._d.popitem(last=False)
-            self._bytes -= nb
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self._d[key] = (value, nbytes)
+            self._bytes += nbytes
+            while self._bytes > self._budget and len(self._d) > 1:
+                _, (_, nb) = self._d.popitem(last=False)
+                self._bytes -= nb
 
     # dict-style interface used by score_decoded_terms
     def __setitem__(self, key, arr):

@@ -362,10 +362,19 @@ def test_refresh_preserves_old_generation_layout(ray_session, tmp_path):
     assert len(gen1) == 1  # post-compaction grouping: 4 shard files -> 1
     assert json.load(open(gen1[0]))["parts"] == [0]
 
-    # second refresh kills gen-0's actors and reclaims its dir
+    # a second refresh within the grace period KEEPS gen-0 (an
+    # in-flight batch snapshot may still be using its actors); once the
+    # grace expires the reaper kills the generation and reclaims its
+    # layout dir — memory is bounded without racing live queries
     assert sharded.refresh()
+    assert os.path.exists(os.path.join(sharded._layout_dir, "gen-0"))
+    assert len(sharded._retired) == 2
+    sharded._retired = [(ts - 10_000, a, g) for ts, a, g in sharded._retired]
+    sharded._reap_retired()
+    assert sharded._retired == []
     assert not os.path.exists(os.path.join(sharded._layout_dir, "gen-0"))
-    assert os.path.exists(os.path.join(sharded._layout_dir, "gen-1"))
+    assert not os.path.exists(os.path.join(sharded._layout_dir, "gen-1"))
+    assert os.path.exists(os.path.join(sharded._layout_dir, "gen-2"))
     sharded.close()
 
 
@@ -610,3 +619,35 @@ def test_maxscore_bitwise_matches_filtered_path(index_dir):
         ids_f, sc_f = local.search(q, 10**9, mode="OR", doc_filter=lambda d: d >= 0)
         assert ids_u.tolist() == ids_f.tolist(), q
         assert sc_u.tolist() == sc_f.tolist(), q
+
+
+def test_http_rejects_bad_k_and_mode(index_dir):
+    import json as _json
+    import urllib.request
+    import urllib.error
+
+    from search_engine_ray.serve import SearchServer
+    from search_engine_ray.stages.query import LocalIndex
+
+    srv = SearchServer(index_dir, LocalIndex(index_dir)).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        for bad in ("/search?query=x&k=999999999", "/search?query=x&mode=ADN",
+                    "/explain?query=x&mode=nope"):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"{bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad
+        req = urllib.request.Request(
+            base + "/batch",
+            data=_json.dumps({"queries": [{"query": "x", "k": 10**9}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("batch should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
