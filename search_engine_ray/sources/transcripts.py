@@ -37,11 +37,23 @@ SCHEMA = pa.schema(
 )
 
 
+_REQUIRED = {"conv_id", "turn_idx", "text"}  # the identity + payload
+
+
 def _coerce(t: pa.Table) -> pa.Table:
     cols = {}
     for field in SCHEMA:
         if field.name not in t.column_names:
-            raise ValueError(f"transcript source missing column {field.name!r}")
+            if field.name in _REQUIRED:
+                raise ValueError(
+                    f"transcript source missing column {field.name!r}"
+                )
+            # nullable metadata (tool/role/ts) is legitimately absent
+            # from real dumps — and JSONL schema inference is per
+            # block, so hard-failing here would make ingestion crash
+            # or not depending on which rows landed in which block
+            cols[field.name] = pa.nulls(t.num_rows, field.type)
+            continue
         col = t[field.name]
         if pa.types.is_timestamp(field.type) and (
             pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
@@ -70,6 +82,20 @@ def _coerce(t: pa.Table) -> pa.Table:
                 raise ValueError(
                     f"unparseable ts strings (tried ISO/UTC casts + 3 formats): {last_err}"
                 )
+        elif pa.types.is_timestamp(field.type) and pa.types.is_integer(col.type):
+            # epoch integers: a blind cast to timestamp('us') would
+            # reinterpret seconds/millis AS microseconds (1970-01-20
+            # instead of 2024). Scale by magnitude — the unit bands are
+            # unambiguous for any date between 1971 and 5138.
+            mags = pc.abs(pc.cast(col, pa.int64()))
+            top = pc.max(mags).as_py() or 0
+            if top < 10**11:        # epoch seconds
+                factor = 1_000_000
+            elif top < 10**14:      # epoch milliseconds
+                factor = 1_000
+            else:                   # already microseconds
+                factor = 1
+            col = pc.multiply(pc.cast(col, pa.int64()), pa.scalar(factor, pa.int64()))
         cols[field.name] = pc.cast(col, field.type)
     return pa.table(cols)
 
@@ -78,16 +104,30 @@ def _detect(path: str) -> str:
     p = path
     if os.path.isdir(path):
         hits = sorted(_glob.glob(os.path.join(path, "*")))
-        files = [h for h in hits if os.path.isfile(h) and not h.endswith("_DONE")]
+        # metadata/sidecar files (_MANIFEST.json, _SUCCESS, .crc) must
+        # never be the format probe: '_' sorts before most uuid shard
+        # names, so a checkpoint-committed parquet dir would otherwise
+        # nondeterministically detect as jsonl
+        files = [
+            h for h in hits
+            if os.path.isfile(h) and not h.endswith("_DONE")
+            and not os.path.basename(h).startswith(("_", "."))
+        ]
         if not files:
-            raise ValueError(f"no files under {path}")
+            raise ValueError(f"no data files under {path}")
         p = files[0]
     ext = os.path.splitext(p)[1].lower()
-    return {
+    fmt = {
         ".parquet": "parquet",
-        ".json": "jsonl", ".jsonl": "jsonl",
+        ".json": "jsonl", ".jsonl": "jsonl", ".ndjson": "jsonl",
         ".csv": "csv",
-    }.get(ext, "parquet")
+    }.get(ext)
+    if fmt is None:
+        raise ValueError(
+            f"cannot detect transcript format from {p!r} — pass "
+            "format='parquet'|'jsonl'|'csv'"
+        )
+    return fmt
 
 
 def read_transcripts(path, format: str | None = None) -> "ray.data.Dataset":

@@ -71,10 +71,15 @@ class atomic_dir:
         # loss can persist the rename + manifest while the parquet
         # pages are still unflushed — is_complete() would then skip a
         # corrupt unit on every future resume.
-        for root, _dirs, files in os.walk(self.tmp):
+        for root, dirs, files in os.walk(self.tmp):
             for fname in files:
                 with open(os.path.join(root, fname), "rb") as df:
                     os.fsync(df.fileno())
+            # nested dirs too (partitioned output): an unfsynced
+            # subdirectory can lose its file ENTRIES across power loss
+            # even when the file contents were flushed
+            for dname in dirs:
+                self._fsync_dir(os.path.join(root, dname))
         mpath = os.path.join(self.tmp, MANIFEST)
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -82,9 +87,20 @@ class atomic_dir:
             os.fsync(f.fileno())
         self._fsync_dir(self.tmp)
         if os.path.exists(self.final):
-            shutil.rmtree(self.final)
+            # rename ASIDE first: an in-place rmtree(final) can crash
+            # half-done with the old manifest still present — a
+            # partial final dir that is_complete() trusts. Renames are
+            # atomic; the doomed copy is deleted only after the new
+            # one is in place.
+            doomed = self.final + ".old.tmp"
+            shutil.rmtree(doomed, ignore_errors=True)
+            os.rename(self.final, doomed)
+        else:
+            doomed = None
         os.rename(self.tmp, self.final)
         self._fsync_dir(os.path.dirname(self.final) or ".")
+        if doomed is not None:
+            shutil.rmtree(doomed, ignore_errors=True)
 
     @staticmethod
     def _fsync_dir(path: str) -> None:

@@ -70,3 +70,53 @@ def test_missing_column_raises(corpus, ray_session):
 
     with pytest.raises(ValueError, match="missing column"):
         _coerce(pa.table({"conv_id": pa.array(["a"], pa.string())}))
+
+
+def test_coerce_epoch_integers_and_absent_metadata(ray_session):
+    """Epoch-integer ts columns must scale by magnitude (a blind
+    cast-to-us reads epoch MILLISECONDS as 1970-01-20), and absent
+    nullable metadata (tool/role/ts) null-fills instead of crashing —
+    JSONL schema inference is per block, so a hard failure would be
+    data-placement-dependent."""
+    import datetime
+
+    import pyarrow as pa
+    from search_engine_ray.sources.transcripts import _coerce
+
+    base = {
+        "conv_id": pa.array(["a", "a"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["hello", "world"], pa.string()),
+        "role": pa.array(["user", "assistant"], pa.string()),
+        "tool": pa.array(["", ""], pa.string()),
+    }
+    want = datetime.datetime(2024, 8, 18, 16, 53, 20)
+    epoch_s = 1724000000
+    for vals, unit in ((epoch_s, "s"), (epoch_s * 1000, "ms"),
+                      (epoch_s * 1_000_000, "us")):
+        t = pa.table({**base, "ts": pa.array([vals, vals], pa.int64())})
+        out = _coerce(t)
+        assert out["ts"][0].as_py() == want, unit
+
+    # tool/ts absent entirely: null-filled, required columns enforced
+    out = _coerce(pa.table({k: v for k, v in base.items() if k != "tool"}))
+    assert out["tool"].null_count == 2
+    assert out.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_detect_skips_metadata_files(tmp_path):
+    """A checkpoint-committed parquet dir holds _MANIFEST.json, which
+    sorts before most uuid shard names — the format probe must skip
+    metadata/sidecar files, and unknown extensions must fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from search_engine_ray.sources.transcripts import _detect
+
+    pq.write_table(pa.table({"x": pa.array([1])}), str(tmp_path / "aa11_shard.parquet"))
+    (tmp_path / "_MANIFEST.json").write_text("{}")
+    (tmp_path / "_SUCCESS").write_text("")
+    assert _detect(str(tmp_path)) == "parquet"
+    with _pytest.raises(ValueError, match="cannot detect"):
+        _detect("dump.tsv")
