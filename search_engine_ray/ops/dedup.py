@@ -641,21 +641,112 @@ FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
 
 # ---- embedding cosine near-dup ----
 
-def dedup_embedding(sf_dir: str, threshold: float = 0.4):
-    """Pairs of embeddings with cosine >= threshold. Brute-force matmul
-    per batch against the (broadcast) normalized matrix — the baseline;
-    the scale path buckets by LSH first (see knn.knn_lsh)."""
+# number of doc-id chunks for the exact all-pairs tiling: each
+# unordered chunk pair (i <= j) becomes one groupby group of ~2N/B
+# rows, so B bounds group memory; the shuffle carries N x B rows (each
+# row replicated once per pair it participates in)
+_XP_CHUNKS = 8
+
+
+def _pair_empty() -> pa.Table:
+    return pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+
+def dedup_embedding(sf_dir: str, threshold: float = 0.4, chunks: int = _XP_CHUNKS):
+    """EXACT cosine near-dup pairs (cosine >= threshold) as a
+    distributed chunk-pair tiling: rows are assigned to ``chunks``
+    deterministic chunks, each row is replicated once per unordered
+    chunk pair it participates in, and one groupby co-locates every
+    (i, j) tile so a worker computes that tile's matmul. The driver
+    never reads the table and never holds the matrix; group memory is
+    bounded by ~2N/chunks rows. (An LSH-bucketed verify cannot serve
+    here: banding misses true pairs near the threshold, so it would not
+    reproduce the exact pair set the SQL oracle computes.)
+
+    Exact all-pairs is inherently O(N^2) flops — at 100 TB use
+    ``dedup_embedding_lsh``; this op is the exact baseline/oracle
+    anchor, kept scale-SAFE (streams, bounded groups) if not
+    scale-CHEAP. The single-broadcast brute variant lives in the test
+    suite only (``_dedup_embedding_brute``)."""
+    ds = _read_emb(sf_dir).materialize()  # reused by count + pipeline
+    if ds.count() == 0:
+        return ray.data.from_arrow(_pair_empty())
+
+    def tile_keys(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].to_numpy()
+        c = (vids % chunks).astype(np.int64)
+        reps = []
+        for j in range(chunks):
+            i = np.minimum(c, j)
+            k = np.maximum(c, j)
+            reps.append(
+                pa.table(
+                    {
+                        "pid": pa.array(i * chunks + k, pa.int64()),
+                        "chunk": pa.array(c, pa.int64()),
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(reps)
+
+    def tile_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _pair_empty()
+        pid = int(g["pid"][0].as_py())
+        i, j = pid // chunks, pid % chunks
+        vids = g["vec_id"].to_numpy()
+        v = _emb_matrix(g["embedding"])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        if i == j:
+            sims = v @ v.T
+            a, b = np.triu_indices(len(vids), k=1)
+            keep = sims[a, b] >= threshold
+            va, vb = vids[a[keep]], vids[b[keep]]
+            cos = sims[a[keep], b[keep]]
+        else:
+            side = g["chunk"].to_numpy() == i
+            ai, bi = np.flatnonzero(side), np.flatnonzero(~side)
+            sims = v[ai] @ v[bi].T
+            hit_a, hit_b = np.nonzero(sims >= threshold)
+            xa, xb = vids[ai[hit_a]], vids[bi[hit_b]]
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            cos = sims[hit_a, hit_b]
+        return pa.table(
+            {
+                "vec_a": pa.array(va.astype(np.int64), pa.int64()),
+                "vec_b": pa.array(vb.astype(np.int64), pa.int64()),
+                "cosine": pa.array(np.round(cos, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tile_keys, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(tile_pairs, batch_format="pyarrow")
+    )
+
+
+def _dedup_embedding_brute(sf_dir: str, threshold: float = 0.4):
+    """Single-broadcast brute baseline (driver reads the table, ships
+    the full normalized matrix once via ray.put) — test-suite oracle
+    for ``dedup_embedding``'s tiling; NOT registered as a gate entry
+    because the driver-side full-table read is the one shape that
+    cannot survive 100 TB (VERDICT r3 item 2)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
     ids = tbl["vec_id"].to_numpy()
     mat = _emb_matrix(tbl["embedding"])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
     def scan(t: pa.Table, _ref=ref) -> pa.Table:
-        # plain-function stage over the broadcast matrix (zero-copy
-        # plasma fetch per task; see ops/knn.knn_cosine's note)
         ids_b, mat_b = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
         v = _emb_matrix(t["embedding"], mat_b.shape[1])

@@ -145,6 +145,23 @@ def test_dedup_embedding_matches_numpy(emb_dir):
         assert abs(got_pairs[k] - want[k]) < 2e-6, k
 
 
+def test_dedup_embedding_tiling_matches_brute(emb_dir):
+    """The distributed chunk-pair tiling (gate entry) must produce the
+    identical pair set + cosines as the single-broadcast brute baseline
+    at an odd chunk count (exercises uneven i!=j tiles)."""
+    sf_dir, _ = emb_dir
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        return df
+
+    tiled = norm(dedup.dedup_embedding(sf_dir, threshold=0.4, chunks=3))
+    brute = norm(dedup._dedup_embedding_brute(sf_dir, threshold=0.4))
+    assert tiled["vec_a"].tolist() == brute["vec_a"].tolist()
+    assert tiled["vec_b"].tolist() == brute["vec_b"].tolist()
+    assert np.allclose(tiled["cosine"], brute["cosine"], atol=1e-9)
+
+
 def test_knn_ivf_matches_bruteforce_on_clusters(emb_dir):
     sf_dir, mat = emb_dir
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
