@@ -1402,10 +1402,12 @@ RAY_QUERIES = {
     "asof_range_join": asof_range_join,
     "events_sessionize": events_sessionize,
     "profile_table": profile_table,
-    "sample_fixed_k": sample_fixed_k,
 }
 
 RAY_QUERIES_AUX = {
+    # moved past the driver window in r4 to make room for the
+    # postings_extend core entry (r3-green; tools_verify still checks it)
+    "sample_fixed_k": sample_fixed_k,
     "flame_join_hash": flame_join_hash,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,

@@ -256,6 +256,101 @@ GROUP BY term, doc_id
 """
 
 
+# ---- incremental indexing (extend_index) as a checkable op ----
+
+_EXT_FRAC = 0.6  # share of conversations in the base build
+
+
+def _split_transcripts(sf_dir: str) -> tuple[str, str]:
+    """Cache a prefix/suffix split of the derived transcripts in
+    (conv_id, turn_idx) order: ``base`` holds the first ~60% of
+    conversations, ``ext`` the rest — the append-only stream shape
+    ``extend_index`` requires (every new key sorts after every old
+    key). Boundary picking reads one row per CONVERSATION via
+    ``unique`` (at 100 TB the boundary comes from partition stats or a
+    sample instead; the split itself stays a streamed filter+write)."""
+    fp = _fingerprint_file(f"{sf_dir}/documents.parquet")
+    base = os.path.join(_CACHE_ROOT, f"trbase-{fp}")
+    ext = os.path.join(_CACHE_ROOT, f"trext-{fp}")
+    if is_complete(base, fp) and is_complete(ext, fp):
+        return base, ext
+    tdir = transcripts_dir(sf_dir)
+    convs = sorted(read_parquet_light(tdir, columns=["conv_id"]).unique("conv_id"))
+    boundary = convs[max(1, int(len(convs) * _EXT_FRAC))] if len(convs) > 1 else None
+
+    def side(keep_base: bool):
+        ds = read_parquet_clean(tdir)
+        if boundary is None:  # single conversation: everything is base
+            if keep_base:
+                return ds
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        op = pc.less if keep_base else pc.greater_equal
+        return ds.map_batches(
+            lambda t: t.filter(op(t["conv_id"], pa.scalar(boundary))),
+            batch_format="pyarrow",
+        )
+
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    for out, keep_base in ((base, True), (ext, False)):
+        if not is_complete(out, fp):
+            with atomic_dir(out, fp, stage="trsplit") as ck:
+                side(keep_base).write_parquet(ck.tmp)
+                ck.commit()
+    return base, ext
+
+
+def ensure_extended_index(sf_dir: str) -> str:
+    """Index built on the base split then ``extend_index``-ed with the
+    tail — the incremental-indexing analog of the reference's
+    load_index/crawl_old skip (`Indexer.java:196-231`). Cached behind a
+    marker: an extended index must never be re-fed to ``build_index``
+    (its docs fingerprint changed by design), so a partial cache is
+    rebuilt from scratch instead of resumed."""
+    import shutil
+
+    from ..pipelines.build_index import extend_index
+
+    fp = _fingerprint_file(f"{sf_dir}/documents.parquet")
+    idx = os.path.join(_CACHE_ROOT, f"idxext-{fp}")
+    marker = os.path.join(idx, ".gate_extended")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fp:
+                return idx
+    base, ext = _split_transcripts(sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(stemming=False, positions=False)
+    build_index(base, idx, cfg, n_partitions=2)
+    extend_index(idx, ext, n_partitions=1)
+    with open(marker + ".tmp", "w") as f:
+        f.write(fp)
+    os.replace(marker + ".tmp", marker)
+    return idx
+
+
+def postings_extend(sf_dir: str):
+    """Decoded postings of the probe terms from the EXTENDED index —
+    gate-checked against the same full-corpus oracle as
+    ``postings_probe``, so build-on-subset + extend must be
+    postings-identical to a full rebuild (doc_ids keep the global
+    (conv_id, turn_idx)-rank semantics by continuing at N)."""
+    idx = ensure_extended_index(sf_dir)
+    li = LocalIndex(idx)
+    terms_out, docs_out, tfs_out = [], [], []
+    for term in _PROBE_TERMS:
+        ids, tfs = li.term_postings(term)
+        terms_out.extend([term] * len(ids))
+        docs_out.extend(ids.tolist())
+        tfs_out.extend(tfs.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
 # ---- BM25 top-k through the real engine, SQL-mirrored ----
 
 _BM25_QUERIES = [
@@ -984,6 +1079,7 @@ RAY_QUERIES = {
     "phrase_match": phrase_match,
     "transcripts_docids": transcripts_docids,
     "postings_probe": postings_probe_both,
+    "postings_extend": postings_extend,
     "conv_stats": conv_stats,
     "conv_context_windows": conv_context_windows,
     "conv_dedup": conv_dedup,
@@ -992,6 +1088,7 @@ RAY_QUERIES = {
 ORACLE_SQL = {
     "transcripts_docids": SQL_TRANSCRIPTS_DOCIDS,
     "postings_probe": SQL_POSTINGS_BOTH,
+    "postings_extend": SQL_POSTINGS_PROBE,
     "bm25_topk_and": _bm25_sql(True),
     "bm25_topk_or": _bm25_sql(False),
     "bm25_topk_filtered": _bm25_filtered_sql(),

@@ -107,8 +107,14 @@ class ShardedSearcher:
         self.shards = []
 
     def __del__(self):  # best-effort; explicit close() preferred
+        # NO ray.kill here: when a searcher dies inside a GC cycle
+        # (e.g. via a server's handler-closure cycle) the actor
+        # handles' own finalizers may run FIRST, and ray.kill on a
+        # deregistered handle aborts the whole process (core-worker
+        # CHECK in OnActorKilled). Dropping the references lets Ray's
+        # handle refcount terminate the actors.
         try:
-            self.close()
+            self.shards = []
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
 
@@ -416,8 +422,17 @@ class DocShardedSearcher:
         shutil.rmtree(self._layout_dir, ignore_errors=True)
 
     def __del__(self):  # best-effort; explicit close() preferred
+        # Same no-ray.kill rule as ShardedSearcher.__del__: inside a GC
+        # cycle the handle finalizers may have already deregistered the
+        # actors, and killing a deregistered handle is a process abort.
+        # Drop the references (Ray's refcount terminates the actors)
+        # and reclaim only the on-disk layout dir.
         try:
-            self.close()
+            self.shards = []
+            self._retired = []
+            import shutil
+
+            shutil.rmtree(self._layout_dir, ignore_errors=True)
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
 

@@ -215,3 +215,20 @@ def test_repartition_orders_docs_files_by_doc_range(ray_session, tmp_path, split
     assert after.N == n_before
     ids_after, _ = after.search("meetings", k=20, mode="OR")
     assert ids_before.tolist() == ids_after.tolist()
+
+
+def test_gate_split_has_nonempty_extension(ray_session):
+    """The postings_extend gate entry is only evidence if its split
+    leaves a real tail to extend with: both sides non-empty, every ext
+    key strictly after every base key."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.search_ops import _split_transcripts
+
+    base, ext = _split_transcripts("/root/testdata/sf0.001")
+    b = pq.read_table(base, columns=["conv_id"])
+    x = pq.read_table(ext, columns=["conv_id"])
+    assert b.num_rows > 0 and x.num_rows > 0
+    import pyarrow.compute as pc
+
+    assert pc.max(b["conv_id"]).as_py() < pc.min(x["conv_id"]).as_py()
