@@ -164,9 +164,11 @@ class DocShardActor:
     of the generation this actor belongs to, making restarts
     layout-consistent with the actor's own peers."""
 
-    def __init__(self, index_dir: str, layout_file: str, global_df: dict | None = None):
+    def __init__(self, index_dir: str, layout_file: str, global_df: dict | None = None,
+                 load_positions: bool = False):
         self._index_dir = index_dir
         self._layout_file = layout_file
+        self._load_positions = load_positions
         self._load(global_df)
 
     def _load(self, global_df: dict | None = None):
@@ -176,10 +178,16 @@ class DocShardActor:
             parts = [int(p) for p in json.load(f)["parts"]]
         if global_df is None:
             global_df = _load_global_df(self._index_dir)
-        self.index = LocalIndex(self._index_dir, parts=parts, global_df=global_df)
+        self.index = LocalIndex(
+            self._index_dir, parts=parts, global_df=global_df,
+            load_positions=self._load_positions,
+        )
 
     def search(self, query: str, k: int, mode: str):
         return self.index.search(query, k, mode=mode)
+
+    def phrase(self, phrase: str, k: int):
+        return self.index.phrase_search(phrase, k)
 
     def explain(self, query: str, mode: str):
         return self.index.explain(query, mode=mode)
@@ -201,11 +209,16 @@ class DocShardedSearcher:
     GLOBAL N / avgdl / df (df from the dictionary); the merge is just
     a concatenate + the shared deterministic top-k."""
 
-    def __init__(self, index_dir: str, n_shards: int = 4):
+    def __init__(self, index_dir: str, n_shards: int = 4,
+                 load_positions: bool = False):
         import uuid
 
         self.index_dir = index_dir
         self.n_shards = n_shards
+        # positions are opt-in for serving: each shard actor holds its
+        # terms' position blocks in memory, which a pure BM25 tier
+        # doesn't need — phrase() requires it (and says so)
+        self.load_positions = load_positions
         self.shards: list = []
         # per-searcher layout dir: restarted actors re-read their own
         # generation's parts assignment from here (see DocShardActor
@@ -333,7 +346,10 @@ class DocShardedSearcher:
         # actors load the df broadcast from disk themselves: restart-safe
         # (an ObjectRef constructor arg dies with the driver's ref)
         self.shards = [
-            DocShardActor.remote(self.index_dir, path) for path in paths
+            DocShardActor.remote(
+                self.index_dir, path, load_positions=self.load_positions
+            )
+            for path in paths
         ]
         ray.get([s.ping.remote() for s in self.shards])
         with open(os.path.join(self.index_dir, "meta.json")) as f:
@@ -359,7 +375,12 @@ class DocShardedSearcher:
         groups, _ = self._layout(self.index_dir, self.n_shards)
         self._gen += 1
         paths = self._write_layouts(groups)
-        fresh = [DocShardActor.remote(self.index_dir, p) for p in paths]
+        fresh = [
+            DocShardActor.remote(
+                self.index_dir, p, load_positions=self.load_positions
+            )
+            for p in paths
+        ]
         ray.get([a.ping.remote() for a in fresh])
         old, self.shards, self._groups = self.shards, fresh, groups
         # retire (don't kill) the old generation: an in-flight query —
@@ -449,6 +470,35 @@ class DocShardedSearcher:
         out = ray.get(self.shards[0].explain.remote(query, mode))
         out["note"] = "per-term doc_range is shard-0-local; stats are global"
         return out
+
+    def phrase(self, phrase: str, k: int = DEFAULT_TOP_K):
+        """Exact-phrase top-k through the doc-range shards, bit-identical
+        to ``LocalIndex.phrase_search`` over the whole index: doc ranges
+        partition the corpus, so the union of per-shard matches IS the
+        full match set; per-doc scores use the GLOBAL N/avgdl/df on
+        every shard; the merge reuses the shared deterministic top-k
+        kernel (reference serving surface parity: the positions
+        capability of `Search.java:198` exposed end-to-end)."""
+        from ..functions import scoring
+
+        if not (self.load_positions and self.cfg.positions):
+            raise ValueError(
+                "phrase() requires a positions-built index and a "
+                "searcher constructed with load_positions=True"
+            )
+        self._reap_retired()
+        shards = self.shards  # one snapshot (see search_many)
+        parts = ray.get([s.phrase.remote(phrase, k) for s in shards])
+        ids = (
+            np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        scores = (
+            np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        )
+        if ids.size == 0:
+            return ids.astype(np.int64), scores
+        idx = scoring.topk_indices(scores, ids, k)
+        return ids[idx], scores[idx]
 
     def search_many(self, queries: list[tuple[str, int]], mode: str = "OR"):
         """Pipelined multi-query evaluation: ALL (query x shard) calls

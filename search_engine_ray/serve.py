@@ -128,19 +128,31 @@ class DocStore:
         return out
 
 
+def _positions_enabled(index_dir: str) -> bool:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return bool(json.load(f)["config"].get("positions", False))
+
+
 class SearchServer:
     """``GET /search?query=...&k=...&mode=AND|OR`` -> JSON
     ``{"query": ..., "results": [{rank, doc_id, score, conv_id,
     turn_idx, snippet}, ...]}`` (plus ``"spellcheck": [...]`` when the
     query was corrected, mirroring the reference response shape,
-    `Search.java:340-341`); ``GET /healthz`` -> ok."""
+    `Search.java:340-341`); ``GET /phrase?query=...&k=...`` -> the
+    same result shape via exact-phrase matching over the stored
+    positions (no spellcheck — a phrase query is exact by contract);
+    ``GET /healthz`` -> ok."""
 
     def __init__(self, index_dir: str, searcher=None, port: int = 0,
                  spellcheck: bool = True):
         if searcher is None:
             from .pipelines.search import DocShardedSearcher
 
-            searcher = DocShardedSearcher(index_dir)
+            # load positions when the index stores them, so /phrase
+            # works out of the box on a default-built index
+            searcher = DocShardedSearcher(
+                index_dir, load_positions=_positions_enabled(index_dir)
+            )
         self.searcher = searcher
         self._index_dir = index_dir
         self._spellcheck = spellcheck
@@ -217,6 +229,43 @@ class SearchServer:
                         self._json(501, {"error": "searcher has no explain"})
                     else:
                         self._json(200, exp(query, mode=mode))
+                    return
+                if u.path == "/phrase":
+                    qs = parse_qs(u.query)
+                    query = (qs.get("query") or [""])[0]
+                    if not query:
+                        self._json(400, {"error": "missing query parameter"})
+                        return
+                    try:
+                        k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
+                    except ValueError:
+                        self._json(400, {"error": "k must be an integer"})
+                        return
+                    if not 1 <= k <= MAX_K:
+                        self._json(400, {"error": f"k must be in [1, {MAX_K}]"})
+                        return
+                    ph = getattr(outer.searcher, "phrase", None)
+                    if ph is None:
+                        self._json(501, {"error": "searcher has no phrase support"})
+                        return
+                    try:
+                        ids, scores = ph(query, k=k)
+                    except ValueError as ex:
+                        # positions missing: a client error (wrong index /
+                        # server config), not a 500
+                        self._json(400, {"error": str(ex)})
+                        return
+                    meta = outer.docs.lookup(ids)
+                    results = [
+                        {
+                            "rank": r + 1,
+                            "doc_id": int(d),
+                            "score": float(s),
+                            **meta.get(int(d), {}),
+                        }
+                        for r, (d, s) in enumerate(zip(ids, scores))
+                    ]
+                    self._json(200, {"query": query, "results": results})
                     return
                 if u.path != "/search":
                     self._json(404, {"error": "unknown route"})
@@ -359,7 +408,13 @@ def serve(index_dir: str, port: int = 8080, n_shards: int = 4):
     """Blocking entry point: build the sharded searcher and serve."""
     from .pipelines.search import DocShardedSearcher
 
-    srv = SearchServer(index_dir, DocShardedSearcher(index_dir, n_shards), port)
+    srv = SearchServer(
+        index_dir,
+        DocShardedSearcher(
+            index_dir, n_shards, load_positions=_positions_enabled(index_dir)
+        ),
+        port,
+    )
     print(f"serving index {index_dir} on http://127.0.0.1:{srv.port}/search")
     try:
         srv.httpd.serve_forever()

@@ -651,3 +651,85 @@ def test_http_rejects_bad_k_and_mode(index_dir):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_doc_sharded_phrase_matches_local(index_dir):
+    """phrase() through the doc-range shards must be bit-identical to
+    LocalIndex.phrase_search over the whole index (global stats; the
+    shared deterministic top-k merge)."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir, load_positions=True)
+    sharded = DocShardedSearcher(index_dir, n_shards=3, load_positions=True)
+    try:
+        for ph in ["running meetings", "the of", "w0017 runs", "zzznope nothere"]:
+            ids_l, sc_l = local.phrase_search(ph, k=25)
+            ids_s, sc_s = sharded.phrase(ph, k=25)
+            assert ids_l.tolist() == ids_s.tolist(), ph
+            assert sc_l.tolist() == sc_s.tolist(), ph
+        # a searcher without positions refuses rather than returning a
+        # correct-looking empty result
+        nopos = DocShardedSearcher(index_dir, n_shards=2)
+        try:
+            with pytest.raises(ValueError, match="positions"):
+                nopos.phrase("running meetings")
+        finally:
+            nopos.close()
+        # phrase survives a blue-green refresh (new generation keeps
+        # load_positions)
+        sharded.refresh()
+        ids_r, sc_r = sharded.phrase("running meetings", k=25)
+        ids_l2, _ = local.phrase_search("running meetings", k=25)
+        assert ids_r.tolist() == ids_l2.tolist()
+    finally:
+        sharded.close()
+
+
+def test_http_phrase_endpoint(index_dir):
+    """GET /phrase returns the same top-k as LocalIndex.phrase_search,
+    with snippets; bad k and positions-less searchers answer 4xx/501."""
+    import json as json_
+    import urllib.error
+    import urllib.request
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    local = LocalIndex(index_dir, load_positions=True)
+    # default searcher: SearchServer reads meta.json and enables
+    # positions automatically on a positions-built index
+    srv = SearchServer(index_dir).start()
+    try:
+        for ph in ["running meetings", "the of"]:
+            url = (f"http://127.0.0.1:{srv.port}/phrase"
+                   f"?query={ph.replace(' ', '+')}&k=10")
+            with urllib.request.urlopen(url) as resp:
+                assert resp.status == 200
+                payload = json_.loads(resp.read())
+            ids, scores = local.phrase_search(ph, k=10)
+            assert [r["doc_id"] for r in payload["results"]] == ids.tolist()
+            assert np.allclose([r["score"] for r in payload["results"]], scores)
+            for r in payload["results"]:
+                assert "snippet" in r and "conv_id" in r
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/phrase?query=x&k=0")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+        srv.searcher.close()
+    # a server whose searcher lacks positions answers 400, not 500
+    nopos = DocShardedSearcher(index_dir, n_shards=2)
+    srv2 = SearchServer(index_dir, nopos).start()
+    try:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv2.port}/phrase?query=running+meetings"
+            )
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv2.stop()
+        nopos.close()
