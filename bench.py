@@ -186,7 +186,8 @@ def bench_queries(run_tag: str) -> dict:
 
 GATE_OPS = [
     "bm25_topk_or", "term_stats", "dedup_minhash_lsh", "knn_cosine",
-    "events_windows", "dup_span_fraction", "unigram_logprob", "conv_dedup",
+    "events_windows", "dup_span_fraction", "dup_span_approx",
+    "unigram_logprob", "conv_dedup",
 ]
 
 

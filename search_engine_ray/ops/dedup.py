@@ -1144,6 +1144,113 @@ GROUP BY t.doc_id
 """
 
 
+# ---- approximate dup-span: broadcast Bloom filter of dup shingles ----
+
+_BLOOM_K = 3            # probes per key (Kirsch-Mitzenmacher double hashing)
+_BLOOM_BITS_PER_KEY = 16  # ~0.1% theoretical fp at k=3
+_BLOOM_MAX_BITS = 1 << 30  # 128 MB broadcast cap; beyond this, block the filter
+
+
+def _bloom_indices(h: np.ndarray, m: int, i: int) -> np.ndarray:
+    """i-th probe index for 60-bit keys: (h_lo + i*h_hi) mod m with m a
+    power of two (double hashing — k independent-enough probes from one
+    stored hash, no rehash of the strings)."""
+    hu = h.astype(np.uint64)
+    lo = hu & np.uint64(m - 1)
+    hi = (hu >> np.uint64(30)) | np.uint64(1)
+    return (lo + np.uint64(i) * hi) & np.uint64(m - 1)
+
+
+def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KEY):
+    """``dup_span_fraction`` with the second all-to-all exchange
+    replaced by a broadcast Bloom filter — the 100 TB shape named in
+    the exact op's docstring. The df>=2 shingle set (far smaller than
+    the shingle stream) is folded into per-batch bitmaps that OR into
+    one filter; probing then happens INSIDE the shingle map, so the
+    only wide operations left are the df groupby and the final per-doc
+    groupby of int rows.
+
+    Error is one-sided: Bloom false positives can only OVERCOUNT
+    ``n_dup`` (never undercount), bounded by the sizing (~0.1%
+    theoretical at 16 bits/key, k=3). ``n_sh`` stays exact. At corpus
+    sizes where the filter would exceed the broadcast cap, shard it by
+    shingle-hash range and probe each block (documented, not needed at
+    bench scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
+    shingles = (
+        ds.map_batches(lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow")
+        .select_columns(["doc_id", "sh"])
+        .materialize()
+    )
+    if shingles.count() == 0:
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64()),
+                       ("n_dup", pa.int64()), ("dup_ppm", pa.int64())])
+        )
+    dup_sh = (
+        shingles.groupby("sh")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_keys = dup_sh.count()
+    m = 1024
+    while m < n_keys * bits_per_key and m < _BLOOM_MAX_BITS:
+        m <<= 1
+
+    def build_bitmap(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m >> 6, dtype=np.uint64)
+        h = t["sh"].to_numpy()
+        for i in range(_BLOOM_K):
+            idx = _bloom_indices(h, m, i)
+            np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
+
+    # per-batch partial bitmaps OR-reduced on the driver: the reduce
+    # input is n_batches x m/8 bytes of BITMAP, never the key stream
+    # (at extreme batch counts this becomes a tree reduce)
+    bitmap = np.zeros(m >> 6, dtype=np.uint64)
+    if n_keys:
+        for part in dup_sh.map_batches(build_bitmap, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for bm in part["bm"]:
+                bitmap |= np.frombuffer(bm.as_py(), dtype=np.uint64)
+    ref = ray.put(bitmap)
+
+    def probe(t: pa.Table, _ref=ref) -> pa.Table:
+        bits = ray.get(_ref)
+        h = t["sh"].to_numpy()
+        present = np.ones(len(h), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = _bloom_indices(h, m, i)
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            present &= ((word >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pa.table(
+            {"doc_id": t["doc_id"], "is_dup": pa.array(present.astype(np.int64), pa.int64())}
+        )
+
+    per_doc = (
+        shingles.map_batches(probe, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup"))
+    )
+
+    def ppm(t: pa.Table) -> pa.Table:
+        n_sh = t["n_sh"].to_numpy().astype(np.float64)
+        n_dup = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.floor(n_dup * 1e6 / n_sh + 0.5).astype(np.int64)
+        return t.append_column("dup_ppm", pa.array(out, pa.int64()))
+
+    return per_doc.map_batches(ppm, batch_format="pyarrow")
+
+
 # ---- incremental dedup: a new batch arriving against an existing
 #      corpus (the dedup twin of the index `extend` path). A new doc is
 #      dropped if any existing doc shares its content hash; among new
@@ -1259,6 +1366,13 @@ RAY_QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dup_span_fraction": dup_span_fraction,
     "dedup_incremental": dedup_incremental,
+}
+
+# rows-only aux entry (approximate by design — no SQL twin): the
+# driver records the weaker rows-only check; the one-sided-error bound
+# is pytest-enforced against the exact gate entry
+RAY_QUERIES_AUX = {
+    "dup_span_approx": dup_span_fraction_approx,
 }
 
 ORACLE_SQL = {

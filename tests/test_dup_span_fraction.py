@@ -45,3 +45,45 @@ def test_dup_span_fraction_counts(ray_session, tmp_path):
     # unique and short docs have zero duplicated spans
     assert out.loc[2, "n_dup"] == 0 and out.loc[2, "dup_ppm"] == 0
     assert out.loc[4, "n_sh"] == 1 and out.loc[4, "n_dup"] == 0
+
+
+def test_dup_span_approx_one_sided_and_tight(ray_session, tmp_path):
+    """The broadcast-Bloom path: per-doc n_dup_approx >= n_dup_exact
+    (false positives only — a true dup shingle can never be missed),
+    n_sh identical, and total overcount bounded well under the sizing's
+    theoretical fp rate on a corpus with many unique shingles."""
+    import numpy as np
+
+    from search_engine_ray.ops.dedup import dup_span_fraction_approx
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i:04d}" for i in range(400)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(120)]
+    docs += docs[:10]  # 10 exact copies: every shingle of those is dup
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    exact = (
+        dup_span_fraction(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    approx = (
+        dup_span_fraction_approx(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (approx["n_sh"] == exact["n_sh"]).all()
+    diff = approx["n_dup"] - exact["n_dup"]
+    assert (diff >= 0).all(), "Bloom must never undercount dups"
+    total = int(exact["n_sh"].sum())
+    assert int(diff.sum()) <= max(2, int(0.01 * total)), (
+        f"fp overcount {int(diff.sum())} of {total} probes"
+    )
+    # the copies must read fully-duplicated through the approx path too
+    assert (approx.loc[120:, "dup_ppm"] == 1_000_000).all()
