@@ -1,11 +1,17 @@
 """Query serving: sharded actors, batch evaluation, result materialize.
 
+- ``DocShardedSearcher`` is THE serving tier (and the default
+  everywhere): per-query network is O(k) result rows.
 - ``ShardedSearcher``: term-range-sharded index actors (the Ray analog
   of the reference's KVS-resident index served by point gets per term,
   `/root/reference/src/cis5550/jobs/Search.java:236`). Each actor loads
   its term shard ONCE in ``__init__``; queries fan out per term and the
   driver finishes with the shared scoring kernel, so results are
-  bit-identical to ``LocalIndex``.
+  bit-identical to ``LocalIndex``. NON-PRODUCTION: it ships O(df)
+  posting bytes to the driver per query and measured slower than
+  doc-sharding (r1 bench: 118 ms vs 72 ms p95) — kept only as the
+  reference-analog for tests/study; nothing in serve.py or bench.py
+  constructs it.
 - ``evaluate_queries``: batch path — a Dataset of queries mapped over
   an actor pool whose actors hold a ``LocalIndex`` (used by the test
   suite and the bench's throughput measurement).

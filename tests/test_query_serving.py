@@ -733,3 +733,25 @@ def test_http_phrase_endpoint(index_dir):
     finally:
         srv2.stop()
         nopos.close()
+
+
+def test_doc_sharding_is_the_default_serving_tier(index_dir):
+    """Pointer test for the serving docs: every production entry point
+    (SearchServer default, serve()) constructs a DocShardedSearcher;
+    the term-sharded ShardedSearcher is a test-only reference-analog
+    and must not appear on any production path."""
+    import inspect
+
+    from search_engine_ray import serve as serve_mod
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    srv = SearchServer(index_dir, spellcheck=False)
+    try:
+        assert isinstance(srv.searcher, DocShardedSearcher)
+    finally:
+        srv.searcher.close()
+    src = inspect.getsource(serve_mod)
+    assert "DocShardedSearcher" in src
+    # the term-sharded analog is never referenced by the serving module
+    assert "ShardedSearcher(" not in src.replace("DocShardedSearcher(", "")
