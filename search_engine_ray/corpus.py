@@ -67,14 +67,18 @@ def make_transcripts(
     mean_tokens: int = 30,
     long_turn_every: int = 997,
     empty_turn_every: int = 499,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """Seeded transcript table in the input_hint schema, sorted by
-    (conv_id, turn_idx)."""
+    (conv_id, turn_idx). ``conv_offset`` shifts the conversation ids
+    (and timestamps) so independently generated chunks concatenate into
+    one key-ordered corpus — the chunked/parallel generation path of
+    ``write_transcripts`` for corpora too big to build in one table."""
     rng = np.random.default_rng(seed)
     n = n_convs * turns_per_conv
     vocab = _vocab(vocab_size)
 
-    conv_num = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv_num = np.repeat(np.arange(n_convs) + conv_offset, turns_per_conv)
     turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), n_convs)
     conv_id = np.array([f"conv-{i:08d}" for i in conv_num], dtype=object)
     role = _ROLES[(conv_num + turn_idx) % 3]
@@ -110,7 +114,8 @@ def make_transcripts(
 
     text = np.array(joined, dtype=object)
     ts = (np.datetime64("2026-01-01T00:00:00", "us")
-          + np.arange(n).astype("timedelta64[s]") * 60).astype("datetime64[us]")
+          + (np.arange(n) + conv_offset * turns_per_conv).astype("timedelta64[s]")
+          * 60).astype("datetime64[us]")
     return pa.table(
         {
             "conv_id": pa.array(conv_id, pa.string()),
@@ -146,6 +151,20 @@ def make_queries(n_queries: int = 50, seed: int = 43) -> pd.DataFrame:
     )
 
 
+# one generation chunk: bounds single-process memory (a 2.4M-turn chunk
+# peaks at a few GB of intermediate object arrays) and sets the unit of
+# parallel generation for corpora beyond it
+_CHUNK_CONVS = 240_000
+
+
+def _write_chunk_files(table: pa.Table, out_dir: str, chunk: int, n_files: int) -> None:
+    n = table.num_rows
+    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    for i in range(n_files):
+        part = table.slice(bounds[i], bounds[i + 1] - bounds[i])
+        pq.write_table(part, os.path.join(out_dir, f"part-{chunk:03d}-{i:05d}.parquet"))
+
+
 def write_transcripts(
     out_dir: str,
     n_convs: int,
@@ -157,7 +176,14 @@ def write_transcripts(
     """Materialize a transcript corpus as a directory of parquet files
     (cached: skipped when the directory already exists with a _DONE
     marker). ``shuffle_files`` writes rows in a deterministic non-sorted
-    order to exercise the doc-id sort path."""
+    order to exercise the doc-id sort path.
+
+    Corpora beyond ``_CHUNK_CONVS`` conversations are generated as
+    parallel Ray tasks, one key-ordered chunk each (``conv_offset``
+    keeps ids/timestamps globally ordered, chunk-indexed seeds keep it
+    deterministic) — a 24M-turn corpus would otherwise take minutes of
+    driver-side single-threaded generation and tens of GB of
+    intermediate object arrays in one process."""
     params = f"{n_convs},{turns_per_conv},{seed},{n_files},{shuffle_files}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
@@ -169,15 +195,44 @@ def write_transcripts(
 
         _sh.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    table = make_transcripts(n_convs=n_convs, turns_per_conv=turns_per_conv, seed=seed)
-    n = table.num_rows
-    if shuffle_files:
-        perm = np.random.default_rng(seed + 1).permutation(n)
-        table = table.take(pa.array(perm))
-    bounds = np.linspace(0, n, n_files + 1).astype(int)
-    for i in range(n_files):
-        part = table.slice(bounds[i], bounds[i + 1] - bounds[i])
-        pq.write_table(part, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    if n_convs <= _CHUNK_CONVS:
+        table = make_transcripts(
+            n_convs=n_convs, turns_per_conv=turns_per_conv, seed=seed
+        )
+        n = table.num_rows
+        if shuffle_files:
+            perm = np.random.default_rng(seed + 1).permutation(n)
+            table = table.take(pa.array(perm))
+        _write_chunk_files(table, out_dir, 0, n_files)
+    else:
+        if shuffle_files:
+            raise ValueError("shuffle_files is single-chunk only")
+        import ray
+
+        if not ray.is_initialized():  # standalone script use
+            ray.init(address="local", include_dashboard=False)
+
+        n_chunks = -(-n_convs // _CHUNK_CONVS)
+        files_per_chunk = max(1, n_files // n_chunks)
+
+        # num_cpus=8 bounds concurrent chunk generators: each peaks at
+        # a few GB of object-array intermediates, so a 32-CPU node runs
+        # ~4 at a time instead of 10+
+        @ray.remote(num_cpus=8)
+        def gen_chunk(ci: int, lo: int, hi: int) -> int:
+            t = make_transcripts(
+                n_convs=hi - lo, turns_per_conv=turns_per_conv,
+                seed=seed + ci, conv_offset=lo,
+            )
+            _write_chunk_files(t, out_dir, ci, files_per_chunk)
+            return t.num_rows
+
+        futs = [
+            gen_chunk.remote(ci, ci * _CHUNK_CONVS, min((ci + 1) * _CHUNK_CONVS, n_convs))
+            for ci in range(n_chunks)
+        ]
+        total = sum(ray.get(futs))
+        assert total == n_convs * turns_per_conv, (total, n_convs * turns_per_conv)
     with open(done, "w") as f:
         f.write(params)
     return out_dir
