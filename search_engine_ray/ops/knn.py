@@ -547,6 +547,181 @@ def train_ivf_centroids(
     return centroids
 
 
+# ---- product quantization: compressed-domain ANN (the memory-scale
+#      lever beyond IVF/LSH — a 64-dim float32 vector becomes m=8
+#      uint8 codes, 32x smaller, scanned via per-query lookup tables) ----
+
+_PQ_M = 8          # subspaces
+_PQ_K = 16         # centroids per subspace (codes fit uint8 with room)
+_PQ_REFINE = 4     # rerank pool = _TOP_K * _PQ_REFINE approx candidates
+
+
+def train_pq_codebooks(
+    sf_dir: str, m: int = _PQ_M, k: int = _PQ_K, n_iters: int = 5,
+    sample_fraction: float = 0.5, seed: int = 17,
+):
+    """Per-subspace k-means over a sample (product quantization, Jégou
+    et al. 2011): the same distributed partial-sums shape as
+    ``train_ivf_centroids`` but keyed (sub, cid, dim) — one map_batches
+    pass per Lloyd iteration, one tiny groupby reduce; the driver holds
+    only the (m, k, dim/m) codebook tensor. Vectors are L2-normalized
+    BEFORE splitting so PQ-approximate dot products estimate cosine."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["embedding"])), batch_format="pyarrow"
+    )
+    sample = ds.random_sample(sample_fraction, seed=seed).materialize()
+    init = sample.limit(k).take_all()
+    if not init:
+        raise ValueError("empty training sample")
+    mat = np.stack([r["embedding"] for r in init]).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    while dim % m:
+        m -= 1  # largest feasible subspace count <= requested
+    dsub = dim // m
+    k_eff = min(k, mat.shape[0])
+    # init: the first k sampled (normalized) rows, per subspace
+    books = np.stack([mat[:k_eff, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(n_iters):
+        ref = ray.put(books)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            b = ray.get(_ref)  # (m, k, dsub)
+            v = _emb_matrix(t["embedding"], b.shape[0] * b.shape[2])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            mm, kk, dd = b.shape
+            sub = np.empty(0)
+            cols = {"sub": [], "cid": [], "dim": [], "s": [], "n": []}
+            for s in range(mm):
+                vs = v[:, s * dd:(s + 1) * dd]
+                # L2 assignment: argmin ||x - c||^2 = argmax (x.c - |c|^2/2)
+                a = np.argmax(vs @ b[s].T - 0.5 * (b[s] ** 2).sum(1)[None, :], axis=1)
+                sums = np.zeros((kk, dd))
+                np.add.at(sums, a, vs)
+                counts = np.bincount(a, minlength=kk)
+                cols["sub"].append(np.full(kk * dd, s))
+                cols["cid"].append(np.repeat(np.arange(kk), dd))
+                cols["dim"].append(np.tile(np.arange(dd), kk))
+                cols["s"].append(sums.reshape(-1))
+                cols["n"].append(np.repeat(counts, dd))
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(cols["sub"]), pa.int32()),
+                    "cid": pa.array(np.concatenate(cols["cid"]), pa.int32()),
+                    "dim": pa.array(np.concatenate(cols["dim"]), pa.int32()),
+                    "s": pa.array(np.concatenate(cols["s"]), pa.float64()),
+                    "n": pa.array(np.concatenate(cols["n"]), pa.int64()),
+                }
+            )
+
+        rows = (
+            sample.map_batches(partial, batch_format="pyarrow")
+            .groupby(["sub", "cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )  # m * k * dsub tiny rows
+        new = books.copy()
+        acc = np.zeros((m, k_eff, dsub))
+        cnt = np.zeros((m, k_eff))
+        for r in rows:
+            acc[r["sub"], r["cid"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                cnt[r["sub"], r["cid"]] = r["n"]
+        nz = cnt > 0
+        new[nz] = acc[nz] / cnt[nz][:, None]
+        books = new
+    return books
+
+
+def pq_encode(ds, books: np.ndarray):
+    """(vec_id, codes) with codes a fixed_size_list<uint8, m> — the
+    32x-compressed index a PQ deployment stores instead of the float
+    vectors. Stateless map over a broadcast codebook tensor."""
+    ref = ray.put(books)
+    mm, _kk, dd = books.shape
+
+    def enc(t: pa.Table, _ref=ref) -> pa.Table:
+        b = ray.get(_ref)
+        v = _emb_matrix(t["embedding"], mm * dd)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(v), mm), dtype=np.uint8)
+        for s in range(mm):
+            vs = v[:, s * dd:(s + 1) * dd]
+            codes[:, s] = np.argmax(
+                vs @ b[s].T - 0.5 * (b[s] ** 2).sum(1)[None, :], axis=1
+            ).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), mm
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def knn_pq(sf_dir: str, refine: int = _PQ_REFINE):
+    """PQ-ANN with asymmetric-distance scan + exact rerank: per query
+    build an (m x k) lookup table of subspace dot products once, scan
+    each batch's codes as LUT sums (pure integer indexing — this is
+    what a compressed-domain scan costs at 100 TB), keep the top
+    ``refine * k`` approximate candidates per batch, and rerank those
+    few with true cosines so reported sims are exact. Rows-only entry
+    (approximation quality is pytest-bounded vs brute force)."""
+    books = train_pq_codebooks(sf_dir)
+    qids, qmat = _load_queries(sf_dir)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    mm, kk, dd = books.shape
+    # (n_queries, m, k) LUT: lut[q, s, c] = q_sub(s) . codebook[s, c]
+    lut = np.einsum("qsd,scd->qsc", qnorm.reshape(len(qnorm), mm, dd), books)
+    ref = ray.put((qids, qnorm, lut, books))
+    pool = _TOP_K * refine
+
+    def scan(t: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q, lut_b, b = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        v = _emb_matrix(t["embedding"], mm * dd)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(v), mm), dtype=np.int64)
+        for s in range(mm):
+            vs = v[:, s * dd:(s + 1) * dd]
+            codes[:, s] = np.argmax(
+                vs @ b[s].T - 0.5 * (b[s] ** 2).sum(1)[None, :], axis=1
+            )
+        out = {"qid": [], "vec_id": [], "sim": []}
+        sub_idx = np.arange(mm)
+        for qi_pos, qi in enumerate(q_ids):
+            approx = lut_b[qi_pos][sub_idx[None, :], codes].sum(axis=1)
+            approx[vids == qi] = -np.inf
+            n_keep = min(pool, len(approx))
+            cand = np.argpartition(-approx, n_keep - 1)[:n_keep]
+            cand = cand[np.isfinite(approx[cand])]
+            if cand.size == 0:
+                continue
+            sims = np.round(v[cand] @ q[qi_pos], 6)  # exact rerank
+            out["qid"].extend([int(qi)] * cand.size)
+            out["vec_id"].extend(vids[cand].tolist())
+            out["sim"].extend(sims.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    ds = _read_emb(sf_dir)
+    scored = ds.map_batches(scan, batch_format="pyarrow")
+    return _topk_per_qid(scored)
+
+
 def embedding_quantize(sf_dir: str):
     """Per-vector int8 scalar quantization (min/max affine) — the
     memory-scale path for ANN: 4x smaller than float32, 8x smaller than
@@ -697,6 +872,12 @@ RAY_QUERIES = {
     "knn_lsh": knn_lsh_modes,
     "knn_ivf": knn_ivf,
     "embedding_stats": embedding_stats,
+}
+
+# rows-only aux entry (sampled k-means codebooks — no SQL twin; recall
+# vs brute force is pytest-bounded)
+RAY_QUERIES_AUX = {
+    "knn_pq": knn_pq,
 }
 
 ORACLE_SQL = {

@@ -442,3 +442,32 @@ ray.shutdown()
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().startswith("OK"), (out.stdout, out.stderr[-1000:])
+
+
+def test_knn_pq_recall_and_compression(emb_dir):
+    """PQ-ANN: asymmetric-distance scan + exact rerank recalls the
+    brute-force top-5 on the clustered fixture; reported sims are true
+    cosines; pq_encode emits the 1-byte-per-subspace compressed codes."""
+    sf_dir, mat = emb_dir
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exact = {}
+    for q in range(5):
+        s = np.round(sims[q], 6)
+        cand = np.arange(len(mat))
+        mask = cand != q
+        order = np.lexsort((cand[mask], -s[mask]))[:5]
+        exact[q] = set(cand[mask][order].tolist())
+    got = knn.knn_pq(sf_dir).to_pandas()
+    for _, r in got.iterrows():
+        assert abs(r["sim"] - round(sims[int(r["qid"]), int(r["vec_id"])], 6)) < 1e-6
+    recalls = [len(set(got[got["qid"] == q]["vec_id"].astype(int)) & exact[q]) / 5 for q in range(5)]
+    assert np.mean(recalls) >= 0.8, recalls
+
+    books = knn.train_pq_codebooks(sf_dir)
+    ds = knn._read_emb(sf_dir)
+    codes = knn.pq_encode(ds, books).to_pandas()
+    assert len(codes) == len(mat)
+    m = books.shape[0]
+    assert all(len(c) == m for c in codes["codes"])
+    assert all(0 <= int(x) < books.shape[1] for c in codes["codes"] for x in c)
