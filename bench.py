@@ -322,6 +322,11 @@ def run_big24_child(corpus_dir: str, num_cpus: int, out_path: str) -> None:
     evidence."""
     import logging
 
+    # serving-actor memo sized to the 10x shard depth (set BEFORE
+    # ray.init so workers inherit it): the default 1 GiB budget
+    # eviction-thrashes on this query mix's hot-term working set
+    os.environ.setdefault("SERAY_CACHE_BUDGET_BYTES", str(4 << 30))
+
     import ray
     from ray.data import DataContext
 

@@ -151,6 +151,29 @@ def split_tokens_arrow(texts: pa.Array, cfg: IndexConfig):
     return parents.astype(np.int64), flat, positions, lens, doclens
 
 
+def count_tokens_arrow(texts: pa.Array, cfg: IndexConfig) -> np.ndarray:
+    """doclen-only twin of ``split_tokens_arrow``: counts maximal
+    ``[0-9a-z]+`` runs after the identical fill/truncate/strip/lower
+    chain — one C regex pass, no token materialization. The docs stage
+    needs ONLY doclen; at 24M turns the full split (plus numpy-object
+    conversion) made stage A cost as much as the entire posting wave.
+    Equality with split_tokens_arrow's doclens is property-tested."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0:
+        return np.empty(0, np.int32)
+    texts = pc.fill_null(texts, "")
+    clipped = pc.utf8_slice_codeunits(texts, 0, cfg.max_text_len)
+    if cfg.strip_html:
+        clipped = strip_html_array(clipped)
+    lowered = pc.utf8_lower(clipped)
+    return (
+        pc.count_substring_regex(lowered, "[0-9a-z]+")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+    )
+
+
 def split_tokens(texts: pa.Array, cfg: IndexConfig):
     """Like ``split_tokens_arrow`` but with tokens as a numpy object
     array (for consumers doing python-level set ops on tokens)."""

@@ -44,7 +44,11 @@ import ray.data
 from ..io import read_parquet_clean
 
 from ..config import IndexConfig
-from ..stages.doc_ids import assign_doc_ids, assign_doc_ids_files
+from ..stages.doc_ids import (
+    assign_doc_ids,
+    assign_doc_ids_files,
+    assign_doc_ids_files_to,
+)
 from ..stages.index_build import PartialIndexBuilder, build_partials_task
 from ..stages.merge import merge_partials
 from ..state.checkpoint import atomic_dir, is_complete, read_manifest
@@ -143,15 +147,19 @@ def build_index(
             return _finish_build(
                 index_dir, cfg, n_partitions, stop_after_partition, concurrency, builder, timings
             )
-        ids = None
-        if isinstance(source, (str, list)):
-            # prefix-sum fast path: no all-to-all when files are already
-            # (conv_id, turn_idx)-ordered (SURVEY.md §7.2 step 3)
-            ids = assign_doc_ids_files(_expand(source), cfg)
-            if ids is not None:
-                timings["docs_path"] = "prefix_sum"
         with atomic_dir(docs_dir, fp, stage="docs") as ck:
-            if ids is None:
+            res = None
+            if isinstance(source, (str, list)):
+                # prefix-sum fast path: no all-to-all when files are
+                # already (conv_id, turn_idx)-ordered (SURVEY.md §7.2
+                # step 3); tasks write straight into the checkpoint tmp
+                # and return their counts (no object-store transit, no
+                # second counting pass)
+                res = assign_doc_ids_files_to(_expand(source), ck.tmp, cfg)
+            if res is not None:
+                timings["docs_path"] = "prefix_sum"
+                n_docs, sum_dl = res
+            else:
                 timings["docs_path"] = "sort"
                 ds = (
                     read_parquet_clean(_expand(source))
@@ -159,18 +167,18 @@ def build_index(
                     else source
                 )
                 ids = assign_doc_ids(ds, cfg)
-            ids.write_parquet(ck.tmp)
-            # count/sum from the files just written — calling
-            # count()/sum() on the lazy dataset would re-execute the
-            # whole doc-id pipeline twice more
-            import pyarrow.parquet as _pq
+                ids.write_parquet(ck.tmp)
+                # count/sum from the files just written — calling
+                # count()/sum() on the lazy dataset would re-execute
+                # the whole doc-id pipeline twice more
+                import pyarrow.parquet as _pq
 
-            n_docs = 0
-            sum_dl = 0
-            for f in _glob.glob(os.path.join(ck.tmp, "*.parquet")):
-                n_docs += _pq.read_metadata(f).num_rows
-                dl = _pq.read_table(f, columns=["doclen"])["doclen"]
-                sum_dl += int(np.sum(dl.to_numpy())) if len(dl) else 0
+                n_docs = 0
+                sum_dl = 0
+                for f in _glob.glob(os.path.join(ck.tmp, "*.parquet")):
+                    n_docs += _pq.read_metadata(f).num_rows
+                    dl = _pq.read_table(f, columns=["doclen"])["doclen"]
+                    sum_dl += int(np.sum(dl.to_numpy())) if len(dl) else 0
             ck.commit(N=n_docs, sum_doclen=sum_dl)
         timings["docs"] = round(time.monotonic() - t0, 3)
 
@@ -237,11 +245,6 @@ def extend_index(
                 f"extension keys must sort after existing keys: "
                 f"new first {first_key} <= existing last {last_key}"
             )
-        ids = assign_doc_ids_files(new_files, cfg, offset=n_old)
-        if ids is None:
-            ids = assign_doc_ids(
-                read_parquet_clean(new_files), cfg, offset=n_old
-            )
         # crash-safe apply: target names derive deterministically from
         # ext_fp, so a rerun after a mid-apply crash overwrites the same
         # files instead of appending duplicates; any files from a crash
@@ -250,16 +253,23 @@ def extend_index(
         stage = os.path.join(docs_dir, "_ext.tmp")
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
-        ids.write_parquet(stage)
-        n_new = 0
-        sum_new = 0
-        import pyarrow.parquet as pq
+        res = assign_doc_ids_files_to(new_files, stage, cfg, offset=n_old)
+        if res is not None:
+            n_new, sum_new = res
+        else:
+            ids = assign_doc_ids(
+                read_parquet_clean(new_files), cfg, offset=n_old
+            )
+            ids.write_parquet(stage)
+            n_new = 0
+            sum_new = 0
+            import pyarrow.parquet as pq
 
+            for f in _glob.glob(os.path.join(stage, "*.parquet")):
+                n_new += pq.read_metadata(f).num_rows
+                dl = pq.read_table(f, columns=["doclen"])["doclen"]
+                sum_new += int(np.sum(dl.to_numpy())) if len(dl) else 0
         staged = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
-        for i, f in enumerate(staged):
-            n_new += pq.read_metadata(f).num_rows
-            dl = pq.read_table(f, columns=["doclen"])["doclen"]
-            sum_new += int(np.sum(dl.to_numpy())) if len(dl) else 0
         for i, f in enumerate(staged):
             os.replace(f, os.path.join(docs_dir, f"{ext_tag}-{i:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)

@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..functions.analysis import split_tokens
+from ..functions.analysis import count_tokens_arrow
 
 
 @ray.remote
@@ -90,9 +90,31 @@ def _add_ids_local(table: pa.Table, offset: int, cfg: IndexConfig, compute_docle
     doc_id = pa.array(offset + np.arange(table.num_rows, dtype=np.int64), pa.int64())
     out = table.append_column("doc_id", doc_id)
     if compute_doclen:
-        *_, doclens = split_tokens(table["text"].combine_chunks(), cfg)
+        # count-only kernel: stage A needs just doclen, never the
+        # tokens — the full split here doubled build tokenization cost
+        doclens = count_tokens_arrow(table["text"].combine_chunks(), cfg)
         out = out.append_column("doclen", pa.array(doclens, pa.int32()))
     return out
+
+
+def _ordered_offsets(files: list[str], offset: int) -> "np.ndarray | None":
+    """Per-file doc_id offsets when the files are globally
+    (conv_id, turn_idx)-ordered, else None (cheap distributed scan of
+    just the two key columns)."""
+    infos = ray.get([_file_order_info.remote(f) for f in files])
+    prev_last = None
+    for info in infos:
+        if not info["sorted"]:
+            return None
+        if info["rows"] == 0:
+            continue
+        if prev_last is not None and info["first"] < prev_last:
+            return None
+        prev_last = info["last"]
+    rows = np.asarray([i["rows"] for i in infos], dtype=np.int64)
+    offsets = offset + np.concatenate([[0], np.cumsum(rows)[:-1]])
+    # zero-row files keep a placeholder offset; callers skip them
+    return np.where(rows > 0, offsets, -1)
 
 
 def assign_doc_ids_files(
@@ -108,25 +130,72 @@ def assign_doc_ids_files(
     cfg = cfg or IndexConfig()
     if not files:
         return None
-    infos = ray.get([_file_order_info.remote(f) for f in files])
-    prev_last = None
-    for info in infos:
-        if not info["sorted"]:
-            return None
-        if info["rows"] == 0:
-            continue
-        if prev_last is not None and info["first"] < prev_last:
-            return None
-        prev_last = info["last"]
-    offsets = offset + np.concatenate([[0], np.cumsum([i["rows"] for i in infos])[:-1]])
+    offsets = _ordered_offsets(files, offset)
+    if offsets is None:
+        return None
     refs = [
         _file_with_ids.remote(f, int(off), cfg, compute_doclen)
-        for f, off, info in zip(files, offsets, infos)
-        if info["rows"] > 0
+        for f, off in zip(files, offsets)
+        if off >= 0
     ]
     if not refs:
         return None
     return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _file_write_ids(
+    path: str, out_path: str, offset: int, cfg: IndexConfig, compute_doclen: bool
+) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    t = _add_ids_local(pq.read_table(path), offset, cfg, compute_doclen)
+    pq.write_table(t, out_path)
+    sum_dl = (
+        int(np.sum(t["doclen"].to_numpy(), dtype=np.int64)) if compute_doclen else 0
+    )
+    return t.num_rows, sum_dl
+
+
+def assign_doc_ids_files_to(
+    files: list[str],
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    compute_doclen: bool = True,
+    offset: int = 0,
+) -> "tuple[int, int] | None":
+    """Prefix-sum fast path that WRITES the docs store directly from
+    each file task and returns ``(n_docs, sum_doclen)`` — no
+    table ever transits the object store and no second pass re-reads
+    the output to count it. At 24M turns the dataset-shaped variant
+    pinned ~7 GB of result tables (forcing spill under a capped store)
+    and then re-read every written file for its stats; this shape is
+    file -> file, embarrassingly parallel, O(1) driver memory. Returns
+    None when the input is not globally ordered (caller falls back to
+    the sort path)."""
+    import os
+
+    cfg = cfg or IndexConfig()
+    if not files:
+        return None
+    offsets = _ordered_offsets(files, offset)
+    if offsets is None:
+        return None
+    refs = [
+        _file_write_ids.remote(
+            f, os.path.join(out_dir, f"docs-{i:05d}.parquet"),
+            int(off), cfg, compute_doclen,
+        )
+        for i, (f, off) in enumerate(zip(files, offsets))
+        if off >= 0
+    ]
+    if not refs:
+        return None
+    results = ray.get(refs)
+    return (
+        int(sum(r[0] for r in results)),
+        int(sum(r[1] for r in results)),
+    )
 
 
 def assign_doc_ids(

@@ -85,8 +85,10 @@ class _LRUBytes:
 # postings are ~24 B/posting and score arrays 8 B/posting, so 1 GB
 # holds the working set of a 50-query reference mix over millions of
 # docs; a too-small budget causes eviction thrash (re-decoding a hot
-# term costs seconds at 10^6 postings).
-CACHE_BUDGET_BYTES = 1 << 30
+# term costs seconds at 10^6 postings). Env-tunable: a serving actor
+# over a 10x-deep doc shard needs a proportionally bigger memo or the
+# warm working set no longer fits (size it to shard df volume).
+CACHE_BUDGET_BYTES = int(os.environ.get("SERAY_CACHE_BUDGET_BYTES", 1 << 30))
 
 # OR-mode strategy thresholds — shared by score_decoded_terms (the
 # branch predicates) and LocalIndex.explain (the reported strategy), so

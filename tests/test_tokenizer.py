@@ -108,3 +108,39 @@ def test_analyze_query():
 
     terms, so = analyze_query("cats CATS cat")
     assert terms == ["cat"]
+
+
+def test_count_tokens_matches_split(ray_session):
+    """The doclen-only count kernel (stage-A fast path) must equal
+    split_tokens_arrow's doclens on adversarial strings and on the
+    synthetic corpus, for both html-stripping configs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.functions.analysis import (
+        count_tokens_arrow,
+        split_tokens_arrow,
+    )
+
+    fixed = pa.array(
+        ["", None, "   ", "a", "A!B?c", "héllo wörld", "İstanbul K x",
+         "<b>html</b> & <i>tags</i>", "x" * 20_000, "1a2b3c", "\t\n ",
+         "ab" * 6_000],
+        pa.string(),
+    )
+    corpus = make_transcripts(n_convs=50, turns_per_conv=5)["text"].combine_chunks()
+    for cfg in (IndexConfig(), IndexConfig(strip_html=False)):
+        for texts in (fixed, corpus):
+            *_, want = split_tokens_arrow(texts, cfg)
+            got = count_tokens_arrow(texts, cfg)
+            assert np.array_equal(want, got)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(max_size=300), max_size=8))
+    def prop(texts):
+        arr = pa.array(texts, pa.string())
+        cfg = IndexConfig()
+        *_, want = split_tokens_arrow(arr, cfg)
+        assert np.array_equal(want, count_tokens_arrow(arr, cfg))
+
+    prop()
