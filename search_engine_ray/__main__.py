@@ -64,9 +64,19 @@ def cmd_query(a) -> int:
     from .pipelines.search import DocShardedSearcher, ShardedSearcher, materialize_results
     import pandas as pd
 
-    cls = DocShardedSearcher if a.doc_sharded else ShardedSearcher
-    searcher = cls(a.index, n_shards=a.shards)
-    ids, scores = searcher.search(a.text, k=a.k, mode=a.mode)
+    if a.term_sharded:
+        if a.phrase:
+            print("--phrase requires the doc-sharded tier (the default)")
+            return 2
+        searcher = ShardedSearcher(a.index, n_shards=a.shards)
+    else:
+        searcher = DocShardedSearcher(
+            a.index, n_shards=a.shards, load_positions=a.phrase
+        )
+    if a.phrase:
+        ids, scores = searcher.phrase(a.text, k=a.k)
+    else:
+        ids, scores = searcher.search(a.text, k=a.k, mode=a.mode)
     topk = pd.DataFrame(
         {"rank": range(1, len(ids) + 1), "doc_id": ids, "score": scores}
     )
@@ -200,8 +210,11 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", choices=["AND", "OR"], default="OR")
     q.add_argument("--shards", type=int, default=4)
-    q.add_argument("--doc-sharded", action="store_true",
-                   help="doc-range shards (O(k) per-query network) instead of term shards")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase match over stored positions")
+    q.add_argument("--term-sharded", action="store_true",
+                   help="term-range shards (reference analog; ships O(df) "
+                        "posting bytes per query — study only, not serving)")
     q.set_defaults(fn=cmd_query)
 
     bt = sub.add_parser("batch", help="evaluate a parquet of queries")

@@ -30,9 +30,13 @@ def test_cli_build_query_compact(tmp_path, fmt):
     meta = json.loads(r.stdout[r.stdout.index("{"):])
     assert meta["N"] == 150
 
-    r = run("query", "--index", idx, "running meetings", "-k", "5", "--doc-sharded")
+    r = run("query", "--index", idx, "running meetings", "-k", "5")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "doc_id" in r.stdout and "snippet" in r.stdout
+
+    r = run("query", "--index", idx, "running meetings", "-k", "5", "--phrase")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doc_id" in r.stdout
 
     r = run("compact", "--index", idx, "-p", "1")
     assert r.returncode == 0, r.stderr[-2000:]
