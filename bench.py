@@ -176,6 +176,7 @@ def _serving_latencies(idx: str, n_shards: int, warm_passes: int = 2,
         searcher.close()
     return {
         "serving_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+        "serving_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "serving_mean_ms": round(float(np.mean(lat)) * 1000, 2),
         "serving_samples": len(lat),
     }
@@ -547,25 +548,30 @@ def _hash_kernel_rates(n: int = 1_000_000) -> dict:
 def fast_hash_delta(sf_dir: str, num_cpus: int, md5_times: dict) -> dict:
     """Production-hash evidence, per VERDICT r2 item 6: (a) the kernel
     rate of md5-60 vs vectorized xxhash (the real per-row win), and (b)
-    an op-level A/B — the hash-heaviest gate ops re-timed in a fresh
-    subprocess with SERAY_FAST_HASH=1 so the xxhash path engages in
-    every Ray worker. At sf benchmark sizes (b) is within host noise
-    because those ops are shuffle-dominated; (a) is what scales."""
-    out = os.path.join(BENCH_ROOT, "fast-hash.json")
-    env = dict(os.environ)
-    env["SERAY_FAST_HASH"] = "1"
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--hash-child",
-         "--sf-dir", sf_dir, "--cpus", str(num_cpus), "--out", out],
-        check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        stdout=subprocess.DEVNULL, env=env,
-    )
-    with open(out) as f:
-        fast = json.load(f)
+    an op-level A/B — the hash-heaviest gate ops timed in fresh,
+    BACK-TO-BACK child processes for both hash configs (one leg each,
+    adjacent in time): earlier rounds compared the xx child against
+    md5 numbers from minutes earlier in the run, and host-capacity
+    drift dwarfed the delta. At sf benchmark sizes (b) is still mostly
+    shuffle/scheduling; (a) is what scales."""
+    legs = {}
+    for label, flag in (("md5_60", "0"), ("xxhash", "1")):
+        out = os.path.join(BENCH_ROOT, f"fast-hash-{label}.json")
+        env = dict(os.environ)
+        env["SERAY_FAST_HASH"] = flag
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--hash-child",
+             "--sf-dir", sf_dir, "--cpus", str(num_cpus), "--out", out],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL, env=env,
+        )
+        with open(out) as f:
+            legs[label] = json.load(f)
     return {
         "kernel_rows_per_sec": _hash_kernel_rates(),
-        "md5_60": {k: md5_times[k] for k in _FAST_HASH_OPS if k in md5_times},
-        "xxhash": fast,
+        "in_run_md5_60": {k: md5_times[k] for k in _FAST_HASH_OPS if k in md5_times},
+        "md5_60": legs["md5_60"],
+        "xxhash": legs["xxhash"],
     }
 
 
