@@ -531,7 +531,11 @@ class LocalIndex:
         # mirror score_decoded_terms' actual branch order: the large-N
         # multi-term fallback picks dense vs sorted-merge by posting
         # volume at decode time, so label it by that condition rather
-        # than claiming dense unconditionally
+        # than claiming dense unconditionally. The kernel gates on the
+        # query's decoded doc-id SPAN; N upper-bounds that span, so
+        # these labels are conservative — a query whose postings
+        # cluster in a narrow id range (or any doc-range shard) can
+        # upgrade from sorted-merge to dense/maxscore at decode time.
         total_df = sum(t["df"] for t in out_terms)
         strategy = (
             # AND with ANY missing term short-circuits to empty in
@@ -598,6 +602,21 @@ def score_decoded_terms(
         # argpartition would raise (k=0) or silently mis-rank (k<0);
         # callers like evaluate_queries feed k from unvalidated data
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    # Accumulators and the dense-vs-merge gates are sized by the doc-id
+    # SPAN of this query's postings, not the corpus N (which stays the
+    # BM25 idf/avgdl input): a doc-range shard of a 24M-doc corpus
+    # holds ids in a ~N/shards window, so global-N sizing allocated a
+    # 192 MB zeroed accumulator per query per shard AND pushed shards
+    # into the sorted-merge fallback (shard volume never reaches
+    # N_global/4). Bit-exactness is unaffected — every branch sums
+    # per-doc contributions in analyzer term order.
+    nonempty = [d for d in decoded if d[1].size]
+    if nonempty:
+        lo = min(int(d[1][0]) for d in nonempty)
+        hi = max(int(d[1][-1]) for d in nonempty)
+        n_span = hi - lo + 1
+    else:
+        lo, n_span = 0, 0
     if mode == "AND":
         cand = decoded[0][1]
         for _, ids, _, _, _ in decoded[1:]:
@@ -616,14 +635,15 @@ def score_decoded_terms(
     elif (
         upper_bounds is not None
         and len(decoded) > 1
-        and N <= MAXSCORE_MAX_N
+        and n_span <= MAXSCORE_MAX_N
         and (
-            N <= DENSE_MIN_N
-            or DENSE_VOLUME_FACTOR * sum(d[1].size for d in decoded) >= N
+            n_span <= DENSE_MIN_N
+            or DENSE_VOLUME_FACTOR * sum(d[1].size for d in decoded) >= n_span
         )
-        # volume gate: a few-rare-terms query on a huge shard must not
-        # pay O(N) zeroed accumulators + per-term seen-scans — the
-        # sorted-merge fallback below is exact and O(V log V)
+        # volume gate: a few-rare-terms query spanning a huge id range
+        # must not pay O(span) zeroed accumulators + per-term
+        # seen-scans — the sorted-merge fallback below is exact and
+        # O(V log V)
     ):
         # ---- MaxScore (the OR-mode analog of block-max WAND): process
         # terms in descending upper-bound order; once the best possible
@@ -636,8 +656,8 @@ def score_decoded_terms(
         # sharded evaluation stay bit-identical. ----
         ubs = np.asarray(upper_bounds, dtype=np.float64)
         order = np.argsort(-ubs, kind="stable")
-        acc = np.zeros(N, dtype=np.float64)
-        seen = np.zeros(N, dtype=bool)
+        acc = np.zeros(n_span, dtype=np.float64)
+        seen = np.zeros(n_span, dtype=bool)
         rem = float(ubs.sum())
         n_seen = 0
         kth = -np.inf
@@ -645,42 +665,51 @@ def score_decoded_terms(
         for oi in order:
             term, ids, tfs, dls, df = decoded[oi]
             rem -= float(ubs[oi])
+            loc = ids - lo  # span-local accumulator index
             if admitting:
                 sc = score_cache.get(term) if score_cache is not None else None
                 if sc is None:
                     sc = scoring.bm25_term_scores(tfs, dls, N, df, avgdl, cfg.k1, cfg.b)
                     if score_cache is not None:
                         score_cache[term] = sc
-                acc[ids] += sc
+                acc[loc] += sc
                 if n_seen < k:
                     # incremental: count only the docs this term adds,
-                    # never a full O(N) seen.sum() scan per term
-                    n_seen += int(np.count_nonzero(~seen[ids]))
-                seen[ids] = True
+                    # never a full O(span) seen.sum() scan per term
+                    n_seen += int(np.count_nonzero(~seen[loc]))
+                seen[loc] = True
                 if n_seen >= k:
-                    # O(N) boolean gather, but bounded: this branch
-                    # requires volume >= N/DENSE_VOLUME_FACTOR, and it
-                    # runs at most once per ADMITTED term
+                    # O(span) boolean gather, but bounded: this branch
+                    # requires volume >= span/DENSE_VOLUME_FACTOR, and
+                    # it runs at most once per ADMITTED term
                     vals = acc[seen]
                     kth = float(np.partition(vals, len(vals) - k)[len(vals) - k])
                     if rem < kth:
                         admitting = False
             else:
-                # non-essential: score only the already-seen candidates —
-                # never materialize the full score array (and don't
-                # cache a partial one)
-                mask = seen[ids]
+                # non-essential: add only the already-seen candidates'
+                # contributions. With a score cache (the serving path)
+                # the FULL per-term array is computed once and cached —
+                # the same policy as every other branch, so a warm
+                # query stream degenerates to pure gathers; without a
+                # cache (one-shot batch eval) compute just the mask.
+                mask = seen[loc]
                 if not mask.any():
                     continue
                 cached = score_cache.get(term) if score_cache is not None else None
+                if cached is None and score_cache is not None:
+                    cached = scoring.bm25_term_scores(
+                        tfs, dls, N, df, avgdl, cfg.k1, cfg.b
+                    )
+                    score_cache[term] = cached
                 if cached is not None:
                     sc = cached[mask]
                 else:
                     sc = scoring.bm25_term_scores(
                         tfs[mask], dls[mask], N, df, avgdl, cfg.k1, cfg.b
                     )
-                acc[ids[mask]] += sc
-        doc_ids = np.flatnonzero(seen)
+                acc[loc[mask]] += sc
+        doc_ids = np.flatnonzero(seen) + lo
         # final scores re-accumulated in the FIXED analyzer term order:
         # the ub-descending pass above decides ADMISSION only. Float
         # addition is order-sensitive at the ulp level, and the
@@ -690,7 +719,7 @@ def score_decoded_terms(
         # dense/sorted-merge branches.
         scores = np.zeros(doc_ids.size, dtype=np.float64)
         for term, ids, tfs, dls, df in decoded:
-            mask = seen[ids]
+            mask = seen[ids - lo]
             if not mask.any():
                 continue
             sc = score_cache.get(term) if score_cache is not None else None
@@ -718,15 +747,16 @@ def score_decoded_terms(
         else:
             ids = np.concatenate(all_ids)
             sc = np.concatenate(all_scores)
-            if N <= max(DENSE_MIN_N, DENSE_VOLUME_FACTOR * ids.size):
+            if n_span <= max(DENSE_MIN_N, DENSE_VOLUME_FACTOR * ids.size):
                 # dense accumulation (bincount is fast C); per-query
-                # memory is O(N) so this is the small-shard path — the
-                # sorted-merge path below handles shards too large for
-                # a dense vector. BM25 term scores are strictly
-                # positive, so nonzero accumulated score == hit.
-                acc = np.bincount(ids, weights=sc, minlength=N)
-                doc_ids = np.flatnonzero(acc)
-                scores = acc[doc_ids]
+                # memory is O(span), so a doc-range shard pays its own
+                # width, never the corpus N — the sorted-merge path
+                # below handles spans too wide for a dense vector. BM25
+                # term scores are strictly positive, so nonzero
+                # accumulated score == hit.
+                acc = np.bincount(ids - lo, weights=sc, minlength=n_span)
+                doc_ids = np.flatnonzero(acc) + lo
+                scores = acc[doc_ids - lo]
             else:
                 doc_ids, inv = np.unique(ids, return_inverse=True)
                 scores = np.zeros(doc_ids.size, dtype=np.float64)
