@@ -212,6 +212,8 @@ def main(argv=None) -> int:
     q.add_argument("--shards", type=int, default=4)
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase match over stored positions")
+    q.add_argument("--doc-sharded", action="store_true",
+                   help=argparse.SUPPRESS)  # no-op compat: now the default
     q.add_argument("--term-sharded", action="store_true",
                    help="term-range shards (reference analog; ships O(df) "
                         "posting bytes per query — study only, not serving)")

@@ -213,12 +213,19 @@ def write_transcripts(
             ray.init(address="local", include_dashboard=False)
 
         n_chunks = -(-n_convs // _CHUNK_CONVS)
+        # NOTE: under chunking the file count is approximate
+        # (files_per_chunk * n_chunks); n_files is a layout hint, not a
+        # contract — consumers glob the directory.
         files_per_chunk = max(1, n_files // n_chunks)
 
-        # num_cpus=8 bounds concurrent chunk generators: each peaks at
-        # a few GB of object-array intermediates, so a 32-CPU node runs
-        # ~4 at a time instead of 10+
-        @ray.remote(num_cpus=8)
+        # a high num_cpus bounds concurrent chunk generators (each
+        # peaks at a few GB of object-array intermediates: a 32-CPU
+        # node runs ~4 at a time instead of 10+) — but it must never
+        # exceed the session's CPU total or every task is infeasible
+        # and ray.get hangs forever on small hosts/test sessions
+        task_cpus = max(1, min(8, int(ray.cluster_resources().get("CPU", 1))))
+
+        @ray.remote(num_cpus=task_cpus)
         def gen_chunk(ci: int, lo: int, hi: int) -> int:
             t = make_transcripts(
                 n_convs=hi - lo, turns_per_conv=turns_per_conv,

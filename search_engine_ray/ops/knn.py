@@ -595,7 +595,6 @@ def train_pq_codebooks(
             v = _emb_matrix(t["embedding"], b.shape[0] * b.shape[2])
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             mm, kk, dd = b.shape
-            sub = np.empty(0)
             cols = {"sub": [], "cid": [], "dim": [], "s": [], "n": []}
             for s in range(mm):
                 vs = v[:, s * dd:(s + 1) * dd]
@@ -668,12 +667,14 @@ def pq_encode(ds, books: np.ndarray):
 
 
 def knn_pq(sf_dir: str, refine: int = _PQ_REFINE):
-    """PQ-ANN with asymmetric-distance scan + exact rerank: per query
-    build an (m x k) lookup table of subspace dot products once, scan
-    each batch's codes as LUT sums (pure integer indexing — this is
-    what a compressed-domain scan costs at 100 TB), keep the top
-    ``refine * k`` approximate candidates per batch, and rerank those
-    few with true cosines so reported sims are exact. Rows-only entry
+    """PQ-ANN over the STORED codes: ``pq_encode`` materializes the
+    uint8 code table once (the 32x-compressed index a deployment keeps
+    instead of the float vectors), the scan touches ONLY codes — per
+    query an (m x k) lookup table of subspace dot products, summed by
+    integer indexing (what a compressed-domain scan costs at 100 TB) —
+    and the pooled top ``refine * k`` candidates per batch are exact-
+    reranked from a row-group-pruned point read of just their float
+    rows, so reported sims are true cosines. Rows-only entry
     (approximation quality is pytest-bounded vs brute force)."""
     books = train_pq_codebooks(sf_dir)
     qids, qmat = _load_queries(sf_dir)
@@ -681,21 +682,18 @@ def knn_pq(sf_dir: str, refine: int = _PQ_REFINE):
     mm, kk, dd = books.shape
     # (n_queries, m, k) LUT: lut[q, s, c] = q_sub(s) . codebook[s, c]
     lut = np.einsum("qsd,scd->qsc", qnorm.reshape(len(qnorm), mm, dd), books)
-    ref = ray.put((qids, qnorm, lut, books))
+    ref = ray.put((qids, lut))
     pool = _TOP_K * refine
 
     def scan(t: pa.Table, _ref=ref) -> pa.Table:
-        q_ids, q, lut_b, b = ray.get(_ref)
+        q_ids, lut_b = ray.get(_ref)
         vids = t["vec_id"].to_numpy()
-        v = _emb_matrix(t["embedding"], mm * dd)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        codes = np.empty((len(v), mm), dtype=np.int64)
-        for s in range(mm):
-            vs = v[:, s * dd:(s + 1) * dd]
-            codes[:, s] = np.argmax(
-                vs @ b[s].T - 0.5 * (b[s] ** 2).sum(1)[None, :], axis=1
-            )
-        out = {"qid": [], "vec_id": [], "sim": []}
+        arr = t["codes"].combine_chunks()
+        codes = (
+            arr.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(len(vids), mm)
+        )
+        out = {"qid": [], "vec_id": [], "approx": []}
         sub_idx = np.arange(mm)
         for qi_pos, qi in enumerate(q_ids):
             approx = lut_b[qi_pos][sub_idx[None, :], codes].sum(axis=1)
@@ -705,21 +703,60 @@ def knn_pq(sf_dir: str, refine: int = _PQ_REFINE):
             cand = cand[np.isfinite(approx[cand])]
             if cand.size == 0:
                 continue
-            sims = np.round(v[cand] @ q[qi_pos], 6)  # exact rerank
             out["qid"].extend([int(qi)] * cand.size)
             out["vec_id"].extend(vids[cand].tolist())
-            out["sim"].extend(sims.tolist())
+            out["approx"].extend(approx[cand].tolist())
         return pa.table(
             {
                 "qid": pa.array(out["qid"], pa.int64()),
                 "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "sim": pa.array(out["sim"], pa.float64()),
+                "approx": pa.array(out["approx"], pa.float64()),
             }
         )
 
-    ds = _read_emb(sf_dir)
-    scored = ds.map_batches(scan, batch_format="pyarrow")
-    return _topk_per_qid(scored)
+    codes_ds = pq_encode(_read_emb(sf_dir), books)
+    cand = codes_ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    empty = pa.table(
+        {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    if cand.empty:
+        return empty
+    # global per-query pool cut before paying the exact fetch — the
+    # driver holds only O(queries x pool) candidate rows
+    cand = (
+        cand.sort_values(["qid", "approx"], ascending=[True, False])
+        .groupby("qid").head(pool)
+    )
+    need = sorted(int(v) for v in cand["vec_id"].unique())
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", need)],
+    )
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+    fetched = tbl["vec_id"].to_numpy()
+    v = _emb_matrix(tbl["embedding"], mm * dd)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    row_of = {int(x): i for i, x in enumerate(fetched)}
+    out = {"qid": [], "vec_id": [], "sim": []}
+    for qi_pos, qi in enumerate(qids):
+        sub = cand[cand["qid"] == qi]
+        rows = np.asarray([row_of[int(x)] for x in sub["vec_id"] if int(x) in row_of])
+        if rows.size == 0:
+            continue
+        vv = np.asarray([int(x) for x in sub["vec_id"] if int(x) in row_of])
+        sims = np.round(v[rows] @ qnorm[qi_pos], 6)  # exact rerank
+        order = np.lexsort((vv, -sims))[:_TOP_K]
+        out["qid"].extend([int(qi)] * len(order))
+        out["vec_id"].extend(vv[order].tolist())
+        out["sim"].extend(sims[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "sim": pa.array(out["sim"], pa.float64()),
+        }
+    )
 
 
 def embedding_quantize(sf_dir: str):

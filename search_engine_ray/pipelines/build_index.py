@@ -44,11 +44,7 @@ import ray.data
 from ..io import read_parquet_clean
 
 from ..config import IndexConfig
-from ..stages.doc_ids import (
-    assign_doc_ids,
-    assign_doc_ids_files,
-    assign_doc_ids_files_to,
-)
+from ..stages.doc_ids import assign_doc_ids, assign_doc_ids_files_to
 from ..stages.index_build import PartialIndexBuilder, build_partials_task
 from ..stages.merge import merge_partials
 from ..state.checkpoint import atomic_dir, is_complete, read_manifest
@@ -168,17 +164,7 @@ def build_index(
                 )
                 ids = assign_doc_ids(ds, cfg)
                 ids.write_parquet(ck.tmp)
-                # count/sum from the files just written — calling
-                # count()/sum() on the lazy dataset would re-execute
-                # the whole doc-id pipeline twice more
-                import pyarrow.parquet as _pq
-
-                n_docs = 0
-                sum_dl = 0
-                for f in _glob.glob(os.path.join(ck.tmp, "*.parquet")):
-                    n_docs += _pq.read_metadata(f).num_rows
-                    dl = _pq.read_table(f, columns=["doclen"])["doclen"]
-                    sum_dl += int(np.sum(dl.to_numpy())) if len(dl) else 0
+                n_docs, sum_dl = _count_docs_files(ck.tmp)
             ck.commit(N=n_docs, sum_doclen=sum_dl)
         timings["docs"] = round(time.monotonic() - t0, 3)
 
@@ -261,14 +247,7 @@ def extend_index(
                 read_parquet_clean(new_files), cfg, offset=n_old
             )
             ids.write_parquet(stage)
-            n_new = 0
-            sum_new = 0
-            import pyarrow.parquet as pq
-
-            for f in _glob.glob(os.path.join(stage, "*.parquet")):
-                n_new += pq.read_metadata(f).num_rows
-                dl = pq.read_table(f, columns=["doclen"])["doclen"]
-                sum_new += int(np.sum(dl.to_numpy())) if len(dl) else 0
+            n_new, sum_new = _count_docs_files(stage)
         staged = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
         for i, f in enumerate(staged):
             os.replace(f, os.path.join(docs_dir, f"{ext_tag}-{i:05d}.parquet"))
@@ -584,6 +563,22 @@ def _finish_build(
         os.fsync(f.fileno())
     os.replace(mpath + ".tmp", mpath)
     return meta
+
+
+def _count_docs_files(d: str) -> tuple[int, int]:
+    """(rows, sum_doclen) of the docs files in ``d`` — the sort
+    fallback's counting pass (the prefix-sum fast path returns counts
+    from its write tasks instead; counting the lazy dataset would
+    re-execute the whole doc-id pipeline)."""
+    import pyarrow.parquet as pq
+
+    n_docs = 0
+    sum_dl = 0
+    for f in _glob.glob(os.path.join(d, "*.parquet")):
+        n_docs += pq.read_metadata(f).num_rows
+        dl = pq.read_table(f, columns=["doclen"])["doclen"]
+        sum_dl += int(np.sum(dl.to_numpy())) if len(dl) else 0
+    return n_docs, sum_dl
 
 
 def _pq_rows(path: str) -> int:

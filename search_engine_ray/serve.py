@@ -251,8 +251,15 @@ class SearchServer:
                     try:
                         ids, scores = ph(query, k=k)
                     except ValueError as ex:
-                        # positions missing: a client error (wrong index /
-                        # server config), not a 500
+                        # only the DRIVER-side positions precondition is
+                        # a client error; a shard-side ValueError (e.g.
+                        # a corrupted positions block) arrives wrapped
+                        # as RayTaskError(ValueError) and must surface
+                        # as a 500 through the outer handler
+                        import ray as _ray
+
+                        if isinstance(ex, _ray.exceptions.RayTaskError):
+                            raise
                         self._json(400, {"error": str(ex)})
                         return
                     meta = outer.docs.lookup(ids)

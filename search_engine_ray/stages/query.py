@@ -88,7 +88,20 @@ class _LRUBytes:
 # term costs seconds at 10^6 postings). Env-tunable: a serving actor
 # over a 10x-deep doc shard needs a proportionally bigger memo or the
 # warm working set no longer fits (size it to shard df volume).
-CACHE_BUDGET_BYTES = int(os.environ.get("SERAY_CACHE_BUDGET_BYTES", 1 << 30))
+def _cache_budget_from_env() -> int:
+    """Parse SERAY_CACHE_BUDGET_BYTES defensively: a malformed value
+    must not crash module import in every Ray worker, and a
+    non-positive one must not silently disable the memo (evict-on-
+    every-put). Falls back to the 1 GiB default with a floor."""
+    raw = os.environ.get("SERAY_CACHE_BUDGET_BYTES", "")
+    try:
+        val = int(raw)
+    except ValueError:
+        val = 0
+    return val if val >= (1 << 20) else (1 << 30)
+
+
+CACHE_BUDGET_BYTES = _cache_budget_from_env()
 
 # OR-mode strategy thresholds — shared by score_decoded_terms (the
 # branch predicates) and LocalIndex.explain (the reported strategy), so
