@@ -165,13 +165,26 @@ def _serving_latencies(idx: str, n_shards: int, warm_passes: int = 2,
     try:
         for _ in range(warm_passes):
             for q, k in zip(qdf["query"], qdf["k"]):
-                searcher.search(q, int(k), mode="OR")
+                searcher.search(q, int(k), mode="OR", result_cache=False)
         lat = []
+        # steady-state SCORING path (result cache bypassed): the
+        # round-over-round comparable metric — term decode/score memos
+        # warm, final top-k recomputed per query
+        for _ in range(timed_passes):
+            for q, k in zip(qdf["query"], qdf["k"]):
+                t0 = time.monotonic()
+                searcher.search(q, int(k), mode="OR", result_cache=False)
+                lat.append(time.monotonic() - t0)
+        # production path (per-shard result cache ON, deterministic ->
+        # bit-identical): one populating pass, then timed hits
+        for q, k in zip(qdf["query"], qdf["k"]):
+            searcher.search(q, int(k), mode="OR")
+        lat_rc = []
         for _ in range(timed_passes):
             for q, k in zip(qdf["query"], qdf["k"]):
                 t0 = time.monotonic()
                 searcher.search(q, int(k), mode="OR")
-                lat.append(time.monotonic() - t0)
+                lat_rc.append(time.monotonic() - t0)
     finally:
         searcher.close()
     return {
@@ -179,6 +192,8 @@ def _serving_latencies(idx: str, n_shards: int, warm_passes: int = 2,
         "serving_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "serving_mean_ms": round(float(np.mean(lat)) * 1000, 2),
         "serving_samples": len(lat),
+        "serving_result_cache_p95_ms": round(float(np.percentile(lat_rc, 95)) * 1000, 2),
+        "serving_result_cache_p50_ms": round(float(np.percentile(lat_rc, 50)) * 1000, 2),
     }
 
 

@@ -189,11 +189,11 @@ class DocShardActor:
             load_positions=self._load_positions,
         )
 
-    def search(self, query: str, k: int, mode: str):
-        return self.index.search(query, k, mode=mode)
+    def search(self, query: str, k: int, mode: str, result_cache: bool = True):
+        return self.index.search(query, k, mode=mode, result_cache=result_cache)
 
-    def phrase(self, phrase: str, k: int):
-        return self.index.phrase_search(phrase, k)
+    def phrase(self, phrase: str, k: int, result_cache: bool = True):
+        return self.index.phrase_search(phrase, k, result_cache=result_cache)
 
     def explain(self, query: str, mode: str):
         return self.index.explain(query, mode=mode)
@@ -463,8 +463,10 @@ class DocShardedSearcher:
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
 
-    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR"):
-        return self.search_many([(query, k)], mode=mode)[0]
+    def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR",
+               result_cache: bool = True):
+        return self.search_many([(query, k)], mode=mode,
+                                result_cache=result_cache)[0]
 
     def explain(self, query: str, mode: str = "OR") -> dict:
         """Query debugging through shard 0 (df/upper bounds are GLOBAL
@@ -506,11 +508,14 @@ class DocShardedSearcher:
         idx = scoring.topk_indices(scores, ids, k)
         return ids[idx], scores[idx]
 
-    def search_many(self, queries: list[tuple[str, int]], mode: str = "OR"):
+    def search_many(self, queries: list[tuple[str, int]], mode: str = "OR",
+                    result_cache: bool = True):
         """Pipelined multi-query evaluation: ALL (query x shard) calls
         are launched before any result is gathered, so shard actors
         work on query i+1 while the driver merges query i — higher
-        throughput than sequential search() at identical results."""
+        throughput than sequential search() at identical results.
+        ``result_cache=False`` forces every shard down the scoring path
+        (the bench's steady-state scoring metric)."""
         self._reap_retired()  # grace-expired old generations
         from ..functions import scoring
 
@@ -518,7 +523,8 @@ class DocShardedSearcher:
         # self.shards mid-call must not mix layout generations
         shards = self.shards
         futures = [
-            [s.search.remote(q, k, mode) for s in shards] for q, k in queries
+            [s.search.remote(q, k, mode, result_cache) for s in shards]
+            for q, k in queries
         ]
         out = []
         for (q, k), futs in zip(queries, futures):

@@ -755,3 +755,82 @@ def test_doc_sharding_is_the_default_serving_tier(index_dir):
     assert "DocShardedSearcher" in src
     # the term-sharded analog is never referenced by the serving module
     assert "ShardedSearcher(" not in src.replace("DocShardedSearcher(", "")
+
+
+def test_result_cache_bit_identical_and_bounded(index_dir):
+    """The serving-tier result cache: a hit is bit-identical to the
+    scoring path, caller mutation cannot poison it, and full-ranking
+    (huge-k) calls are never cached."""
+    li = LocalIndex(index_dir)
+    q, k = "running meetings", 25
+    cold_ids, cold_sc = li.search(q, k, mode="OR", result_cache=False)
+    warm1 = li.search(q, k, mode="OR")  # populates
+    warm2 = li.search(q, k, mode="OR")  # hits
+    assert warm1[0].tolist() == cold_ids.tolist() == warm2[0].tolist()
+    assert np.array_equal(warm1[1], cold_sc)
+    assert np.array_equal(warm2[1], cold_sc)
+    # mutation safety: scribbling on a returned result must not poison
+    # the cached copy
+    warm2[0][:] = -1
+    warm3 = li.search(q, k, mode="OR")
+    assert warm3[0].tolist() == cold_ids.tolist()
+    # deterministic-tie-break prefix property across distinct-k entries
+    top5_ids, _ = li.search(q, 5, mode="OR")
+    assert top5_ids.tolist() == cold_ids[:5].tolist()
+    # full-ranking callers (k=10**9 batch ops) bypass the cache
+    li.search(q, 10**9, mode="OR")
+    assert li._memo.get(("res", q, 10**9, "OR")) is None
+    assert li._memo.get(("res", q, k, "OR")) is not None
+
+
+def test_result_cache_through_doc_sharded_tier(index_dir):
+    """result_cache flag travels through DocShardedSearcher; cached and
+    bypass answers are identical."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    sharded = DocShardedSearcher(index_dir, n_shards=2)
+    try:
+        a_ids, a_sc = sharded.search("hash join", k=20, mode="OR",
+                                     result_cache=False)
+        b_ids, b_sc = sharded.search("hash join", k=20, mode="OR")
+        c_ids, c_sc = sharded.search("hash join", k=20, mode="OR")
+        assert a_ids.tolist() == b_ids.tolist() == c_ids.tolist()
+        assert np.array_equal(a_sc, b_sc)
+        assert np.array_equal(a_sc, c_sc)
+    finally:
+        sharded.close()
+
+
+def test_phrase_result_cache(ray_session, tmp_path):
+    """phrase_search result memo: hit == recompute, bit-identical."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    import numpy as np_
+
+    from search_engine_ray.pipelines.build_index import build_index
+
+    texts = ["the quick brown fox", "say the quick brown fox again",
+             "quick brown dog here"]
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(texts)
+    pq_.write_table(
+        pa_.table({
+            "conv_id": pa_.array([f"conv-{i:08d}" for i in range(n)], pa_.string()),
+            "turn_idx": pa_.array(np_.zeros(n, dtype="int32"), pa_.int32()),
+            "role": pa_.array(["user"] * n, pa_.string()),
+            "text": pa_.array(texts, pa_.string()),
+            "tool": pa_.array([""] * n, pa_.string()),
+            "ts": pa_.array(np_.zeros(n, dtype="datetime64[us]"), pa_.timestamp("us")),
+        }),
+        str(src / "part-0.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, IndexConfig(stemming=False), n_partitions=1)
+    li = LocalIndex(idx, load_positions=True)
+    cold = li.phrase_search("quick brown fox", result_cache=False)
+    warm1 = li.phrase_search("quick brown fox")
+    warm2 = li.phrase_search("quick brown fox")
+    assert cold[0].tolist() == warm1[0].tolist() == warm2[0].tolist()
+    assert np.array_equal(cold[1], warm1[1])
+    assert np.array_equal(cold[1], warm2[1])
