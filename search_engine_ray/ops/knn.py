@@ -898,6 +898,133 @@ def embedding_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+_HNSW_M = 8          # neighbor-list width per node
+_HNSW_EF = 32        # beam width (build and search)
+_HNSW_SHARDS = 4     # independent graphs (hash-sharded by vec_id)
+
+
+def _nsw_search(v: np.ndarray, nbr: np.ndarray, q: np.ndarray, ef: int,
+                n_active: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy beam search over a navigable-small-world graph: expand
+    the best unexpanded candidate, score its unvisited neighbors in ONE
+    vectorized matvec, keep an ef-wide beam. Returns the beam's top-k
+    (indices, sims) by (sim desc, index asc) — deterministic. ``v``
+    rows must be unit-normalized; sims are exact cosines, so only
+    RECALL is approximate, never the reported scores."""
+    import heapq
+
+    if n_active <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    entry = 0
+    visited = np.zeros(n_active, dtype=bool)
+    visited[entry] = True
+    s0 = float(v[entry] @ q)
+    # max-heap on sim (negated); ties broken by index for determinism
+    beam = [(-s0, entry)]     # expansion frontier
+    best = [(s0, -entry)]     # min-heap of the ef best seen
+    while beam:
+        neg_s, node = heapq.heappop(beam)
+        if len(best) >= ef and -neg_s < best[0][0]:
+            break  # the frontier can no longer improve the beam
+        neigh = nbr[node]
+        neigh = neigh[neigh >= 0]
+        neigh = neigh[~visited[neigh]]
+        if neigh.size == 0:
+            continue
+        visited[neigh] = True
+        sims = v[neigh] @ q
+        for j, s in zip(neigh.tolist(), sims.tolist()):
+            if len(best) < ef:
+                heapq.heappush(best, (s, -j))
+                heapq.heappush(beam, (-s, j))
+            elif s > best[0][0]:
+                heapq.heapreplace(best, (s, -j))
+                heapq.heappush(beam, (-s, j))
+    out = sorted(((s, -nj) for s, nj in best), key=lambda t: (-t[0], t[1]))[:k]
+    return (np.asarray([j for _, j in out], np.int64),
+            np.asarray([s for s, _ in out], np.float64))
+
+
+def _nsw_build(v: np.ndarray, m: int = _HNSW_M, ef: int = _HNSW_EF) -> np.ndarray:
+    """Sequential NSW construction (Malkov et al.): insert points in
+    order, link each to its beam-searched m nearest, add pruned
+    back-links (replace the worst neighbor when the new node is
+    closer). Single layer: at per-shard sizes the hop count is already
+    logarithmic-ish and the HNSW hierarchy adds constant factor only.
+    O(n * ef * m * dim) sequential — the DISTRIBUTION axis is sharding
+    (one independent graph per vec_id hash shard), not parallel insert,
+    which is also how production ANN services scale graphs."""
+    n = len(v)
+    nbr = np.full((n, m), -1, np.int32)
+    for i in range(1, n):
+        cand, sims = _nsw_search(v, nbr, v[i], ef, n_active=i, k=m)
+        nbr[i, : cand.size] = cand
+        for j, s in zip(cand.tolist(), sims.tolist()):
+            row = nbr[j]
+            slot = np.flatnonzero(row == -1)
+            if slot.size:
+                row[slot[0]] = i
+            else:
+                back = v[row] @ v[j]
+                w = int(np.argmin(back))
+                if s > back[w]:
+                    row[w] = i
+    return nbr
+
+
+def knn_hnsw(sf_dir: str, n_shards: int = _HNSW_SHARDS, m: int = _HNSW_M,
+             ef: int = _HNSW_EF):
+    """Graph-based ANN (the HNSW/NSW family): vectors hash-shard by
+    vec_id; ``map_groups`` builds one independent beam-search graph per
+    shard and answers every query from it; the finisher merges
+    per-shard candidates to the global top-k. Partitioning assumption
+    (documented per SURVEY §2): each shard's graph + vectors fit one
+    worker — at 100 TB the graphs are the stored index, built once per
+    shard and hosted by long-lived actors (the DocShardActor shape),
+    with queries broadcast and O(k) rows returned per shard. Sims are
+    exact cosines (graph affects recall only); rows-only aux entry,
+    recall vs brute force pytest-bounded."""
+    qids, qmat = _load_queries(sf_dir)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qnorm))
+    kk = _TOP_K + 1  # self-match dropped by the finisher
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32()
+        )
+        return t.append_column("shard", shard)
+
+    def build_and_query(group: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q = ray.get(_ref)
+        vids = group["vec_id"].to_numpy()
+        order = np.argsort(vids, kind="stable")  # deterministic inserts
+        vids = vids[order]
+        v = _emb_matrix(group["embedding"], q.shape[1])[order]
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        nbr = _nsw_build(v, m=m, ef=ef)
+        out = {"qid": [], "vec_id": [], "sim": []}
+        for qi_pos, qi in enumerate(q_ids):
+            idx, sims = _nsw_search(v, nbr, q[qi_pos], ef, len(v), kk)
+            keep = vids[idx] != qi  # self-match lives in exactly one shard
+            idx, sims = idx[keep], sims[keep]
+            out["qid"].extend([int(qi)] * idx.size)
+            out["vec_id"].extend(vids[idx].tolist())
+            out["sim"].extend(np.round(sims, 6).tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
+    ds = _read_emb(sf_dir).map_batches(add_shard, batch_format="pyarrow")
+    scored = ds.groupby("shard").map_groups(build_and_query, batch_format="pyarrow")
+    return _topk_per_qid(scored)
+
+
 SQL_EMBEDDING_STATS = f"""
 SELECT n.vec_id, n.l2_norm, q.qmin, q.qscale, q.code_sum
 FROM ({SQL_EMBEDDING_NORMS}) n JOIN ({SQL_EMBEDDING_QUANTIZE}) q USING (vec_id)
@@ -911,10 +1038,11 @@ RAY_QUERIES = {
     "embedding_stats": embedding_stats,
 }
 
-# rows-only aux entry (sampled k-means codebooks — no SQL twin; recall
-# vs brute force is pytest-bounded)
+# rows-only aux entries (no SQL twin; recall vs brute force is
+# pytest-bounded for both)
 RAY_QUERIES_AUX = {
     "knn_pq": knn_pq,
+    "knn_hnsw": knn_hnsw,
 }
 
 ORACLE_SQL = {

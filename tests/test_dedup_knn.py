@@ -471,3 +471,44 @@ def test_knn_pq_recall_and_compression(emb_dir):
     m = books.shape[0]
     assert all(len(c) == m for c in codes["codes"])
     assert all(0 <= int(x) < books.shape[1] for c in codes["codes"] for x in c)
+
+
+def test_knn_hnsw_recall_on_clusters(emb_dir):
+    """Graph ANN (sharded NSW beam search): recalls the brute-force
+    top-5 on the clustered fixture; reported sims are exact cosines."""
+    sf_dir, mat = emb_dir
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exact = {}
+    for q in range(5):
+        s = np.round(sims[q], 6)
+        cand = np.arange(len(mat))
+        mask = cand != q
+        order = np.lexsort((cand[mask], -s[mask]))[:5]
+        exact[q] = set(cand[mask][order].tolist())
+    got = knn.knn_hnsw(sf_dir).to_pandas()
+    for _, r in got.iterrows():
+        assert abs(r["sim"] - round(sims[int(r["qid"]), int(r["vec_id"])], 6)) < 1e-6
+        assert int(r["vec_id"]) != int(r["qid"])  # self dropped
+    recalls = [len(set(got[got["qid"] == q]["vec_id"].astype(int)) & exact[q]) / 5
+               for q in range(5)]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_nsw_graph_search_exact_on_line():
+    """Deterministic unit check of the graph kernel itself: on points
+    along a line, beam search from a full build returns the true
+    nearest neighbors with exact sims."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    other = rng.standard_normal(8)
+    other -= (other @ base) * base
+    other /= np.linalg.norm(other)
+    # unit vectors fanning from base toward other: angle i*5 degrees
+    angles = np.deg2rad(np.arange(20) * 5)
+    v = np.outer(np.cos(angles), base) + np.outer(np.sin(angles), other)
+    nbr = knn._nsw_build(v, m=4, ef=16)
+    idx, s = knn._nsw_search(v, nbr, v[0], ef=16, n_active=len(v), k=3)
+    assert idx.tolist() == [0, 1, 2]
+    assert np.allclose(s, np.cos(angles[:3]))
