@@ -219,12 +219,16 @@ def bench_queries(run_tag: str) -> dict:
     # O(k) per-query transfer); full warm pass first — p95 is a
     # steady-state metric
     searcher = DocShardedSearcher(idx, n_shards=4)
+    # result_cache=False: query_p95_ms is the round-over-round WARM
+    # SCORING metric (same policy as _serving_latencies) — with the
+    # per-shard result memo on, every timed repeat would be a
+    # bit-identical cache hit and a scoring regression would be masked
     for q, k in zip(qdf["query"], qdf["k"]):
-        searcher.search(q, int(k), mode="OR")
+        searcher.search(q, int(k), mode="OR", result_cache=False)
     lat = []
     for q, k in zip(qdf["query"], qdf["k"]):
         t0 = time.monotonic()
-        searcher.search(q, int(k), mode="OR")
+        searcher.search(q, int(k), mode="OR", result_cache=False)
         lat.append(time.monotonic() - t0)
     return {
         "query_batch": round(batch_s, 3),

@@ -644,14 +644,24 @@ def _span_local_ids(ids: np.ndarray, lo: int, cache, term: str) -> np.ndarray:
     measured ~30 ms/query at 24M-doc shard depth — is paid once. Kept
     as intp: an int32 index array would halve the footprint but numpy
     upcast-copies non-intp fancy indexes on EVERY use, which measured
-    slower than the subtract it saved."""
+    slower than the subtract it saved.
+
+    Keyed by TERM ONLY, value ``(lo, loc)``: keying by (term, lo) would
+    cache a separate O(df) array per distinct lo — on an unsharded
+    index lo varies with the rarest co-queried term, so a hot term
+    could pin several df-sized duplicates and evict the decoded
+    postings they shadow (whose recompute is the expensive part). One
+    entry per term bounds the footprint; a differing lo recomputes and
+    REPLACES (byte-accounted), so the stable doc-shard case still hits
+    every time and the varying-lo case degrades to the plain subtract."""
     if cache is None:
         return ids - lo
-    key = ("loc", term, lo)
-    loc = cache.get(key)
-    if loc is None:
-        loc = ids - lo
-        cache[key] = loc
+    key = ("loc", term)
+    hit = cache.get(key)
+    if hit is not None and hit[0] == lo:
+        return hit[1]
+    loc = ids - lo
+    cache.put(key, (lo, loc), int(loc.nbytes + 64))
     return loc
 
 

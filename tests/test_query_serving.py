@@ -834,3 +834,22 @@ def test_phrase_result_cache(ray_session, tmp_path):
     assert cold[0].tolist() == warm1[0].tolist() == warm2[0].tolist()
     assert np.array_equal(cold[1], warm1[1])
     assert np.array_equal(cold[1], warm2[1])
+
+
+def test_span_local_memo_is_bounded_per_term():
+    """The span-local-id memo must hold at most ONE array per term:
+    keying by (term, lo) would duplicate an O(df) array per distinct
+    lo (on an unsharded index lo follows the rarest co-queried term)
+    and evict the decoded postings it shadows."""
+    from search_engine_ray.stages.query import _LRUBytes, _span_local_ids
+
+    cache = _LRUBytes(1 << 20)
+    ids = np.arange(100, 200, dtype=np.int64)
+    a = _span_local_ids(ids, 10, cache, "t")
+    assert np.array_equal(a, ids - 10)
+    assert _span_local_ids(ids, 10, cache, "t") is a  # stable-lo hit
+    c = _span_local_ids(ids, 50, cache, "t")  # new lo REPLACES
+    assert np.array_equal(c, ids - 50)
+    loc_keys = [k for k in cache._d if isinstance(k, tuple) and k[0] == "loc"]
+    assert loc_keys == [("loc", "t")]
+    assert _span_local_ids(ids, 7, None, "t").tolist() == (ids - 7).tolist()
