@@ -1161,21 +1161,38 @@ def _bloom_indices(h: np.ndarray, m: int, i: int) -> np.ndarray:
     return (lo + np.uint64(i) * hi) & np.uint64(m - 1)
 
 
-def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KEY):
+def _bloom_layout(n_keys: int, bits_per_key: int, max_bits: int) -> tuple[int, int]:
+    """(n_blocks, m_per_block) for a blocked Bloom filter: enough
+    hash-range blocks that each block's bitmap stays under ``max_bits``
+    (a power of two), with m the power-of-two roundup of the per-block
+    need. With ``max_bits`` a power of two, m <= max_bits always."""
+    total = max(1, n_keys) * bits_per_key
+    n_blocks = max(1, -(-total // max_bits))
+    per_block = -(-max(1, n_keys) // n_blocks) * bits_per_key
+    m = 1024
+    while m < per_block and m < max_bits:
+        m <<= 1
+    return int(n_blocks), int(m)
+
+
+def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KEY,
+                             max_bits: int = _BLOOM_MAX_BITS):
     """``dup_span_fraction`` with the second all-to-all exchange
-    replaced by a broadcast Bloom filter — the 100 TB shape named in
+    replaced by a BLOCKED Bloom filter — the 100 TB shape named in
     the exact op's docstring. The df>=2 shingle set (far smaller than
-    the shingle stream) is folded into per-batch bitmaps that OR into
-    one filter; probing then happens INSIDE the shingle map, so the
-    only wide operations left are the df groupby and the final per-doc
-    groupby of int rows.
+    the shingle stream) is hash-partitioned into blocks of at most
+    ``max_bits`` bits; each block is built by one ``map_groups`` task
+    over only its own keys and published with its own ``ray.put``.
+    Probing happens INSIDE the shingle map — each batch fetches only
+    the blocks its rows hash to (plasma shared memory: one copy per
+    NODE, not per worker) — so the only wide operations left are the
+    df groupby and the final per-doc groupby of int rows. Driver peak
+    memory is ONE block (<= max_bits/8 bytes) regardless of corpus
+    size; at bench scale the layout degenerates to a single block.
 
     Error is one-sided: Bloom false positives can only OVERCOUNT
     ``n_dup`` (never undercount), bounded by the sizing (~0.1%
-    theoretical at 16 bits/key, k=3). ``n_sh`` stays exact. At corpus
-    sizes where the filter would exceed the broadcast cap, shard it by
-    shingle-hash range and probe each block (documented, not needed at
-    bench scale)."""
+    theoretical at 16 bits/key, k=3). ``n_sh`` stays exact."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
@@ -1199,39 +1216,64 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
         .materialize()
     )
     n_keys = dup_sh.count()
-    m = 1024
-    while m < n_keys * bits_per_key and m < _BLOOM_MAX_BITS:
-        m <<= 1
+    n_blocks, m = _bloom_layout(n_keys, bits_per_key, max_bits)
 
-    def build_bitmap(t: pa.Table) -> pa.Table:
+    def build_block(t: pa.Table) -> pa.Table:
+        """One bitmap from ONE block's keys (map_groups: the group is
+        complete, so the OR-reduce is local to this task)."""
         bits = np.zeros(m >> 6, dtype=np.uint64)
         h = t["sh"].to_numpy()
         for i in range(_BLOOM_K):
             idx = _bloom_indices(h, m, i)
             np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (idx & np.uint64(63)))
-        return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
+        return pa.table({"block": pa.array([int(t["block"][0].as_py())], pa.int64()),
+                         "bm": pa.array([bits.tobytes()], pa.binary())})
 
-    # per-batch partial bitmaps OR-reduced on the driver: the reduce
-    # input is n_batches x m/8 bytes of BITMAP, never the key stream
-    # (at extreme batch counts this becomes a tree reduce)
-    bitmap = np.zeros(m >> 6, dtype=np.uint64)
+    # block id from the key hash (mod, not top bits: the probe offsets
+    # already consume bits 0-59, and mod keeps non-power-of-two block
+    # counts uniform). Blocks with no dup keys emit no row — probes
+    # treat a missing block as all-absent.
+    refs: dict[int, "ray.ObjectRef"] = {}
     if n_keys:
-        for part in dup_sh.map_batches(build_bitmap, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            for bm in part["bm"]:
-                bitmap |= np.frombuffer(bm.as_py(), dtype=np.uint64)
-    ref = ray.put(bitmap)
+        blocked = dup_sh.map_batches(
+            lambda t: t.append_column(
+                "block",
+                pa.array(
+                    (t["sh"].to_numpy().astype(np.uint64)
+                     % np.uint64(n_blocks)).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        built = blocked.groupby("block").map_groups(
+            build_block, batch_format="pyarrow"
+        )
+        # driver holds ONE block transiently while publishing it
+        for part in built.iter_batches(batch_format="pyarrow"):
+            for blk, bm in zip(part["block"], part["bm"]):
+                refs[int(blk.as_py())] = ray.put(
+                    np.frombuffer(bm.as_py(), dtype=np.uint64)
+                )
 
-    def probe(t: pa.Table, _ref=ref) -> pa.Table:
-        bits = ray.get(_ref)
+    def probe(t: pa.Table, _refs=refs) -> pa.Table:
         h = t["sh"].to_numpy()
-        present = np.ones(len(h), dtype=bool)
-        for i in range(_BLOOM_K):
-            idx = _bloom_indices(h, m, i)
-            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
-            present &= ((word >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+        blk = (h.astype(np.uint64) % np.uint64(n_blocks)).astype(np.int64)
+        present = np.zeros(len(h), dtype=bool)
+        for b in np.unique(blk):
+            ref = _refs.get(int(b))
+            if ref is None:  # no dup shingle hashed into this block
+                continue
+            bits = ray.get(ref)  # zero-copy plasma read, shared per node
+            sel = blk == b
+            hs = h[sel]
+            p = np.ones(len(hs), dtype=bool)
+            for i in range(_BLOOM_K):
+                idx = _bloom_indices(hs, m, i)
+                word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+                p &= ((word >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+            present[sel] = p
         return pa.table(
             {"doc_id": t["doc_id"], "is_dup": pa.array(present.astype(np.int64), pa.int64())}
         )

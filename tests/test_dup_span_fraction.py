@@ -87,3 +87,36 @@ def test_dup_span_approx_one_sided_and_tight(ray_session, tmp_path):
     )
     # the copies must read fully-duplicated through the approx path too
     assert (approx.loc[120:, "dup_ppm"] == 1_000_000).all()
+
+    # blocked layout (max_bits forced tiny -> many hash-range blocks):
+    # same one-sided contract, results consistent with the single-block
+    # run — this is the >cap shape the 100 TB path relies on
+    from search_engine_ray.ops.dedup import _bloom_layout
+
+    n_blocks, m = _bloom_layout(10_000, 16, 1 << 14)
+    assert n_blocks == 10 and m <= 1 << 14
+    blocked = (
+        dup_span_fraction_approx(str(tmp_path), max_bits=1 << 14)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (blocked["n_sh"] == exact["n_sh"]).all()
+    bdiff = blocked["n_dup"] - exact["n_dup"]
+    assert (bdiff >= 0).all(), "blocked Bloom must never undercount dups"
+    assert int(bdiff.sum()) <= max(2, int(0.01 * total))
+    assert (blocked.loc[120:, "dup_ppm"] == 1_000_000).all()
+
+
+def test_bloom_layout_bounds():
+    from search_engine_ray.ops.dedup import _bloom_layout
+
+    # single block while the need fits the cap
+    assert _bloom_layout(0, 16, 1 << 30) == (1, 1024)
+    n, m = _bloom_layout(1 << 20, 16, 1 << 30)
+    assert n == 1 and m == 1 << 24
+    # above the cap: blocks multiply, per-block m never exceeds the cap
+    for keys in (1 << 26, (1 << 26) + 12345, 1 << 28):
+        n, m = _bloom_layout(keys, 16, 1 << 30)
+        assert m <= 1 << 30
+        assert n * m >= keys * 16  # total capacity preserved
