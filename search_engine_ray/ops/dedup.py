@@ -1067,6 +1067,10 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.4
 
 # ---- duplicated-span fraction (exact-substring dedup signal) ----
 
+# duplicated-shingle keys broadcast instead of hash-joined: 16M int64
+# keys = 128 MB, one plasma copy per node
+_BCAST_DUP_KEYS = 16_000_000
+
 
 def dup_span_fraction(sf_dir: str):
     """Per-document duplicated-span fraction — the share of a doc's
@@ -1077,19 +1081,22 @@ def dup_span_fraction(sf_dir: str):
     with dup_ppm an integer parts-per-million (floor(x+0.5) on both
     sides, hash-stable).
 
-    Shape: shingle df via a sh-keyed groupby, one sh-keyed hash join
-    back onto the (doc_id, sh) rows, then a doc_id groupby — the exact
-    computation ships each shingle row through two exchanges of small
-    int rows. At 100 TB the approximate path replaces the join with a
-    broadcast Bloom filter of df>=2 shingles probed inside map_batches;
-    the exact join stays the oracle-checked baseline."""
+    Shape: shingle df via a sh-keyed groupby, the df>=2 verdict shipped
+    back onto the (doc_id, sh) rows, then a doc_id groupby. The
+    ship-back is SIZE-GATED: when the duplicated-shingle KEY SET (far
+    smaller than the distinct-shingle table) fits the broadcast budget
+    it is ``ray.put`` once as a sorted int64 array and probed with a
+    vectorized searchsorted inside the map — exact membership, one
+    exchange total; above the budget it falls back to the sh-keyed
+    hash join. At 100 TB the Bloom twin (``dup_span_fraction_approx``)
+    replaces even that broadcast with blocked bitmaps."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = (
         ds.map_batches(lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow")
         .select_columns(["doc_id", "sh"])
-        .materialize()  # consumed by the df groupby AND the join below
+        .materialize()  # consumed by the df groupby AND the ship-back
     )
 
     n_rows = shingles.count()
@@ -1102,24 +1109,55 @@ def dup_span_fraction(sf_dir: str):
     # boilerplate corpus can have thousands of shingle rows over a
     # handful of distinct shingles, so size the join by df's count
     df = shingles.groupby("sh").aggregate(Count(alias_name="df")).materialize()
-    tagged = shingles.join(
-        df, join_type="inner", num_partitions=join_np(df.count(), _npart()), on=("sh",)
-    )
+    dup_keys = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
+        batch_format="pyarrow",
+    ).materialize()
 
-    def flag(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "is_dup": pc.cast(
-                    pc.greater_equal(t["df"], pa.scalar(2)), pa.int64()
-                ),
-            }
+    if dup_keys.count() <= _BCAST_DUP_KEYS:
+        dup = np.sort(
+            np.concatenate(
+                [b["sh"].to_numpy() for b in
+                 dup_keys.iter_batches(batch_format="pyarrow")]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        ref = ray.put(dup)
+
+        def flag_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)  # plasma read, shared per node
+            h = t["sh"].to_numpy()
+            if len(d):
+                pos = np.searchsorted(d, h)
+                hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == h)
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "is_dup": pa.array(hit.astype(np.int64), pa.int64())}
+            )
+
+        flagged = shingles.map_batches(flag_bcast, batch_format="pyarrow")
+    else:
+        tagged = shingles.join(
+            df, join_type="inner",
+            num_partitions=join_np(df.count(), _npart()), on=("sh",),
         )
 
-    per_doc = (
-        tagged.map_batches(flag, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup"))
+        def flag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "is_dup": pc.cast(
+                        pc.greater_equal(t["df"], pa.scalar(2)), pa.int64()
+                    ),
+                }
+            )
+
+        flagged = tagged.map_batches(flag, batch_format="pyarrow")
+
+    per_doc = flagged.groupby("doc_id").aggregate(
+        Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup")
     )
 
     def ppm(t: pa.Table) -> pa.Table:

@@ -581,20 +581,54 @@ def _doc_term_tf(sf_dir: str):
     )
 
 
+_BCAST_VOCAB_ROWS = 2_000_000  # vocab rows broadcast instead of hash-joined
+
+
+def _vocab_ref(ds, key: str, val: str):
+    """Broadcast a materialized vocab-shaped dataset (term -> int) as
+    ``ray.put((keys, vals))``, or None when it exceeds the gate and the
+    caller must hash-join instead. Vocabularies grow sublinearly with
+    corpus size, so the broadcast is the common case even at 100 TB —
+    one plasma copy per node, probed zero-shuffle inside map_batches."""
+    if ds.count() > _BCAST_VOCAB_ROWS:
+        return None
+    # groupby output blocks may disagree on string width (string vs
+    # large_string) — promote, then pin one probe type
+    vt = pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="permissive")
+    return ray.put(
+        (vt[key].combine_chunks().cast(pa.large_string()), vt[val].to_numpy())
+    )
+
+
+def _vocab_probe(col, payload) -> np.ndarray:
+    """Exact string-keyed lookup via the ``pc.index_in`` Arrow kernel.
+    Callers guarantee every probe key exists in the vocab (both are
+    built from the same token stream), so index_in never yields null."""
+    keys, vals = payload
+    idx = pc.index_in(pc.cast(col, pa.large_string()), value_set=keys).to_numpy()
+    return vals[idx]
+
+
 def unigram_logprob(sf_dir: str):
     """(doc_id, n_tokens, lp_micro, lp_mean_micro): total and per-token
     corpus-unigram log-probability in integer micro-nats. Low (very
     negative) mean = rare-token-heavy doc; high = boilerplate. Shape:
     per-batch (doc, term, tf) combiner -> term groupby for the global
-    unigram table -> term-keyed hash join back -> doc groupby of
-    integer contributions."""
+    unigram table -> tf_global shipped back to the tf rows -> doc
+    groupby of integer contributions. The ship-back is SIZE-GATED: a
+    vocabulary under ``_BCAST_VOCAB_ROWS`` (sublinear in corpus size —
+    the common case even at 100 TB) is broadcast once via ``ray.put``
+    and probed with the ``pc.index_in`` Arrow kernel inside the map;
+    above the gate it falls back to the term-keyed hash join. Both
+    paths hit identical integers: index_in is exact string membership
+    and the arithmetic is shared."""
     from ray.data.aggregate import Sum
 
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds the unigram groupby AND the join
     unigram = (
         tf_rows.groupby("term")
         .aggregate(Sum("tf", alias_name="tf_global"))
-        .materialize()  # consumed by the total below AND the join
+        .materialize()  # consumed by the total below AND the ship-back
     )
     total = int(unigram.sum(on="tf_global") or 0)
     if total == 0:  # token-free corpus: no docs to score
@@ -604,27 +638,46 @@ def unigram_logprob(sf_dir: str):
                  ("lp_micro", pa.int64()), ("lp_mean_micro", pa.int64())]
             )
         )
-    # the vocabulary (unigram) is the smaller join side — a template
-    # corpus can put 50k tf rows over a 50-word vocab
-    np_ = join_np(unigram.count(), _join_npart())
+    n_vocab = unigram.count()
 
-    def contrib(t: pa.Table) -> pa.Table:
-        tf = t["tf"].to_numpy().astype(np.float64)
-        g = t["tf_global"].to_numpy().astype(np.float64)
+    def _lp(tf_i64: pa.Array, g: np.ndarray) -> pa.Array:
+        tf = tf_i64.to_numpy().astype(np.float64)
         c = np.floor(tf * np.log(g / total) * 1e6).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "tf": t["tf"],
-                "lp_micro": pa.array(c, pa.int64()),
-            }
-        )
+        return pa.array(c, pa.int64())
 
-    per_doc = (
-        tf_rows.join(unigram, join_type="inner", num_partitions=np_, on=("term",))
-        .map_batches(contrib, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("tf", alias_name="n_tokens"), Sum("lp_micro", alias_name="lp_micro"))
+    ref = _vocab_ref(unigram, "term", "tf_global")
+    if ref is not None:
+
+        def contrib_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            g = _vocab_probe(t["term"], ray.get(_ref)).astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "tf": t["tf"],
+                    "lp_micro": _lp(t["tf"], g),
+                }
+            )
+
+        contributed = tf_rows.map_batches(contrib_bcast, batch_format="pyarrow")
+    else:
+        np_ = join_np(n_vocab, _join_npart())
+
+        def contrib(t: pa.Table) -> pa.Table:
+            g = t["tf_global"].to_numpy().astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "tf": t["tf"],
+                    "lp_micro": _lp(t["tf"], g),
+                }
+            )
+
+        contributed = tf_rows.join(
+            unigram, join_type="inner", num_partitions=np_, on=("term",)
+        ).map_batches(contrib, batch_format="pyarrow")
+
+    per_doc = contributed.groupby("doc_id").aggregate(
+        Sum("tf", alias_name="n_tokens"), Sum("lp_micro", alias_name="lp_micro")
     )
 
     def mean_col(t: pa.Table) -> pa.Table:
@@ -688,9 +741,8 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
     n_docs = tf_rows.groupby("doc_id").aggregate(Count(alias_name="c")).count()
     n_part = _join_npart() * 4
 
-    def score(t: pa.Table) -> pa.Table:
+    def _score_from(t: pa.Table, df: np.ndarray) -> pa.Table:
         tf = t["tf"].to_numpy().astype(np.float64)
-        df = t["df"].to_numpy().astype(np.float64)
         micro = np.floor(tf * np.log(n_docs * 1.0 / df) * 1e6).astype(np.int64)
         ids = t["doc_id"].to_numpy()
         return pa.table(
@@ -702,6 +754,9 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
                 "part": pa.array((ids % n_part).astype(np.int32), pa.int32()),
             }
         )
+
+    def score(t: pa.Table) -> pa.Table:
+        return _score_from(t, t["df"].to_numpy().astype(np.float64))
 
     def topk_part(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy()
@@ -726,13 +781,22 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
             }
         )
 
-    return (
-        tf_rows.join(df_tbl, join_type="inner",
-                     num_partitions=join_np(df_tbl.count(), _join_npart()), on=("term",))
-        .map_batches(score, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(topk_part, batch_format="pyarrow")
-    )
+    ref = _vocab_ref(df_tbl, "term", "df")
+    if ref is not None:
+
+        def score_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            return _score_from(
+                t, _vocab_probe(t["term"], ray.get(_ref)).astype(np.float64)
+            )
+
+        scored = tf_rows.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        scored = tf_rows.join(
+            df_tbl, join_type="inner",
+            num_partitions=join_np(df_tbl.count(), _join_npart()), on=("term",),
+        ).map_batches(score, batch_format="pyarrow")
+
+    return scored.groupby("part").map_groups(topk_part, batch_format="pyarrow")
 
 
 SQL_DOC_KEYWORDS = f"""
@@ -842,25 +906,8 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     if B <= 0:  # no adjacent pairs anywhere (all docs are 1 token)
         return ray.data.from_arrow(_empty)
 
-    u1 = ucnt.map_batches(
-        lambda t: pa.table({"w1_": t["term"], "c1": t["uc"]}), batch_format="pyarrow"
-    )
-    u2 = ucnt.map_batches(
-        lambda t: pa.table({"w2_": t["term"], "c2": t["uc"]}), batch_format="pyarrow"
-    )
-    # the unigram vocabulary can be the smaller side (few distinct
-    # words, many surviving bigrams) — size the join by the min
-    np_ = join_np(min(n_bcnt, ucnt.count()), _join_npart())
-    joined = bcnt.join(
-        u1, join_type="inner", num_partitions=np_, on=("w1",), right_on=("w1_",)
-    ).join(
-        u2, join_type="inner", num_partitions=np_, on=("w2",), right_on=("w2_",)
-    )
-
-    def score(t: pa.Table) -> pa.Table:
+    def _score_from(t: pa.Table, c1: np.ndarray, c2: np.ndarray) -> pa.Table:
         c = t["c"].to_numpy().astype(np.float64)
-        c1 = t["c1"].to_numpy().astype(np.float64)
-        c2 = t["c2"].to_numpy().astype(np.float64)
         pmi = np.floor(np.log((c * 1.0 * T * T) / (B * 1.0 * c1 * c2)) * 1e6).astype(np.int64)
         return pa.table(
             {
@@ -871,9 +918,49 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
             }
         )
 
+    # both bigram endpoints probe the SAME unigram vocabulary — one
+    # broadcast replaces two term-keyed shuffle joins
+    ref = _vocab_ref(ucnt, "term", "uc")
+    if ref is not None:
+
+        def score_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            payload = ray.get(_ref)
+            return _score_from(
+                t,
+                _vocab_probe(t["w1"], payload).astype(np.float64),
+                _vocab_probe(t["w2"], payload).astype(np.float64),
+            )
+
+        scored = bcnt.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        u1 = ucnt.map_batches(
+            lambda t: pa.table({"w1_": t["term"], "c1": t["uc"]}),
+            batch_format="pyarrow",
+        )
+        u2 = ucnt.map_batches(
+            lambda t: pa.table({"w2_": t["term"], "c2": t["uc"]}),
+            batch_format="pyarrow",
+        )
+        # the unigram vocabulary can be the smaller side (few distinct
+        # words, many surviving bigrams) — size the join by the min
+        np_ = join_np(min(n_bcnt, ucnt.count()), _join_npart())
+        joined = bcnt.join(
+            u1, join_type="inner", num_partitions=np_, on=("w1",), right_on=("w1_",)
+        ).join(
+            u2, join_type="inner", num_partitions=np_, on=("w2",), right_on=("w2_",)
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            return _score_from(
+                t,
+                t["c1"].to_numpy().astype(np.float64),
+                t["c2"].to_numpy().astype(np.float64),
+            )
+
+        scored = joined.map_batches(score, batch_format="pyarrow")
+
     return (
-        joined.map_batches(score, batch_format="pyarrow")
-        .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
+        scored.sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
 

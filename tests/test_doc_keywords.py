@@ -39,3 +39,30 @@ def test_doc_keywords_distinctive_terms(ray_session, tmp_path):
         # within a doc, score non-increasing with rank
         s = g.sort_values("rank")["tfidf_micro"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
+
+
+def test_doc_keywords_join_fallback_matches_broadcast(ray_session, tmp_path, monkeypatch):
+    """Above the vocab broadcast gate the op hash-joins; identical rows."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.ops import text_ops
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(80)]
+    docs = [" ".join(rng.choice(vocab, size=20)) for _ in range(30)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    key = lambda d: d.sort_values(  # noqa: E731
+        ["doc_id", "rank"]).reset_index(drop=True)
+    bcast = text_ops.doc_keywords(str(tmp_path)).to_pandas()
+    monkeypatch.setattr(text_ops, "_BCAST_VOCAB_ROWS", -1)
+    joined = text_ops.doc_keywords(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(key(bcast), key(joined))

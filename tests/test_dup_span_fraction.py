@@ -108,6 +108,35 @@ def test_dup_span_approx_one_sided_and_tight(ray_session, tmp_path):
     assert (blocked.loc[120:, "dup_ppm"] == 1_000_000).all()
 
 
+def test_dup_span_join_fallback_matches_broadcast(ray_session, tmp_path, monkeypatch):
+    """Above the broadcast budget the exact op falls back to the
+    sh-keyed hash join; both paths must produce identical rows."""
+    import pandas as pd
+
+    from search_engine_ray.ops import dedup
+
+    docs = [
+        "alpha beta gamma delta epsilon",
+        "zeta alpha beta gamma delta",
+        "one two three four five",
+        "alpha beta gamma delta epsilon",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    bcast = dedup.dup_span_fraction(str(tmp_path)).to_pandas()
+    monkeypatch.setattr(dedup, "_BCAST_DUP_KEYS", -1)  # force the join path
+    joined = dedup.dup_span_fraction(str(tmp_path)).to_pandas()
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(key(bcast), key(joined))
+
+
 def test_bloom_layout_bounds():
     from search_engine_ray.ops.dedup import _bloom_layout
 

@@ -38,3 +38,29 @@ def test_unigram_logprob_exact(ray_session, tmp_path):
     # all-common-token doc has the highest (least negative) mean
     assert out.loc[2, "lp_mean_micro"] > out.loc[0, "lp_mean_micro"]
     assert out.loc[2, "lp_mean_micro"] > out.loc[1, "lp_mean_micro"]
+
+
+def test_unigram_join_fallback_matches_broadcast(ray_session, tmp_path, monkeypatch):
+    """A vocabulary above the broadcast gate goes through the hash
+    join; both ship-back paths must hit identical integers."""
+    import pandas as pd
+
+    from search_engine_ray.ops import text_ops
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=25)) for _ in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    bcast = text_ops.unigram_logprob(str(tmp_path)).to_pandas()
+    monkeypatch.setattr(text_ops, "_BCAST_VOCAB_ROWS", -1)  # force the join
+    joined = text_ops.unigram_logprob(str(tmp_path)).to_pandas()
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(key(bcast), key(joined))
