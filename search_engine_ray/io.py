@@ -126,3 +126,25 @@ def join_np(n_small: int, want: int) -> int:
     assumes high-cardinality join keys — true for every call site here
     (content hashes, shingles, terms, doc ids)."""
     return max(1, min(want, n_small // 32))
+
+
+def collect_sorted_i64(ds, col: str) -> "np.ndarray":
+    """Materialize one int64 column of a (small, size-gated by the
+    caller) dataset into a sorted numpy array — the broadcast side of a
+    zero-shuffle membership probe."""
+    import numpy as np
+
+    parts = [b[col].to_numpy() for b in ds.iter_batches(batch_format="pyarrow")]
+    return np.sort(np.concatenate(parts or [np.empty(0, np.int64)]))
+
+
+def sorted_member(keys: "np.ndarray", probes: "np.ndarray") -> "np.ndarray":
+    """Vectorized exact membership of ``probes`` in the SORTED int64
+    ``keys`` (searchsorted + equality check) — the probe side of the
+    broadcast-instead-of-shuffle-join pattern."""
+    import numpy as np
+
+    if len(keys) == 0:
+        return np.zeros(len(probes), dtype=bool)
+    pos = np.searchsorted(keys, probes)
+    return (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == probes)

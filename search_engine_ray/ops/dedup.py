@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import docs_path, empty_dataset, join_np, read_parquet_light
+from ..io import (collect_sorted_i64, docs_path, empty_dataset, join_np,
+                  read_parquet_light, sorted_member)
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -1115,23 +1116,11 @@ def dup_span_fraction(sf_dir: str):
     ).materialize()
 
     if dup_keys.count() <= _BCAST_DUP_KEYS:
-        dup = np.sort(
-            np.concatenate(
-                [b["sh"].to_numpy() for b in
-                 dup_keys.iter_batches(batch_format="pyarrow")]
-                or [np.empty(0, np.int64)]
-            )
-        )
-        ref = ray.put(dup)
+        ref = ray.put(collect_sorted_i64(dup_keys, "sh"))
 
         def flag_bcast(t: pa.Table, _ref=ref) -> pa.Table:
-            d = ray.get(_ref)  # plasma read, shared per node
-            h = t["sh"].to_numpy()
-            if len(d):
-                pos = np.searchsorted(d, h)
-                hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == h)
-            else:
-                hit = np.zeros(len(h), dtype=bool)
+            # plasma read, shared per node
+            hit = sorted_member(ray.get(_ref), t["sh"].to_numpy())
             return pa.table(
                 {"doc_id": t["doc_id"],
                  "is_dup": pa.array(hit.astype(np.int64), pa.int64())}
