@@ -21,7 +21,7 @@ def test_cli_build_query_compact(tmp_path, fmt):
     def run(*args):
         return subprocess.run(
             [sys.executable, "-m", "search_engine_ray", *args],
-            capture_output=True, text=True, env=env, timeout=300,
+            capture_output=True, text=True, env=env, timeout=900,
             cwd="/root/repo",
         )
 
@@ -77,7 +77,7 @@ def test_cli_mixture(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "search_engine_ray", "mixture",
          "--source", str(tmp_path), "--out", out],
-        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
         env=dict(os.environ, RAY_GRAFT_CPUS="4"),
     )
     assert r.returncode == 0, r.stderr[-2000:]

@@ -438,7 +438,7 @@ ray.shutdown()
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=300,
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().startswith("OK"), (out.stdout, out.stderr[-1000:])
