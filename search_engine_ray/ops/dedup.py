@@ -254,6 +254,43 @@ _PAIRS_SCHEMA = pa.schema(
 )
 
 
+def _pair_doc_lookup(pairs, sizes, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """Bounded per-doc size lookup for a SIZE-GATED pair table: pull
+    the pair tables' two int64 id columns (<= 2x pairs, gated by the
+    caller), restrict ``sizes`` to exactly those docs with a broadcast
+    membership probe (distributed, zero shuffle), and return the
+    resulting (sorted doc_ids, n_sh) arrays as one ``ray.put`` object —
+    the lookup side of a searchsorted join. Driver peak is O(pairs),
+    never O(corpus docs)."""
+    cols = []
+    for b in pairs.select_columns([a_col, b_col]).iter_batches(batch_format="pyarrow"):
+        cols.append(b[a_col].to_numpy())
+        cols.append(b[b_col].to_numpy())
+    pair_docs = np.unique(np.concatenate(cols))  # sorted by construction
+    pref = ray.put(pair_docs)
+
+    def only_pair_docs(t: pa.Table, _ref=pref) -> pa.Table:
+        hit = sorted_member(ray.get(_ref), t["doc_id"].to_numpy())
+        return t.filter(pa.array(hit))
+
+    d_parts, n_parts = [], []
+    for b in sizes.map_batches(only_pair_docs, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        d_parts.append(b["doc_id"].to_numpy())
+        n_parts.append(b["n_sh"].to_numpy(zero_copy_only=False))
+    d = np.concatenate(d_parts or [np.empty(0, np.int64)])
+    n = np.concatenate(n_parts or [np.empty(0, np.int64)]).astype(np.int64)
+    order = np.argsort(d)
+    return ray.put((d[order], n[order]))
+
+
+# pair-gated broadcast budget: below this many candidate pairs the
+# verify tail ships one bounded lookup instead of shuffle-joining the
+# per-doc table (4M pairs -> ~128 MB of driver/plasma arrays worst case)
+_BCAST_PAIR_ROWS = 4_000_000
+
+
 def _sizes_and_threshold(inter, sizes, threshold: float):
     """Shared verify tail: join per-pair intersection counts with the
     two per-doc set sizes (both datasets, never driver state) and
@@ -266,11 +303,42 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
     empty side), and the count sizes the join partitioning. ``sizes``
     arrives materialized from the caller (its count is free, and it is
     the smaller side in dup-heavy corpora — a 60-doc clone cluster has
-    ~1770 pairs but only 60 size rows); the join outputs stay lazy."""
+    ~1770 pairs but only 60 size rows); the join outputs stay lazy.
+
+    Under ``_BCAST_PAIR_ROWS`` the two shuffle joins collapse to one
+    broadcast (doc_id -> n_sh) lookup probed by searchsorted inside a
+    single map over the pair rows — identical rows, two fewer
+    all-to-all exchanges; above the gate (a pathologically dup-heavy
+    corpus) the join path below is unchanged."""
     inter = inter.materialize()
     n_pairs = inter.count()
     if n_pairs == 0:
         return empty_dataset(_PAIRS_SCHEMA)
+    if n_pairs <= _BCAST_PAIR_ROWS:
+        lut = _pair_doc_lookup(inter, sizes)
+
+        def finish_bcast(t: pa.Table, _lut=lut) -> pa.Table:
+            kd, kn = ray.get(_lut)  # plasma read, shared per node
+            da = t["doc_a"].to_numpy()
+            db = t["doc_b"].to_numpy()
+            # every pair doc has a size row (pairs and sizes derive
+            # from the same shingle table), so the lookup always hits
+            n_a = kn[np.searchsorted(kd, da)]
+            n_b = kn[np.searchsorted(kd, db)]
+            inter_n = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+            union = n_a + n_b - inter_n
+            j = np.round(inter_n / union, 6)
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], pa.int64()),
+                    "doc_b": pa.array(db[keep], pa.int64()),
+                    "inter": pa.array(inter_n[keep], pa.int64()),
+                    "jaccard": pa.array(j[keep], pa.float64()),
+                }
+            )
+
+        return inter.map_batches(finish_bcast, batch_format="pyarrow")
     np_ = join_np(min(n_pairs, sizes.count()), _npart())
     with_a = inter.join(
         sizes, join_type="inner", num_partitions=np_,
@@ -345,6 +413,92 @@ def _pairs_in_partition(g: pa.Table, cap: int, key: str = "band_hash") -> pa.Tab
     )
 
 
+_PAIR_MIX = np.int64(-7046029254386353131)  # 2^64 / golden ratio, signed
+
+
+def _add_pair_part(t: pa.Table, n_sub: int, a_col: str = "doc_a",
+                   b_col: str = "doc_b") -> pa.Table:
+    """Append ``ppart`` = deterministic hash of the id pair mod
+    ``n_sub``: the shuffle key for partition-vectorized pair reduction
+    (all rows of one pair land in one partition)."""
+    a = t[a_col].to_numpy()
+    b = t[b_col].to_numpy()
+    part = ((a * _PAIR_MIX) ^ b) % n_sub  # int64 wrap is deterministic
+    return t.append_column("ppart", pa.array(part.astype(np.int32), pa.int32()))
+
+
+def _combine_pairs_partition(g: pa.Table, count_col: str | None = None,
+                             out_count: str | None = None,
+                             first_cols: tuple = (), min_cols: tuple = (),
+                             a_col: str = "doc_a",
+                             b_col: str = "doc_b") -> pa.Table:
+    """Reduce ONE hash partition of pair rows to one row per distinct
+    (a, b), fully vectorized (lexsort + run detection + reduceat).
+
+    This replaces ``groupby([a_col, b_col]).aggregate(...)`` wherever
+    the group count is near the row count: Ray 2.49's aggregate pays
+    ~100us of Python per GROUP, so a million near-singleton pair
+    groups costs ~2 CPU-minutes regardless of data size (measured: the
+    ngram verify's pair aggregate at sf0.1 was 120 s of CPU for 20 MB
+    of rows). One map_groups call per hash partition makes the cost
+    O(partitions) Python calls + O(rows log rows) numpy — the same
+    trick ``_pairs_in_partition`` plays for pair GENERATION.
+
+    ``out_count``: emit a row count (or the sum of ``count_col``,
+    for re-reducing partials) under this name. ``first_cols``: carry
+    the first value per pair (for columns constant within a pair).
+    ``min_cols``: per-pair minimum."""
+    a = g[a_col].to_numpy()
+    b = g[b_col].to_numpy()
+    if len(a) == 0:
+        cols = {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+        if out_count is not None:
+            cols[out_count] = pa.array([], pa.int64())
+        for c in (*first_cols, *min_cols):
+            cols[c] = g[c].slice(0, 0)
+        return pa.table(cols)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    )
+    cols = {a_col: pa.array(a[starts], pa.int64()),
+            b_col: pa.array(b[starts], pa.int64())}
+    if out_count is not None:
+        if count_col is None:
+            seg = np.diff(np.concatenate([starts, [len(a)]]))
+        else:
+            n = g[count_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            seg = np.add.reduceat(n, starts)
+        cols[out_count] = pa.array(seg.astype(np.int64), pa.int64())
+    for c in first_cols:
+        cols[c] = pa.array(g[c].to_numpy(zero_copy_only=False)[order][starts])
+    for c in min_cols:
+        v = g[c].to_numpy(zero_copy_only=False)[order]
+        cols[c] = pa.array(np.minimum.reduceat(v, starts))
+    return pa.table(cols)
+
+
+def _reduce_pairs(ds, n_sub: int, **combine_kw):
+    """Distributed pair reduction: hash-partition by the (a, b) pair,
+    then one vectorized ``_combine_pairs_partition`` call per
+    partition. Exact for any per-pair aggregate the combine supports
+    (each pair's rows are co-located by construction)."""
+    a_col = combine_kw.get("a_col", "doc_a")
+    b_col = combine_kw.get("b_col", "doc_b")
+    return (
+        ds.map_batches(
+            lambda t: _add_pair_part(t, n_sub, a_col=a_col, b_col=b_col),
+            batch_format="pyarrow",
+        )
+        .groupby("ppart")
+        .map_groups(
+            lambda g: _combine_pairs_partition(g, **combine_kw),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _jaccard_join(cand, shingles, threshold: float):
     """Distributed exact-Jaccard verify for EXTERNAL candidate pairs
     (LSH banding): join candidates against the (doc_id, sh, n_sh)
@@ -362,9 +516,16 @@ def _jaccard_join(cand, shingles, threshold: float):
     corpus produces no candidates — Ray 2.49's join crashes on an
     empty side) and sizes the join partitioning (min with the shingle
     count: under heavy duplication the per-doc shingle rows can be the
-    smaller side)."""
+    smaller side).
+
+    Under ``_BCAST_PAIR_ROWS`` the shingle table is first RESTRICTED to
+    the docs that appear in any candidate pair — a broadcast membership
+    probe (one sorted int64 array in plasma, zero shuffle) — so the two
+    intersection joins move O(pair docs x shingles/doc) rows instead of
+    the whole corpus's shingle table. Same joined rows (the dropped
+    shingle rows belong to docs no pair references, so the inner joins
+    discard them anyway); above the gate the full-table joins stand."""
     from ray.data.dataset import MaterializedDataset
-    from ray.data.aggregate import Count, Min
 
     if not isinstance(shingles, MaterializedDataset):
         shingles = shingles.materialize()
@@ -372,6 +533,25 @@ def _jaccard_join(cand, shingles, threshold: float):
     n_cand = cand.count()
     if n_cand == 0:
         return empty_dataset(_PAIRS_SCHEMA)
+    if n_cand <= _BCAST_PAIR_ROWS:
+        cols = []
+        for b in cand.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            cols.append(b["doc_a"].to_numpy())
+            cols.append(b["doc_b"].to_numpy())
+        pref = ray.put(np.unique(np.concatenate(cols)))
+
+        def only_pair_docs(t: pa.Table, _ref=pref) -> pa.Table:
+            hit = sorted_member(ray.get(_ref), t["doc_id"].to_numpy())
+            return t.filter(pa.array(hit))
+
+        # every pair doc has shingle rows (candidates come from minhash
+        # signatures over those same shingles), so the filtered table
+        # can never be empty while n_cand > 0
+        shingles = shingles.map_batches(
+            only_pair_docs, batch_format="pyarrow"
+        ).materialize()
     np_ = join_np(min(n_cand, shingles.count()), _npart())
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(
@@ -391,10 +571,12 @@ def _jaccard_join(cand, shingles, threshold: float):
         join_type="inner", num_partitions=np_,
         on=("doc_b", "sh"), right_on=("doc_b_", "sh_b"),
     )
-    inter = both.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="inter"),
-        Min("n_a", alias_name="n_a"),   # constant per doc; Min just picks it
-        Min("n_b", alias_name="n_b"),
+    # one row per shared shingle -> one row per pair. Partition-
+    # vectorized (_reduce_pairs), NOT groupby([doc_a, doc_b]): the
+    # pair groups are near-singletons and Ray's aggregate pays Python
+    # per group. n_a/n_b are constant within a pair; first picks them.
+    inter = _reduce_pairs(
+        both, _npart() * 8, out_count="inter", first_cols=("n_a", "n_b")
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -430,7 +612,6 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()  # consumed by the verify joins
-    from ray.data.aggregate import Count
 
     # band rows come straight off the documents table: each input row
     # is one whole doc, so signatures always see the full shingle set
@@ -451,7 +632,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
         part = np.abs(t["band_hash"].to_numpy()) % n_sub
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
-    cand = (
+    raw_pairs = (
         ds.map_batches(_bands_from_docs, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby(["band", "part"])
@@ -459,11 +640,11 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
             lambda g: _pairs_in_partition(g, cap=_BAND_BUCKET_CAP),
             batch_format="pyarrow",
         )
-        .repartition(_npart())  # pair volume is small post-cap
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nb"))  # native dedup of pair rows
-        .drop_columns(["_nb"])
     )
+    # global distinct, partition-vectorized (near-singleton pair groups
+    # make groupby([doc_a, doc_b]) pay Python per group — see
+    # _combine_pairs_partition)
+    cand = _reduce_pairs(raw_pairs, n_sub)
     return _jaccard_join(cand, shingles, jaccard_threshold).drop_columns(["inter"])
 
 
@@ -518,12 +699,29 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
         lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
         batch_format="pyarrow",
     ).materialize()
-    if cold.count() == 0:
+    n_cold = cold.count()
+    if n_cold == 0:
         return empty_dataset(_PAIRS_SCHEMA)
-    shingles = shingles.join(
-        cold, join_type="inner", num_partitions=join_np(min(n_sh_rows, cold.count()), _npart()),
-        on=("sh",),
-    ).materialize()  # consumed by sizes AND pair generation
+    if n_cold <= _BCAST_DUP_KEYS:
+        # the sub-cap vocabulary (sublinear in corpus size) fits the
+        # broadcast budget: ship it once as a sorted int64 array and
+        # filter the full shingle table with a vectorized probe inside
+        # map_batches — same rows as the sh-keyed inner join, zero
+        # shuffle of the corpus-sized side
+        cref = ray.put(collect_sorted_i64(cold, "sh"))
+
+        def keep_cold(t: pa.Table, _ref=cref) -> pa.Table:
+            hit = sorted_member(ray.get(_ref), t["sh"].to_numpy())
+            return t.filter(pa.array(hit))
+
+        shingles = shingles.map_batches(
+            keep_cold, batch_format="pyarrow"
+        ).materialize()  # consumed by sizes AND pair generation
+    else:
+        shingles = shingles.join(
+            cold, join_type="inner", num_partitions=join_np(min(n_sh_rows, n_cold), _npart()),
+            on=("sh",),
+        ).materialize()  # consumed by sizes AND pair generation
 
     # pairs come one-per-shared-shingle, so counting pair rows IS the
     # intersection size — no second shingle join needed here (unlike the
@@ -537,17 +735,23 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
         part = np.abs(t["sh"].to_numpy()) % n_sub
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
-    inter = (
+    raw_pairs = (
         shingles.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            lambda g: _pairs_in_partition(g, cap=_DF_CAP, key="sh"),
+            # one pair row per shared shingle; combine the repeats that
+            # are LOCAL to this shingle partition in the same call (a
+            # per-partition combiner before the pair shuffle)
+            lambda g: _combine_pairs_partition(
+                _pairs_in_partition(g, cap=_DF_CAP, key="sh"), out_count="n"
+            ),
             batch_format="pyarrow",
         )
-        .repartition(_npart())
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
     )
+    # cross-partition combine: sum the partial counts per pair,
+    # partition-vectorized (near-singleton pair groups make
+    # groupby([doc_a, doc_b]) pay Python per group)
+    inter = _reduce_pairs(raw_pairs, n_sub, count_col="n", out_count="inter")
     sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
     return _sizes_and_threshold(inter, sizes, threshold)
 
@@ -780,18 +984,76 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 
 # ---- near-dup clusters: connected components over verified pairs ----
 
+def _clusters_bcast(edges, max_iters: int):
+    """Min-label propagation for a SIZE-GATED pair graph: the node
+    label vector (one int64 per dup-graph node, <= 2x pairs — gated by
+    the caller at ``_BCAST_PAIR_ROWS``) is ``ray.put`` each round and
+    probed by searchsorted inside the offer map, so a round is ONE
+    groupby-min over the edge rows instead of two shuffle joins plus
+    the groupby. Every node has an incoming edge (edges are
+    bidirectional), so the offer table covers every node and the label
+    update is a pure vectorized min against the previous round —
+    identical dynamics, hence an identical fixpoint, to the join path
+    below the gate. The edge table itself stays a dataset; driver peak
+    is O(nodes)."""
+    from ray.data.aggregate import Min
+
+    node_parts = []
+    for b in edges.select_columns(["src"]).iter_batches(batch_format="pyarrow"):
+        node_parts.append(b["src"].to_numpy())
+    nodes = np.unique(np.concatenate(node_parts))
+    nref = ray.put(nodes)
+    lab = nodes.copy()
+
+    for _ in range(max_iters):
+        lref = ray.put(lab)
+
+        def offers(t: pa.Table, _n=nref, _l=lref) -> pa.Table:
+            nd = ray.get(_n)  # plasma reads, shared per node
+            lb = ray.get(_l)
+            src_lab = lb[np.searchsorted(nd, t["src"].to_numpy())]
+            return pa.table(
+                {"node": t["dst"], "offer": pa.array(src_lab, pa.int64())}
+            )
+
+        offered = (
+            edges.map_batches(offers, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("offer", alias_name="offer"))
+        )
+        new = lab.copy()
+        for b in offered.iter_batches(batch_format="pyarrow"):
+            idx = np.searchsorted(nodes, b["node"].to_numpy())
+            off = b["offer"].to_numpy(zero_copy_only=False)
+            new[idx] = np.minimum(new[idx], off)
+        if (new == lab).all():
+            break
+        lab = new
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(nodes, pa.int64()),
+             "cluster_id": pa.array(lab, pa.int64())}
+        )
+    )
+
+
 def dedup_clusters(sf_dir: str, max_iters: int = 16):
     """Groups verified near-dup pairs into components: every doc in a
     pair gets ``cluster_id`` = the smallest doc_id reachable through
     the pair graph (the canonical representative a pipeline keeps).
 
-    Distributed min-label propagation: labels and (bidirectional)
-    edges are datasets; each round is one join (edge source -> current
+    Distributed min-label propagation over (bidirectional) edge
+    datasets. Under ``_BCAST_PAIR_ROWS`` the per-node label vector
+    (<= 2x pairs) is broadcast each round and a round is ONE groupby-
+    min over the edges (see ``_clusters_bcast``); above the gate labels
+    stay a dataset and each round is one join (edge source -> current
     label), one groupby-min per target, and one label update — no
-    driver-side graph. Near-dup components have tiny diameter, so this
-    converges in a few rounds (checked via a changed-count aggregate,
-    capped at ``max_iters``). The oracle computes the same closure with
-    a recursive CTE."""
+    driver-side graph ever; the edge table is a dataset on both paths.
+    Near-dup components have tiny diameter, so this converges in a few
+    rounds (checked via a changed-count aggregate, capped at
+    ``max_iters``). The oracle computes the same closure with a
+    recursive CTE."""
     from ray.data.aggregate import Min, Count
 
     pairs = dedup_minhash_lsh(sf_dir).drop_columns(["jaccard"]).materialize()
@@ -815,6 +1077,8 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if n_pairs <= _BCAST_PAIR_ROWS:
+        return _clusters_bcast(edges, max_iters)
     labels = (
         edges.groupby("src").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
         .map_batches(
@@ -926,7 +1190,6 @@ def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int | None = None,
     degenerate regions — same guard as the shingle df-cap; documented
     recall trade, mirrored exactly by the SQL oracle)."""
     from .knn import _planes
-    from ray.data.aggregate import Min
 
     if n_rows is None:
         # production default: r ~ log2(N) (parquet-metadata count, no
@@ -985,8 +1248,12 @@ def emb_lsh_pairs(ds, threshold: float, n_bands: int, n_rows: int | None = None,
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # a pair surfaces once per agreeing band with the identical cosine;
-    # Min just picks it
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    # first/Min just picks it. Partition-vectorized pair reduction —
+    # near-singleton pair groups make groupby([vec_a, vec_b]) pay
+    # Python per group (see _combine_pairs_partition)
+    return _reduce_pairs(
+        pairs, _npart() * 8, min_cols=("cosine",), a_col="vec_a", b_col="vec_b"
+    )
 
 
 def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):

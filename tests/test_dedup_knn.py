@@ -73,6 +73,37 @@ def test_minhash_lsh_pairs_match_exact_jaccard(doc_dir):
     assert (4, 5) not in pairs
 
 
+def test_verify_tail_join_fallback_matches_broadcast(doc_dir, monkeypatch):
+    """Above the pair/vocab broadcast budgets the Jaccard verify tails
+    fall back to shuffle joins (the 100 TB dup-heavy shape); both paths
+    must produce identical pair tables for minhash AND ngram-jaccard."""
+    import pandas as pd
+
+    sf_dir, _ = doc_dir
+
+    def frame(ds, cols):
+        return (
+            ds.to_pandas()[cols]
+            .sort_values(cols[:2])
+            .reset_index(drop=True)
+        )
+
+    mh_bcast = frame(dedup.dedup_minhash_lsh(sf_dir, jaccard_threshold=0.5),
+                     ["doc_a", "doc_b", "jaccard"])
+    ng_bcast = frame(dedup.dedup_ngram_jaccard(sf_dir, threshold=0.4),
+                     ["doc_a", "doc_b", "inter", "jaccard"])
+    assert len(mh_bcast) and len(ng_bcast)
+
+    monkeypatch.setattr(dedup, "_BCAST_PAIR_ROWS", -1)   # force verify joins
+    monkeypatch.setattr(dedup, "_BCAST_DUP_KEYS", -1)    # force df-cap join
+    mh_join = frame(dedup.dedup_minhash_lsh(sf_dir, jaccard_threshold=0.5),
+                    ["doc_a", "doc_b", "jaccard"])
+    ng_join = frame(dedup.dedup_ngram_jaccard(sf_dir, threshold=0.4),
+                    ["doc_a", "doc_b", "inter", "jaccard"])
+    pd.testing.assert_frame_equal(mh_bcast, mh_join)
+    pd.testing.assert_frame_equal(ng_bcast, ng_join)
+
+
 def test_simhash_locality(doc_dir):
     sf_dir, texts = doc_dir
     got = dedup.dedup_simhash(sf_dir).to_pandas().set_index("doc_id")["simhash"]
@@ -247,6 +278,30 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     cl = dict(zip(got["doc_id"], got["cluster_id"]))
     assert cl[0] == cl[1] == cl[2] == 0
     assert cl[3] == cl[4] == 3
+
+
+def test_dedup_clusters_join_fallback_matches_broadcast(
+    ray_session, tmp_path, monkeypatch
+):
+    """Above the pair gate label propagation runs as dataset joins (the
+    dup-heavy 100 TB shape); both paths must reach the same fixpoint."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today again"
+    texts = [
+        base, base + " extra", base + " extra more",
+        "totally different content about ray data pipelines and arrow compute kernels",
+        "totally different content about ray data pipelines and arrow compute kernels",
+    ]
+    _write_documents(tmp_path, texts)
+
+    def frame(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    bcast = frame(dedup.dedup_clusters(str(tmp_path)))
+    monkeypatch.setattr(dedup, "_BCAST_PAIR_ROWS", -1)
+    joined = frame(dedup.dedup_clusters(str(tmp_path)))
+    pd.testing.assert_frame_equal(bcast, joined)
 
 
 def test_knn_lsh_multiprobe_recall_dominates(emb_dir):
