@@ -99,17 +99,34 @@ def dedup_exact(sf_dir: str):
     KVS key collision where last-write-wins — made deterministic).
     The shuffle key is the md5-60 content hash computed per batch, not
     the text itself — at 100 TB the groupby would otherwise move every
-    document's full bytes through the exchange. The oracle groups by
-    the same hash."""
-    from ray.data.aggregate import Min, Count
-
+    document's full bytes through the exchange. The survivor pick is
+    partition-vectorized (``_reduce_keyed``): the hash groups are
+    near-singletons, so ``groupby(h).aggregate(Min, Count)`` would pay
+    Ray's per-group Python cost N times. The oracle groups by the same
+    hash."""
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
+    hashed = ds.map_batches(hash_content_batch, batch_format="pyarrow")
 
-    return (
-        ds.map_batches(hash_content_batch, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
-        .drop_columns(["h"])
+    def survivors(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        return pa.table(
+            {
+                "keep_doc_id": pa.array(ids[starts], pa.int64()),
+                "n_copies": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema([("keep_doc_id", pa.int64()), ("n_copies", pa.int64())])
+    # union with a typed empty: an all-empty map_groups output loses
+    # its schema in Ray 2.49, and an empty corpus must still present
+    # the op's columns
+    return empty_dataset(out_schema).union(
+        _reduce_keyed(hashed, "h", _npart() * 8, survivors)
     )
 
 
@@ -477,6 +494,28 @@ def _combine_pairs_partition(g: pa.Table, count_col: str | None = None,
         v = g[c].to_numpy(zero_copy_only=False)[order]
         cols[c] = pa.array(np.minimum.reduceat(v, starts))
     return pa.table(cols)
+
+
+def _reduce_keyed(ds, key_col: str, n_sub: int, combine):
+    """Single-int64-key analog of ``_reduce_pairs``: hash-partition by
+    ``key_col`` and run one vectorized ``combine`` per partition
+    (which receives every row of each key it owns, plus the transient
+    ``kpart`` column). Replaces ``groupby(key).aggregate(...)`` where
+    the key is near-unique — content hashes, conversation hashes — so
+    Ray's per-GROUP Python aggregate cost (~10-100us x N groups) never
+    appears. Per-partition rows are N / n_sub; ``n_sub`` scales with
+    the cluster via ``_npart()`` at every call site, the same sizing
+    contract as the pair-generation partitions."""
+
+    def add_kpart(t: pa.Table) -> pa.Table:
+        part = t[key_col].to_numpy() % n_sub
+        return t.append_column("kpart", pa.array(part.astype(np.int32), pa.int32()))
+
+    return (
+        ds.map_batches(add_kpart, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def _reduce_pairs(ds, n_sub: int, **combine_kw):
@@ -1602,10 +1641,12 @@ _INCR_SENTINEL = np.iinfo(np.int64).max
 def dedup_incremental(sf_dir: str):
     """(doc_id, status, dup_of) for every NEW doc: status in
     ('dup_existing', 'dup_new', 'keep'); dup_of is the surviving
-    doc_id it collided with (-1 for keeps). One hash groupby with
-    conditional-min sentinels + one hash join back to the new rows."""
-    from ray.data.aggregate import Min
-
+    doc_id it collided with (-1 for keeps). ONE hash-partitioned
+    exchange (``_reduce_keyed``): every row of a content hash lands in
+    one partition, so the conditional mins AND the per-new-doc verdict
+    are computed together in a vectorized pass — no per-group Python
+    aggregate (the hash groups are near-singletons) and no join back
+    to the new rows."""
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
 
     def hash_flag(t: pa.Table) -> pa.Table:
@@ -1625,48 +1666,43 @@ def dedup_incremental(sf_dir: str):
             }
         )
 
-    hashed = ds.map_batches(hash_flag, batch_format="pyarrow").materialize()
-    # agg has one row per DISTINCT hash — under a duplicate-flood batch
-    # it is far smaller than new_rows, so it sizes the join (min below)
-    agg = hashed.groupby("h").aggregate(
-        Min("exist_key", alias_name="min_exist"),
-        Min("new_key", alias_name="min_new"),
-    ).materialize()
-    new_rows = hashed.map_batches(
-        lambda t: t.filter(
-            pc.not_equal(t["new_key"], pa.scalar(_INCR_SENTINEL))
-        ).select(["doc_id", "h"]),
-        batch_format="pyarrow",
-    ).materialize()  # small id/hash rows; count guards the no-new-docs case
-    n_new = new_rows.count()
-    if n_new == 0:
-        return empty_dataset(
-            pa.schema([("doc_id", pa.int64()), ("status", pa.string()),
-                       ("dup_of", pa.int64())])
-        )
+    hashed = ds.map_batches(hash_flag, batch_format="pyarrow")
 
-    def verdict(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        me = t["min_exist"].to_numpy()
-        mn = t["min_new"].to_numpy()
-        has_exist = me != _INCR_SENTINEL
-        is_first_new = ids == mn
+    def verdict_partition(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        ids = g["doc_id"].to_numpy()[order]
+        ek = g["exist_key"].to_numpy()[order]
+        nk = g["new_key"].to_numpy()[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        me = np.minimum.reduceat(ek, starts)  # min existing id per hash
+        mn = np.minimum.reduceat(nk, starts)  # min new id per hash
+        run = np.repeat(np.arange(len(starts)), counts)
+        sel = np.flatnonzero(nk != _INCR_SENTINEL)  # the new rows
+        ids_n = ids[sel]
+        me_n = me[run[sel]]
+        mn_n = mn[run[sel]]
+        has_exist = me_n != _INCR_SENTINEL
+        is_first_new = ids_n == mn_n
         status = np.where(
             has_exist, "dup_existing", np.where(is_first_new, "keep", "dup_new")
         )
-        dup_of = np.where(has_exist, me, np.where(is_first_new, -1, mn))
+        dup_of = np.where(has_exist, me_n, np.where(is_first_new, -1, mn_n))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(ids_n, pa.int64()),
                 "status": pa.array(status.astype(object), pa.string()),
                 "dup_of": pa.array(dup_of, pa.int64()),
             }
         )
 
-    return new_rows.join(
-        agg, join_type="inner",
-        num_partitions=join_np(min(n_new, agg.count()), _npart()), on=("h",)
-    ).map_batches(verdict, batch_format="pyarrow")
+    out_schema = pa.schema([("doc_id", pa.int64()), ("status", pa.string()),
+                            ("dup_of", pa.int64())])
+    return empty_dataset(out_schema).union(
+        _reduce_keyed(hashed, "h", _npart() * 8, verdict_partition)
+    )
 
 
 SQL_DEDUP_INCREMENTAL = f"""

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_clean, read_parquet_light
+from ..io import empty_dataset, read_parquet_clean, read_parquet_light
 
 from ..config import IndexConfig, SKIP_WORDS
 from .dedup import _MD5_SQL
@@ -900,11 +900,10 @@ def conv_dedup(sf_dir: str):
     processes a PARTITION of many conversations with vectorized
     kernels (lexsort + list-offset binary_join + the shared _hash60
     content hash) — not one Python task per conversation — and the
-    survivor pick is a native Min/Count groupby, not a per-hash-group
-    Python callback. Same doc_keywords ``groupby(part)`` pattern."""
-    from ray.data.aggregate import Count, Min
-
-    from .dedup import _hash60, _npart
+    survivor pick is partition-vectorized too (``dedup._reduce_keyed``:
+    the hash groups are near-singletons, so a native Min/Count groupby
+    would pay Ray's per-group Python cost once per conversation)."""
+    from .dedup import _hash60, _npart, _reduce_keyed
 
     tdir = transcripts_dir(sf_dir)
     n_buckets = _npart() * 4
@@ -940,17 +939,33 @@ def conv_dedup(sf_dir: str):
             }
         )
 
-    return (
+    hashed = (
         read_parquet_light(tdir, columns=["conv_id", "turn_idx", "text"])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(hash_bucket, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("conv_id", alias_name="conv_id"),
-                   Count(alias_name="n_dups"))
-        .map_batches(
-            lambda t: t.select(["conv_id", "n_dups"]), batch_format="pyarrow"
+    )
+
+    def survivors(g: pa.Table) -> pa.Table:
+        # min over the STRING conv_id: Arrow-native multi-key sort,
+        # then first-of-run (numpy has no reduceat for strings)
+        idx = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("conv_id", "ascending")]
         )
+        h = g["h"].take(idx).to_numpy()
+        conv = g["conv_id"].combine_chunks().take(idx)
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n_dups": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema([("conv_id", pa.string()), ("n_dups", pa.int64())])
+    return empty_dataset(out_schema).union(
+        _reduce_keyed(hashed, "h", n_buckets, survivors)
     )
 
 
