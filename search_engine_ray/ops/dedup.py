@@ -505,10 +505,23 @@ def _reduce_keyed(ds, key_col: str, n_sub: int, combine):
     Ray's per-GROUP Python aggregate cost (~10-100us x N groups) never
     appears. Per-partition rows are N / n_sub; ``n_sub`` scales with
     the cluster via ``_npart()`` at every call site, the same sizing
-    contract as the pair-generation partitions."""
+    contract as the pair-generation partitions.
+
+    String keys hash with polars' vectorized xxhash (fixed seed —
+    deterministic across workers within one job, which is all a
+    shuffle key needs); integer keys partition by value directly."""
 
     def add_kpart(t: pa.Table) -> pa.Table:
-        part = t[key_col].to_numpy() % n_sub
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            part = col.to_numpy() % n_sub
+        else:
+            import polars as pl
+
+            part = (
+                pl.from_arrow(t.select([key_col]))[key_col]
+                .hash(seed=0).to_numpy() % np.uint64(n_sub)
+            )
         return t.append_column("kpart", pa.array(part.astype(np.int32), pa.int32()))
 
     return (
@@ -516,6 +529,49 @@ def _reduce_keyed(ds, key_col: str, n_sub: int, combine):
         .groupby("kpart")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def _keyed_count_combine(key_col: str, count_name: str | None = None,
+                         sum_col: str | None = None,
+                         sum_name: str | None = None,
+                         sums: tuple = ()):
+    """Vectorized per-partition combine for ``_reduce_keyed``: run
+    counts (and optionally per-key int sums) over the sorted key
+    column. ``count_name`` None drops the count column (distinct-keys
+    output). ``sums`` is ((src_col, out_name), ...); ``sum_col`` /
+    ``sum_name`` is the single-sum shorthand. Integer keys sort with
+    numpy; string keys with the Arrow kernel (numpy would fall back to
+    per-element PyObject comparisons)."""
+    if sum_col is not None:
+        sums = ((sum_col, sum_name), *sums)
+
+    def combine(g: pa.Table) -> pa.Table:
+        key = g[key_col].combine_chunks()
+        if pa.types.is_integer(key.type):
+            k = key.to_numpy()
+            order = np.argsort(k, kind="stable")
+            k = k[order]
+            starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+            cols = {key_col: pa.array(k[starts], key.type)}
+            order_pa = None
+        else:
+            order_pa = pc.sort_indices(key)
+            ks = key.take(order_pa)
+            neq = pc.not_equal(
+                ks.slice(1), ks.slice(0, max(len(ks) - 1, 0))
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            starts = np.flatnonzero(np.concatenate([[True], neq])) if len(ks) else np.empty(0, np.int64)
+            cols = {key_col: ks.take(pa.array(starts, pa.int64()))}
+            order = order_pa.to_numpy()
+        if count_name is not None:
+            counts = np.diff(np.concatenate([starts, [g.num_rows]]))
+            cols[count_name] = pa.array(counts.astype(np.int64), pa.int64())
+        for src, out in sums:
+            v = g[src].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            cols[out] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    return combine
 
 
 def _reduce_pairs(ds, n_sub: int, **combine_kw):
@@ -730,10 +786,11 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     # df-cap: drop hot shingles from the universe (distributed filter).
     # cold is materialized: its count guards the everything-is-
     # boilerplate edge (empty join side crashes Ray 2.49's join) and it
-    # is the vocabulary table — small bytes relative to the shingle rows
-    from ray.data.aggregate import Count
-
-    df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
+    # is the vocabulary table — small bytes relative to the shingle rows.
+    # df is partition-vectorized (near-unique keys — see _reduce_keyed)
+    df = _reduce_keyed(
+        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+    )
     cold = df.map_batches(
         lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
         batch_format="pyarrow",
@@ -791,7 +848,9 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     # partition-vectorized (near-singleton pair groups make
     # groupby([doc_a, doc_b]) pay Python per group)
     inter = _reduce_pairs(raw_pairs, n_sub, count_col="n", out_count="inter")
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).materialize()
+    sizes = _reduce_keyed(
+        shingles, "doc_id", _npart() * 8, _keyed_count_combine("doc_id", "n_sh")
+    ).materialize()
     return _sizes_and_threshold(inter, sizes, threshold)
 
 
@@ -1397,7 +1456,6 @@ def dup_span_fraction(sf_dir: str):
     exchange total; above the budget it falls back to the sh-keyed
     hash join. At 100 TB the Bloom twin (``dup_span_fraction_approx``)
     replaces even that broadcast with blocked bitmaps."""
-    from ray.data.aggregate import Count, Sum
 
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = (
@@ -1414,8 +1472,11 @@ def dup_span_fraction(sf_dir: str):
         )
     # df (one row per DISTINCT shingle) is the smaller join side — a
     # boilerplate corpus can have thousands of shingle rows over a
-    # handful of distinct shingles, so size the join by df's count
-    df = shingles.groupby("sh").aggregate(Count(alias_name="df")).materialize()
+    # handful of distinct shingles, so size the join by df's count.
+    # Partition-vectorized (near-unique keys — see _reduce_keyed)
+    df = _reduce_keyed(
+        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+    ).materialize()
     dup_keys = df.map_batches(
         lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
         batch_format="pyarrow",
@@ -1451,8 +1512,9 @@ def dup_span_fraction(sf_dir: str):
 
         flagged = tagged.map_batches(flag, batch_format="pyarrow")
 
-    per_doc = flagged.groupby("doc_id").aggregate(
-        Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup")
+    per_doc = _reduce_keyed(
+        flagged, "doc_id", _npart() * 8,
+        _keyed_count_combine("doc_id", "n_sh", sum_col="is_dup", sum_name="n_dup"),
     )
 
     def ppm(t: pa.Table) -> pa.Table:
@@ -1526,7 +1588,6 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
     Error is one-sided: Bloom false positives can only OVERCOUNT
     ``n_dup`` (never undercount), bounded by the sizing (~0.1%
     theoretical at 16 bits/key, k=3). ``n_sh`` stays exact."""
-    from ray.data.aggregate import Count, Sum
 
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = (
@@ -1540,8 +1601,9 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
                        ("n_dup", pa.int64()), ("dup_ppm", pa.int64())])
         )
     dup_sh = (
-        shingles.groupby("sh")
-        .aggregate(Count(alias_name="df"))
+        _reduce_keyed(
+            shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+        )
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
             batch_format="pyarrow",
@@ -1611,10 +1673,10 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
             {"doc_id": t["doc_id"], "is_dup": pa.array(present.astype(np.int64), pa.int64())}
         )
 
-    per_doc = (
-        shingles.map_batches(probe, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_sh"), Sum("is_dup", alias_name="n_dup"))
+    per_doc = _reduce_keyed(
+        shingles.map_batches(probe, batch_format="pyarrow"), "doc_id",
+        _npart() * 8,
+        _keyed_count_combine("doc_id", "n_sh", sum_col="is_dup", sum_name="n_dup"),
     )
 
     def ppm(t: pa.Table) -> pa.Table:

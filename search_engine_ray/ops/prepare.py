@@ -63,8 +63,6 @@ def surviving_ids(sf_dir: str):
         )
         return t.filter(pa.array(ok))
 
-    from ray.data.aggregate import Min
-
     ds = read_parquet_light(docs_path(sf_dir), columns=["doc_id", "lang", "text"])
     clean = (
         ds.map_batches(
@@ -75,15 +73,25 @@ def surviving_ids(sf_dir: str):
     )
     # exact dedup: smallest doc_id per identical text — shuffle the
     # content hash, not the text bytes (the SHARED kernel with
-    # dedup.dedup_exact, so the two gate entries cannot drift)
-    from .dedup import hash_content_batch
+    # dedup.dedup_exact, so the two gate entries cannot drift). The
+    # survivor pick is partition-vectorized: hash groups are
+    # near-singletons, so groupby(h).aggregate(Min) would pay Ray's
+    # per-group Python cost once per document (see dedup._reduce_keyed)
+    from .dedup import (_keyed_count_combine, _npart, _reduce_keyed,
+                        hash_content_batch)
 
-    exact = (
-        clean.map_batches(hash_content_batch, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .drop_columns(["h"])
-    )
+    def min_per_hash(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        return pa.table({"doc_id": pa.array(ids[starts], pa.int64())})
+
+    exact = _reduce_keyed(
+        clean.map_batches(hash_content_batch, batch_format="pyarrow"),
+        "h", _npart() * 8, min_per_hash,
+    ).union(empty_dataset(pa.schema([("doc_id", pa.int64())])))
 
     # near-dup removal: the verified LSH pair set over the FULL corpus
     # (pairs are computed corpus-wide; a pair whose doc_a was itself
@@ -91,21 +99,15 @@ def surviving_ids(sf_dir: str):
     # "drop every later near-copy" policy, mirrored in SQL). Removal is
     # a distributed anti-join: in a dup-heavy corpus the victim set is
     # O(N), so it must never be collected to the driver.
-    from ray.data.aggregate import Count
-    from .dedup import _npart
-
     # drop is materialized: it is the small victim-id set, and its
     # count guards the common clean-corpus case (no near-dups -> empty
     # join side crashes Ray 2.49's join) while sizing the partitioning
-    drop = (
-        dedup_minhash_lsh(sf_dir)
-        .map_batches(
+    drop = _reduce_keyed(
+        dedup_minhash_lsh(sf_dir).map_batches(
             lambda t: pa.table({"doc_b": t["doc_b"]}), batch_format="pyarrow"
-        )
-        .groupby("doc_b")
-        .aggregate(Count(alias_name="_marker"))
-        .materialize()
-    )
+        ),
+        "doc_b", _npart() * 8, _keyed_count_combine("doc_b", "_marker"),
+    ).materialize()
     n_drop = drop.count()
     if n_drop == 0:
         return exact  # nothing to anti-join away; exact stays lazy
@@ -235,7 +237,6 @@ def decontaminate(sf_dir: str):
     shingle both sides, semi-join on the shingle key to flag
     contaminated docs, anti-join them away. All joins are
     shingle/doc-keyed shuffles — no driver-side sets."""
-    from ray.data.aggregate import Count
     from .dedup import _shingle_batch, _npart
 
     ds = read_parquet_light(docs_path(sf_dir), columns=["doc_id", "text"])
@@ -243,14 +244,18 @@ def decontaminate(sf_dir: str):
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
     ).materialize()
 
+    from .dedup import _keyed_count_combine, _reduce_keyed
+
     eval_sh = (
-        shingles.map_batches(
-            lambda t: t.filter(
-                pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
-            ).select(["sh"]),
-            batch_format="pyarrow",
+        _reduce_keyed(
+            shingles.map_batches(
+                lambda t: t.filter(
+                    pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(_EVAL_MOD)), pa.scalar(_EVAL_MOD))), pa.scalar(0))
+                ).select(["sh"]),
+                batch_format="pyarrow",
+            ),
+            "sh", _npart() * 8, _keyed_count_combine("sh"),
         )
-        .groupby("sh").aggregate(Count(alias_name="_e")).drop_columns(["_e"])
         .map_batches(lambda t: pa.table({"sh_e": t["sh"]}), batch_format="pyarrow")
     )
     train_sh = shingles.map_batches(
@@ -299,8 +304,10 @@ def decontaminate(sf_dir: str):
             return pa.table({"doc_id": t["doc_id"].filter(pa.array(hit))})
 
         contaminated = (
-            train_sh.map_batches(hit_docs, batch_format="pyarrow")
-            .groupby("doc_id").aggregate(Count(alias_name="_c"))
+            _reduce_keyed(
+                train_sh.map_batches(hit_docs, batch_format="pyarrow"),
+                "doc_id", _npart() * 8, _keyed_count_combine("doc_id", "_c"),
+            )
             .map_batches(
                 lambda t: pa.table({"bad": t["doc_id"], "_c": t["_c"]}),
                 batch_format="pyarrow",
@@ -309,10 +316,12 @@ def decontaminate(sf_dir: str):
         )
     else:
         contaminated = (
-            train_sh.join(eval_sh, join_type="inner",
-                          num_partitions=join_np(min(n_eval, n_train), _npart()),
-                          on=("sh",), right_on=("sh_e",))
-            .groupby("doc_id").aggregate(Count(alias_name="_c"))
+            _reduce_keyed(
+                train_sh.join(eval_sh, join_type="inner",
+                              num_partitions=join_np(min(n_eval, n_train), _npart()),
+                              on=("sh",), right_on=("sh_e",)),
+                "doc_id", _npart() * 8, _keyed_count_combine("doc_id", "_c"),
+            )
             .map_batches(
                 lambda t: pa.table({"bad": t["doc_id"], "_c": t["_c"]}),
                 batch_format="pyarrow",

@@ -51,6 +51,24 @@ def _coalesced_groupby(ds, keys):
     return ds.repartition(max(4, cpus // 4)).groupby(keys)
 
 
+def _events_nsub() -> int:
+    """Hash-partition count for the partition-vectorized per-key ops
+    below (same sizing contract as dedup's pair partitions)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, cpus // 4)) * 8
+
+
+def _add_upart(t: pa.Table, n_sub: int, key: str = "user_id") -> pa.Table:
+    """Append ``upart`` = int64 key mod ``n_sub`` — the shuffle key
+    that co-locates every row of a key so ONE map_groups call
+    processes a whole hash partition vectorized, instead of one Python
+    call (plus per-group table construction) per key. The per-key
+    groupby alternative pays that cost O(distinct keys) times — users,
+    orders — which is what breaks at event-stream scale."""
+    part = t[key].to_numpy() % n_sub
+    return t.append_column("upart", pa.array(part.astype(np.int32), pa.int32()))
+
+
 def _rev_e4(t: pa.Table) -> pa.Array:
     """revenue = extendedprice * (1 - discount), kept as an EXACT
     integer in 1e-4 dollar units: price has 2 decimals and discount 2
@@ -664,29 +682,44 @@ def asof_join(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def per_user(g: pa.Table) -> pa.Table:
+    n_sub = _events_nsub()
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        """Whole hash partition vectorized, user-major: the running
+        last-click index never escapes a user's run because a row's
+        candidate click is valid only if it is at or after the row's
+        own run start (indices within a run are contiguous)."""
+        u = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
         typ = g["event_type"].to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy()
-        # sort (ts, clicks-before-purchases, event_id): at equal ts the
-        # backward fill then matches the SQL's ts<= with
+        # sort (user, ts, clicks-before-purchases, event_id): at equal
+        # ts the backward fill then matches the SQL's ts<= with
         # (ts DESC, event_id DESC) tie-break
-        order = np.lexsort((eid, typ != "click", ts))
-        typ, eid, ts = typ[order], eid[order], ts[order]
+        order = np.lexsort((eid, typ != "click", ts, u))
+        u, typ, eid, ts = u[order], typ[order], eid[order], ts[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(u)]]))
+        run_start = np.repeat(starts, counts)  # own run's first index, per row
         click_idx = np.where(typ == "click", np.arange(len(typ)), -1)
         last_click = np.maximum.accumulate(click_idx)
         purchases = np.flatnonzero(typ == "purchase")
         lc = last_click[purchases]
+        valid = lc >= run_start[purchases]  # click is within THIS user's run
         return pa.table(
             {
                 "purchase_event_id": pa.array(eid[purchases], pa.int64()),
                 "prior_click_event_id": pa.array(
-                    eid[np.maximum(lc, 0)], pa.int64(), mask=lc < 0
+                    eid[np.maximum(lc, 0)], pa.int64(), mask=~valid
                 ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
 
 
 SQL_ASOF_JOIN = """
@@ -722,18 +755,9 @@ def range_join(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        typ = g["event_type"].to_numpy(zero_copy_only=False)
-        eid = g["event_id"].to_numpy()
-        is_p = typ == "purchase"
-        p_ts, p_id = ts[is_p], eid[is_p]
-        c_order = np.argsort(ts[~is_p], kind="mergesort")
-        c_ts, c_id = ts[~is_p][c_order], eid[~is_p][c_order]
-        # for each purchase: clicks in [p_ts - 1h, p_ts] via two
-        # searchsorted sweeps over the sorted click timeline
-        lo = np.searchsorted(c_ts, p_ts - _RANGE_US, side="left")
-        hi = np.searchsorted(c_ts, p_ts, side="right")
+    n_sub = _events_nsub()
+
+    def _expand(p_id, lo, hi, c_id):
         counts = hi - lo
         purch_out = np.repeat(p_id, counts)
         total = int(counts.sum())
@@ -742,14 +766,67 @@ def range_join(sf_dir: str):
             - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
             + np.repeat(lo, counts)
         )
+        return purch_out, c_id[click_idx]
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        """Whole hash partition in one vectorized sweep: clicks and
+        purchases sort user-major, and each user's window searches run
+        over a MONOTONIC composite key user_rank * span + (ts - t0)
+        with span = ts_range + window + 2 — a window can never reach
+        into a neighboring user's block because the inter-block gap
+        exceeds the window by construction. If the composite would
+        overflow int64 (astronomically many users x a decades-wide ts
+        range in one partition), a partition-local per-user loop takes
+        over — still one Ray task, no per-user scheduling."""
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts, typ, eid = u[order], ts[order], typ[order], eid[order]
+        is_p = typ == "purchase"
+        p_u, p_ts, p_id = u[is_p], ts[is_p], eid[is_p]
+        c_u, c_ts, c_id = u[~is_p], ts[~is_p], eid[~is_p]
+        if len(p_ts) == 0 or len(c_ts) == 0:
+            return pa.table({"purchase_event_id": pa.array([], pa.int64()),
+                             "click_event_id": pa.array([], pa.int64())})
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + _RANGE_US + 2
+        uu = np.unique(u)
+        if (len(uu) + 1) * span < 2 ** 62:
+            c_key = np.searchsorted(uu, c_u) * span + (c_ts - t0)
+            p_key = np.searchsorted(uu, p_u) * span + (p_ts - t0)
+            lo = np.searchsorted(c_key, p_key - _RANGE_US, side="left")
+            hi = np.searchsorted(c_key, p_key, side="right")
+            purch_out, click_out = _expand(p_id, lo, hi, c_id)
+        else:
+            outs = []
+            p_starts = np.flatnonzero(
+                np.concatenate([[True], p_u[1:] != p_u[:-1]])
+            )
+            p_ends = np.concatenate([p_starts[1:], [len(p_u)]])
+            c_bounds = np.searchsorted(c_u, p_u[p_starts])
+            c_ends = np.searchsorted(c_u, p_u[p_starts], side="right")
+            for i in range(len(p_starts)):
+                ps, pe = p_starts[i], p_ends[i]
+                cs, ce = c_bounds[i], c_ends[i]
+                lo = cs + np.searchsorted(c_ts[cs:ce], p_ts[ps:pe] - _RANGE_US, side="left")
+                hi = cs + np.searchsorted(c_ts[cs:ce], p_ts[ps:pe], side="right")
+                outs.append(_expand(p_id[ps:pe], lo, hi, c_id))
+            purch_out = np.concatenate([o[0] for o in outs])
+            click_out = np.concatenate([o[1] for o in outs])
         return pa.table(
             {
                 "purchase_event_id": pa.array(purch_out, pa.int64()),
-                "click_event_id": pa.array(c_id[click_idx], pa.int64()),
+                "click_event_id": pa.array(click_out, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
 
 
 SQL_RANGE_JOIN = """
@@ -771,21 +848,27 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 def events_sessionize(sf_dir: str):
     """Per user: sessions split at >30min inactivity gaps; one row per
-    session with start/end/n_events. groupby(user) + per-group sorted
-    diff — the sessionization pattern for event streams."""
+    session with start/end/n_events. Partition-vectorized: users are
+    hash-bucketed and ONE call sessionizes a whole partition (sort by
+    (user, ts); a session breaks at a user change OR a gap) — a
+    map_groups per user would pay a Python call + table construction
+    per user, O(users) at event-stream scale."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_sub = _events_nsub()
 
-    def sessions(g: pa.Table) -> pa.Table:
-        ts = np.sort(g["ts"].to_numpy()).astype("datetime64[us]").astype(np.int64)
-        gap = np.empty(len(ts), dtype=bool)
-        gap[0] = True
-        np.greater(ts[1:] - ts[:-1], _SESSION_GAP_US, out=gap[1:])
-        sess_start_idx = np.flatnonzero(gap)
+    def sessions_part(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.empty(len(ts), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > _SESSION_GAP_US)
+        sess_start_idx = np.flatnonzero(brk)
         sess_end_idx = np.concatenate([sess_start_idx[1:], [len(ts)]]) - 1
-        uid = g["user_id"][0].as_py()
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(sess_start_idx), uid), pa.int64()),
+                "user_id": pa.array(u[sess_start_idx], pa.int64()),
                 "session_start": pa.array(
                     ts[sess_start_idx].astype("datetime64[us]"), pa.timestamp("us")
                 ),
@@ -798,7 +881,11 @@ def events_sessionize(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(sessions_part, batch_format="pyarrow")
+    )
 
 
 SQL_SESSIONIZE = """
@@ -826,24 +913,40 @@ FROM numbered GROUP BY user_id, session_id
 #      customer by price, deterministic tie-break) ----
 
 def grouped_topk(sf_dir: str, k: int = 3):
+    """Partition-vectorized: ONE call ranks a whole hash partition of
+    customers (lexsort by (cust, -price, orderkey) + per-run rank cut)
+    instead of one Python call per customer."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    n_sub = _events_nsub()
 
-    def topk(g: pa.Table) -> pa.Table:
+    def topk_part(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy()
         price = _cents(g["o_totalprice"]).to_numpy()
         okey = g["o_orderkey"].to_numpy()
-        order = np.lexsort((okey, -price))[:k]
+        order = np.lexsort((okey, -price, cust))
+        cust, price, okey = cust[order], price[order], okey[order]
+        first = np.concatenate([[0], np.flatnonzero(cust[1:] != cust[:-1]) + 1])
+        starts = np.zeros(len(cust), bool)
+        starts[first] = True
+        group_of = np.cumsum(starts) - 1
+        rank = np.arange(len(cust)) - first[group_of] + 1
+        keep = rank <= k
         return pa.table(
             {
-                "o_custkey": pa.array(
-                    np.repeat(g["o_custkey"][0].as_py(), len(order)), pa.int64()
-                ),
-                "o_orderkey": pa.array(okey[order], pa.int64()),
-                "price_cents": pa.array(price[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "o_custkey": pa.array(cust[keep], pa.int64()),
+                "o_orderkey": pa.array(okey[keep], pa.int64()),
+                "price_cents": pa.array(price[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pyarrow")
+    return (
+        ds.map_batches(
+            lambda t: _add_upart(t, n_sub, key="o_custkey"), batch_format="pyarrow"
+        )
+        .groupby("upart")
+        .map_groups(topk_part, batch_format="pyarrow")
+    )
 
 
 SQL_GROUPED_TOPK = """
@@ -899,27 +1002,42 @@ FROM events GROUP BY event_type
 
 def events_funnel(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    n_sub = _events_nsub()
+    big = np.iinfo(np.int64).max
 
-    def per_user(g: pa.Table) -> pa.Table:
+    def per_partition(g: pa.Table) -> pa.Table:
+        """Vectorized per-user funnel over a whole hash partition:
+        converted(u) = max purchase ts > min click ts, computed with
+        masked reduceat over the (user)-sorted rows."""
+        u = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         typ = g["event_type"].to_numpy(zero_copy_only=False)
-        click_ts = ts[typ == "click"]
-        purch_ts = ts[typ == "purchase"]
-        has_click = click_ts.size > 0
-        converted = bool(
-            has_click and purch_ts.size and purch_ts.max() > click_ts.min()
-        )
+        order = np.argsort(u, kind="stable")
+        u, ts, typ = u[order], ts[order], typ[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        is_click = typ == "click"
+        is_purch = typ == "purchase"
+        # sentinels make the masked rows inert in min/max
+        click_min = np.minimum.reduceat(np.where(is_click, ts, big), starts)
+        purch_max = np.maximum.reduceat(np.where(is_purch, ts, -big), starts)
+        n_clicks = np.add.reduceat(is_click.astype(np.int64), starts)
+        has_click = n_clicks > 0
+        converted = has_click & (purch_max > click_min)
         return pa.table(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "has_click": pa.array([int(has_click)], pa.int64()),
-                "converted": pa.array([int(converted)], pa.int64()),
+                "user_id": pa.array(u[starts], pa.int64()),
+                "has_click": pa.array(has_click.astype(np.int64), pa.int64()),
+                "converted": pa.array(converted.astype(np.int64), pa.int64()),
             }
         )
 
     from ray.data.aggregate import Sum, Count
 
-    per = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    per = (
+        ds.map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
     agg = per.aggregate(
         Count(alias_name="n_users"),
         Sum("has_click", alias_name="n_click"),
@@ -974,11 +1092,36 @@ def analytics_q3(sf_dir: str):
                      on=("o_custkey",), right_on=("c_custkey",))
     j = li.join(co, join_type="inner", num_partitions=4,
                 on=("l_orderkey",), right_on=("o_orderkey",))
-    from ray.data.aggregate import Sum
+    n_sub = _events_nsub()
+
+    def sum_top10(g: pa.Table) -> pa.Table:
+        """Per-partition revenue sums (each order's lineitems are
+        co-located by the hash partition) + a partial top-10 cut: the
+        global top-10 is a subset of the union of per-partition
+        top-10s, so the final sort sees n_sub * 10 rows instead of
+        every order. A groupby(l_orderkey) would pay Ray's per-group
+        Python cost once per order."""
+        k = g["l_orderkey"].to_numpy()
+        v = g["rev_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        keys = k[starts]
+        sums = np.add.reduceat(v, starts)
+        sel = np.lexsort((keys, -sums))[:10]  # same tie-break as the sort
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys[sel], pa.int64()),
+                "revenue_e4": pa.array(sums[sel], pa.int64()),
+            }
+        )
 
     top = (
-        j.groupby("l_orderkey")
-        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        j.map_batches(
+            lambda t: _add_upart(t, n_sub, key="l_orderkey"), batch_format="pyarrow"
+        )
+        .groupby("upart")
+        .map_groups(sum_top10, batch_format="pyarrow")
         .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -1021,23 +1164,39 @@ def events_dau(sf_dir: str):
             }
         ).group_by(["day", "user_id"]).aggregate([])
 
-    def count_by_day(t: pa.Table) -> pa.Table:
-        # per-batch combiner for the final per-day count
-        g = pa.table({"day": t["day"]}).group_by("day").aggregate(
-            [("day", "count", pc.CountOptions(mode="all"))]
+    from ray.data.aggregate import Sum
+
+    def distinct_count_part(g: pa.Table) -> pa.Table:
+        """One hash partition of per-batch-distinct (day, user) rows:
+        global dedupe + per-day partial counts in a single vectorized
+        pass (all rows of a user are co-located, so a pair seen in two
+        batches dedupes here). A groupby([day, user]) would pay Ray's
+        per-group Python cost once per active (day, user) pair."""
+        d = g["day"].combine_chunks()
+        unit = d.type.unit
+        di = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((u, di))
+        di, u = di[order], u[order]
+        new_pair = np.concatenate(
+            [[True], (di[1:] != di[:-1]) | (u[1:] != u[:-1])]
         )
+        dd = di[new_pair]  # distinct pairs' day, still day-sorted
+        dstarts = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+        counts = np.diff(np.concatenate([dstarts, [len(dd)]]))
         return pa.table(
-            {"day": g["day"], "n_part": g["day_count"].cast(pa.int64())}
+            {
+                "day": pa.array(dd[dstarts], pa.int64()).cast(pa.timestamp(unit)),
+                "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
 
-    from ray.data.aggregate import Count, Sum
-
+    n_sub = _events_nsub()
     combined = (
         ds.map_batches(day_user, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .map_batches(count_by_day, batch_format="pyarrow")
+        .map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(distinct_count_part, batch_format="pyarrow")
     )
     # day keys are bounded, so the shared coalesce policy applies —
     # not a hardcoded repartition(4) that would pin the final

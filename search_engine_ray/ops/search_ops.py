@@ -742,7 +742,6 @@ def _conv_bucket_ids(col, n_buckets: int) -> np.ndarray:
 
 
 def conv_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum, Min, Max
 
     from ..functions.analysis import split_tokens
 
@@ -762,17 +761,40 @@ def conv_stats(sf_dir: str):
             }
         )
 
-    return (
-        read_parquet_light(tdir)
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Count(alias_name="n_turns"),
-            Sum("doclen", alias_name="total_tokens"),
-            Sum("is_tool", alias_name="n_tool_turns"),
-            Min("turn_idx", alias_name="first_turn"),
-            Max("turn_idx", alias_name="last_turn"),
+    from .dedup import _npart, _reduce_keyed
+
+    def stats_part(g: pa.Table) -> pa.Table:
+        # one vectorized pass per hash partition of conversations —
+        # groupby(conv_id) would pay Ray's per-group Python aggregate
+        # cost once per conversation (see dedup._reduce_keyed)
+        conv = g["conv_id"].combine_chunks()
+        idx = pc.sort_indices(conv)
+        conv = conv.take(idx)
+        order = idx.to_numpy()
+        neq = pc.not_equal(
+            conv.slice(1), conv.slice(0, max(len(conv) - 1, 0))
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(np.concatenate([[True], neq]))
+        dl = g["doclen"].to_numpy()[order]
+        tool = g["is_tool"].to_numpy()[order]
+        ti = g["turn_idx"].to_numpy()[order]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "n_turns": pa.array(
+                    np.diff(np.concatenate([starts, [len(order)]])).astype(np.int64),
+                    pa.int64(),
+                ),
+                "total_tokens": pa.array(np.add.reduceat(dl, starts), pa.int64()),
+                "n_tool_turns": pa.array(np.add.reduceat(tool, starts), pa.int64()),
+                "first_turn": pa.array(np.minimum.reduceat(ti, starts), pa.int64()),
+                "last_turn": pa.array(np.maximum.reduceat(ti, starts), pa.int64()),
+            }
         )
+
+    return _reduce_keyed(
+        read_parquet_light(tdir).map_batches(pre, batch_format="pyarrow"),
+        "conv_id", _npart() * 8, stats_part,
     )
 
 

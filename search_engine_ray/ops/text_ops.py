@@ -81,13 +81,22 @@ def term_stats(sf_dir: str):
              "tf": pa.array(tf, pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+    # partition-vectorized term reduction (dedup._reduce_keyed): term
+    # groups are near-unique after the per-batch combiner, and Ray's
+    # aggregate pays Python per group — at web scale that is once per
+    # vocabulary entry
+    from ..io import empty_dataset
+    from .dedup import _keyed_count_combine, _npart, _reduce_keyed
 
-    return (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("tf", pa.int64())]
+    )
+    return empty_dataset(out_schema).union(
+        _reduce_keyed(
+            _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+            "term", _npart() * 8,
+            _keyed_count_combine("term", sums=(("df", "df"), ("tf", "tf"))),
+        )
     )
 
 
@@ -622,14 +631,13 @@ def unigram_logprob(sf_dir: str):
     above the gate it falls back to the term-keyed hash join. Both
     paths hit identical integers: index_in is exact string membership
     and the arithmetic is shared."""
-    from ray.data.aggregate import Sum
+    from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
 
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds the unigram groupby AND the join
-    unigram = (
-        tf_rows.groupby("term")
-        .aggregate(Sum("tf", alias_name="tf_global"))
-        .materialize()  # consumed by the total below AND the ship-back
-    )
+    unigram = _reduce_keyed(
+        tf_rows, "term", _dnp() * 8,
+        _keyed_count_combine("term", sums=(("tf", "tf_global"),)),
+    ).materialize()  # consumed by the total below AND the ship-back
     total = int(unigram.sum(on="tf_global") or 0)
     if total == 0:  # token-free corpus: no docs to score
         return empty_dataset(
@@ -676,8 +684,13 @@ def unigram_logprob(sf_dir: str):
             unigram, join_type="inner", num_partitions=np_, on=("term",)
         ).map_batches(contrib, batch_format="pyarrow")
 
-    per_doc = contributed.groupby("doc_id").aggregate(
-        Sum("tf", alias_name="n_tokens"), Sum("lp_micro", alias_name="lp_micro")
+    # doc-keyed reduction: doc groups are near-unique (O(corpus) of
+    # them), so this too is partition-vectorized
+    per_doc = _reduce_keyed(
+        contributed, "doc_id", _dnp() * 8,
+        _keyed_count_combine(
+            "doc_id", sums=(("tf", "n_tokens"), ("lp_micro", "lp_micro"))
+        ),
     )
 
     def mean_col(t: pa.Table) -> pa.Table:
@@ -724,7 +737,7 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
     tf * ln(N/df) in integer micro-units. df and N travel as datasets /
     one scalar; the join is term-keyed; the grouped top-k runs
     vectorized per hash partition."""
-    from ray.data.aggregate import Count
+    from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
 
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds df, N, AND the join
     n_tf = tf_rows.count()
@@ -736,9 +749,16 @@ def doc_keywords(sf_dir: str, k: int = _KW_K):
         )
     # df_tbl (one row per DISTINCT term) is the smaller join side and
     # sizes the join — small-vocab corpora would otherwise leave
-    # df-less partitions and crash Ray 2.49's hash join
-    df_tbl = tf_rows.groupby("term").aggregate(Count(alias_name="df")).materialize()
-    n_docs = tf_rows.groupby("doc_id").aggregate(Count(alias_name="c")).count()
+    # df-less partitions and crash Ray 2.49's hash join. Both
+    # reductions are partition-vectorized: term and doc groups are
+    # near-unique, and distinct-doc COUNTING is just the row count of
+    # the distinct-keys reduction (each key lands in one partition)
+    df_tbl = _reduce_keyed(
+        tf_rows, "term", _dnp() * 8, _keyed_count_combine("term", "df")
+    ).materialize()
+    n_docs = _reduce_keyed(
+        tf_rows, "doc_id", _dnp() * 8, _keyed_count_combine("doc_id")
+    ).count()
     n_part = _join_npart() * 4
 
     def _score_from(t: pa.Table, df: np.ndarray) -> pa.Table:
@@ -876,12 +896,13 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
         )
         .materialize()  # feeds B AND the score joins
     )
+    from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
+
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds ucnt AND n_docs
-    ucnt = (
-        tf_rows.groupby("term")
-        .aggregate(Sum("tf", alias_name="uc"))
-        .materialize()  # consumed twice (w1 and w2 joins) AND for T
-    )
+    ucnt = _reduce_keyed(
+        tf_rows, "term", _dnp() * 8,
+        _keyed_count_combine("term", sums=(("tf", "uc"),)),
+    ).materialize()  # consumed twice (w1 and w2 joins) AND for T
     T = int(ucnt.sum(on="uc") or 0)
     _empty = pa.schema(
         [("w1", pa.string()), ("w2", pa.string()),
@@ -897,10 +918,10 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     # uses the identical token definition (split_tokens, stemming
     # off, no skip filter), so its distinct doc_id count IS the
     # nonempty-doc count — no third read-and-tokenize pass.
-    from ray.data.aggregate import Count
-
     n_docs = int(
-        tf_rows.groupby("doc_id").aggregate(Count(alias_name="_c")).count()
+        _reduce_keyed(
+            tf_rows, "doc_id", _dnp() * 8, _keyed_count_combine("doc_id")
+        ).count()
     )
     B = T - n_docs
     if B <= 0:  # no adjacent pairs anywhere (all docs are 1 token)
