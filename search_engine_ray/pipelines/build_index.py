@@ -71,6 +71,11 @@ def _expand(source) -> list[str]:
 # every stage fingerprint, so resume never trusts stale-format output.
 FORMAT_VERSION = 4  # v4: roletool dl stream counts the augmented token stream
 
+# term-stat bytes at or below this build the dictionary with one
+# driver-side Arrow group_by; above it, the distributed partition-
+# vectorized reduction (tests force the distributed path by lowering it)
+DICT_LOCAL_STAT_BYTES = 256 * 1024 * 1024
+
 
 def _fingerprint(items, cfg: IndexConfig | None = None) -> str:
     h = hashlib.sha1()
@@ -499,7 +504,7 @@ def _finish_build(
         # segment set carries ~3 MB of term stats; the distributed
         # groupby's fixed job cost is seconds)
         stat_bytes = _column_bytes(seg_files, ("term", "df", "max_tf"))
-        if stat_bytes <= 256 * 1024 * 1024:
+        if stat_bytes <= DICT_LOCAL_STAT_BYTES:
             # small term-stats: one driver-side Arrow group_by
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -530,16 +535,15 @@ def _finish_build(
                 pq.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
                 ck.commit()
         else:
-            from ray.data.aggregate import Sum, Max, Count
+            # vocabulary-sized group count: partition-vectorized (one
+            # Arrow-sorted combine per hash partition) instead of
+            # Ray's per-group Python aggregate — see dedup._reduce_keyed
+            from ..ops.dedup import _npart, _reduce_keyed
 
             seg_ds = read_parquet_clean(
                 seg_root, columns=["term", "df", "max_tf"]
             )
-            dictionary = seg_ds.groupby("term").aggregate(
-                Sum("df", alias_name="df"),
-                Max("max_tf", alias_name="max_tf"),
-                Count(alias_name="n_segments"),
-            )
+            dictionary = _reduce_keyed(seg_ds, "term", _npart() * 8, _dict_part)
             with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
                 dictionary.write_parquet(ck.tmp)
                 ck.commit()
@@ -563,6 +567,38 @@ def _finish_build(
         os.fsync(f.fileno())
     os.replace(mpath + ".tmp", mpath)
     return meta
+
+
+def _dict_part(g):
+    """One hash partition of segment (term, df, max_tf) rows -> one
+    dictionary row per term, vectorized (Arrow sort + reduceat) — the
+    distributed dictionary path's combine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    term = g["term"].combine_chunks()
+    idx = pc.sort_indices(term)
+    term = term.take(idx)
+    order = idx.to_numpy()
+    neq = pc.not_equal(
+        term.slice(1), term.slice(0, max(len(term) - 1, 0))
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    starts = np.flatnonzero(np.concatenate([[True], neq]))
+    df = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    mtf = g["max_tf"].to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "term": term.take(pa.array(starts, pa.int64())),
+            "df": pa.array(np.add.reduceat(df, starts), pa.int64()),
+            "max_tf": pa.array(np.maximum.reduceat(mtf, starts)).cast(
+                g["max_tf"].type
+            ),
+            "n_segments": pa.array(
+                np.diff(np.concatenate([starts, [len(order)]])).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
 
 
 def _count_docs_files(d: str) -> tuple[int, int]:

@@ -27,6 +27,7 @@ the node id — one key reused across all epochs, so only ``ranks``
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -48,21 +49,26 @@ def pagerank(
     """edges: Dataset with int64 columns (src, dst), duplicates allowed
     (deduped here). Returns (ranks Dataset with (node, rank), epochs).
     """
-    from ray.data.aggregate import Count, Sum
+    # all four reductions here key on node/edge ids whose group counts
+    # scale with the graph — partition-vectorized (ops.dedup helpers),
+    # never Ray's per-group Python aggregate
+    from ..ops.dedup import (_keyed_count_combine, _npart, _reduce_keyed,
+                             _reduce_pairs)
 
-    edges = (
-        edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+    n_sub = _npart() * 8
+    edges = _reduce_pairs(edges, n_sub, a_col="src", b_col="dst")
+    deg = _reduce_keyed(
+        edges, "src", n_sub, _keyed_count_combine("src", "out_deg")
     )
-    deg = edges.groupby("src").aggregate(Count(alias_name="out_deg"))
     # (src, dst, out_deg) — static across epochs; join once, keep hot
     ed = edges.join(
         deg, join_type="inner", num_partitions=num_partitions, on=("src",)
     ).materialize()
 
-    nodes = (
+    nodes = _reduce_keyed(
         edges.select_columns(["src"]).rename_columns({"src": "node"})
-        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"}))
-        .groupby("node").aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "node"})),
+        "node", n_sub, _keyed_count_combine("node"),
     ).materialize()
     n_nodes = nodes.count()
 
@@ -89,7 +95,23 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        recv = contrib.groupby("dst").aggregate(Sum("c", alias_name="recv"))
+        def sum_recv(g: pa.Table) -> pa.Table:
+            # float sums in sorted-dst reduceat order — deterministic;
+            # the gate compares at round-6 (float accumulation order
+            # already differs between engines)
+            d = g["dst"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            d = d[order]
+            c = g["c"].to_numpy(zero_copy_only=False)[order]
+            starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            return pa.table(
+                {
+                    "dst": pa.array(d[starts], pa.int64()),
+                    "recv": pa.array(np.add.reduceat(c, starts), pa.float64()),
+                }
+            )
+
+        recv = _reduce_keyed(contrib, "dst", n_sub, sum_recv)
         new_ranks = nodes.join(
             recv, join_type="left_outer", num_partitions=num_partitions,
             on=("node",), right_on=("dst",),

@@ -87,6 +87,50 @@ def test_dictionary_df(built):
     assert got == want
 
 
+def test_distributed_dictionary_matches_local(built):
+    """Above DICT_LOCAL_STAT_BYTES the dictionary builds with the
+    distributed partition-vectorized reduction (_reduce_keyed +
+    _dict_part); over the SAME segment files it must be row-identical
+    to the driver-side Arrow group_by the small path uses. (Two
+    separate index BUILDS are not comparable: segment-wave layout is
+    execution-dependent, so n_segments differs across builds.)"""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from search_engine_ray.io import read_parquet_clean
+    from search_engine_ray.ops.dedup import _reduce_keyed
+    from search_engine_ray.pipelines.build_index import _dict_part
+
+    index_dir, _, _, _ = built
+    seg_root = os.path.join(index_dir, "segments")
+    files = sorted(glob.glob(os.path.join(seg_root, "part=*", "*.parquet")))
+    seg_t = pq.read_table(files, columns=["term", "df", "max_tf"])
+    agg = seg_t.group_by("term").aggregate(
+        [("df", "sum"), ("max_tf", "max"), ("df", "count")]
+    )
+    local = pd.DataFrame(
+        {
+            "term": agg["term"].to_pandas(),
+            "df": agg["df_sum"].to_pandas().astype("int64"),
+            "max_tf": agg["max_tf_max"].to_pandas(),
+            "n_segments": agg["df_count"].to_pandas().astype("int64"),
+        }
+    ).sort_values("term").reset_index(drop=True)
+
+    dist = (
+        _reduce_keyed(
+            read_parquet_clean(seg_root, columns=["term", "df", "max_tf"]),
+            "term", 16, _dict_part,
+        )
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+
+
 @pytest.mark.parametrize("mode", ["AND", "OR"])
 def test_topk_rank_identical(built, mode):
     index_dir, _, oracle, cfg = built
