@@ -298,12 +298,14 @@ GROUP BY o.o_orderstatus
 #      all customers with their order aggregates, including orderless ----
 
 def flame_cogroup(sf_dir: str):
-    from ray.data.aggregate import Count
+    from .dedup import _keyed_count_combine, _reduce_keyed
 
-    orders_per_cust = (
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
+    # per-customer counts are near-unique-key groups — partition-
+    # vectorized (see dedup._reduce_keyed)
+    orders_per_cust = _reduce_keyed(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        "o_custkey", _events_nsub(),
+        _keyed_count_combine("o_custkey", "n_orders"),
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
         lambda t: pa.table(
@@ -343,18 +345,15 @@ def flame_intersection(sf_dir: str):
     """Distributed semi-join: dedup each side with a groupby (shuffle on
     the key), inner-join the two distinct sets. Nothing but the final
     result ever reaches the driver — both sides can be arbitrarily large."""
-    from ray.data.aggregate import Count
+    from .dedup import _keyed_count_combine, _reduce_keyed
 
     def distinct_keys(table: str, col: str):
-        return (
-            _read(sf_dir, table, columns=[col])
-            .map_batches(
+        return _reduce_keyed(
+            _read(sf_dir, table, columns=[col]).map_batches(
                 lambda t, c=col: pa.table({"key": pc.cast(t[c], pa.int64())}),
                 batch_format="pyarrow",
-            )
-            .groupby("key")
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"])
+            ),
+            "key", _events_nsub(), _keyed_count_combine("key"),
         )
 
     left = distinct_keys("orders", "o_custkey")
@@ -1424,7 +1423,7 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 def profile_table(sf_dir: str):
     """(col, n_rows, n_null, n_distinct) over ``documents``. Nulls are
     excluded from the distinct count (SQL COUNT(DISTINCT) semantics)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .dedup import _hash60
 
@@ -1467,12 +1466,37 @@ def profile_table(sf_dir: str):
         .aggregate(Sum("n_part", alias_name="n_rows"), Sum("null_part", alias_name="n_null"))
         .to_pandas()
     )
+    def distinct_count_part(g: pa.Table) -> pa.Table:
+        # dedupe (col, vhash) within the hash partition (all copies of
+        # a vhash land here) and count distinct per col — the
+        # (col, vhash) groups are near-unique, so a groupby over them
+        # would pay Ray's per-group Python cost once per distinct value
+        col = g["col"].to_numpy(zero_copy_only=False)
+        vh = g["vhash"].to_numpy()
+        ucol, code = np.unique(col, return_inverse=True)
+        order = np.lexsort((vh, code))
+        code, vh = code[order], vh[order]
+        new_pair = np.concatenate(
+            [[True], (code[1:] != code[:-1]) | (vh[1:] != vh[:-1])]
+        )
+        dc = code[new_pair]  # distinct pairs' col code, col-sorted
+        starts = np.flatnonzero(np.concatenate([[True], dc[1:] != dc[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(dc)]]))
+        return pa.table(
+            {
+                "col": pa.array(ucol[dc[starts]], pa.string()),
+                "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_sub = _events_nsub()
     distinct = (
         ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["col", "vhash"])
-        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: _add_upart(t, n_sub, key="vhash"), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(distinct_count_part, batch_format="pyarrow")
         .groupby("col")
-        .aggregate(Count(alias_name="n_distinct"))
+        .aggregate(Sum("n_part", alias_name="n_distinct"))
         .to_pandas()
     )
     # LEFT merge: an all-null column emits zero (col, vhash) rows, so
