@@ -855,7 +855,6 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     """(w1, w2, n_pairs, pmi_micro): global top-k adjacent bigrams by
     PMI = ln(p(xy) / (p(x)p(y))), counts >= {_PMI_MIN}. Total order
     (pmi desc, w1, w2) makes the LIMIT boundary deterministic."""
-    from ray.data.aggregate import Sum
 
     def bigram_partial(t: pa.Table) -> pa.Table:
         # tokens stay variable-width Arrow end-to-end; the earlier
@@ -885,18 +884,48 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
             }
         )
 
+    from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
+
+    def sum_bigrams(g: pa.Table) -> pa.Table:
+        """One hash(w1) partition of per-batch bigram partials: all
+        rows of a (w1, w2) pair share w1, so they are co-located —
+        Arrow two-key sort + run-summed counts, one call per partition
+        (the bigram groups are near-unique: groupby([w1, w2]) would
+        pay Ray's per-group Python cost once per distinct bigram)."""
+        idx = pc.sort_indices(
+            g.select(["w1", "w2"]),
+            sort_keys=[("w1", "ascending"), ("w2", "ascending")],
+        )
+        w1 = g["w1"].combine_chunks().take(idx)
+        w2 = g["w2"].combine_chunks().take(idx)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)[idx.to_numpy()]
+        tail = max(len(w1) - 1, 0)
+        neq = pc.or_(
+            pc.not_equal(w1.slice(1), w1.slice(0, tail)),
+            pc.not_equal(w2.slice(1), w2.slice(0, tail)),
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(np.concatenate([[True], neq]))
+        si = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                "w1": w1.take(si),
+                "w2": w2.take(si),
+                "c": pa.array(np.add.reduceat(c, starts), pa.int64()),
+            }
+        )
+
     docs = _docs(sf_dir, ["text"])
     bcnt = (
-        docs.map_batches(bigram_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("c", alias_name="c"))
+        _reduce_keyed(
+            docs.map_batches(bigram_partial, batch_format="pyarrow"),
+            "w1", _dnp() * 8, sum_bigrams,
+        )
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t["c"], pa.scalar(_PMI_MIN))),
             batch_format="pyarrow",
         )
         .materialize()  # feeds B AND the score joins
     )
-    from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
 
     tf_rows = _doc_term_tf(sf_dir).materialize()  # feeds ucnt AND n_docs
     ucnt = _reduce_keyed(
