@@ -1082,6 +1082,26 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 
 # ---- near-dup clusters: connected components over verified pairs ----
 
+def _min_offer_per_node(offers_ds, n_sub: int):
+    """groupby(node).Min(offer) with near-unique node keys,
+    partition-vectorized (see _reduce_keyed)."""
+
+    def min_part(g: pa.Table) -> pa.Table:
+        nd = g["node"].to_numpy()
+        of = g["offer"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        nd, of = nd[order], of[order]
+        starts = np.flatnonzero(np.concatenate([[True], nd[1:] != nd[:-1]]))
+        return pa.table(
+            {
+                "node": pa.array(nd[starts], pa.int64()),
+                "offer": pa.array(np.minimum.reduceat(of, starts), pa.int64()),
+            }
+        )
+
+    return _reduce_keyed(offers_ds, "node", n_sub, min_part)
+
+
 def _clusters_bcast(edges, max_iters: int):
     """Min-label propagation for a SIZE-GATED pair graph: the node
     label vector (one int64 per dup-graph node, <= 2x pairs — gated by
@@ -1094,7 +1114,6 @@ def _clusters_bcast(edges, max_iters: int):
     identical dynamics, hence an identical fixpoint, to the join path
     below the gate. The edge table itself stays a dataset; driver peak
     is O(nodes)."""
-    from ray.data.aggregate import Min
 
     node_parts = []
     for b in edges.select_columns(["src"]).iter_batches(batch_format="pyarrow"):
@@ -1114,10 +1133,8 @@ def _clusters_bcast(edges, max_iters: int):
                 {"node": t["dst"], "offer": pa.array(src_lab, pa.int64())}
             )
 
-        offered = (
-            edges.map_batches(offers, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("offer", alias_name="offer"))
+        offered = _min_offer_per_node(
+            edges.map_batches(offers, batch_format="pyarrow"), _npart() * 8
         )
         new = lab.copy()
         for b in offered.iter_batches(batch_format="pyarrow"):
@@ -1152,7 +1169,6 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
     rounds (checked via a changed-count aggregate, capped at
     ``max_iters``). The oracle computes the same closure with a
     recursive CTE."""
-    from ray.data.aggregate import Min, Count
 
     pairs = dedup_minhash_lsh(sf_dir).drop_columns(["jaccard"]).materialize()
     n_pairs = pairs.count()
@@ -1178,7 +1194,10 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
     if n_pairs <= _BCAST_PAIR_ROWS:
         return _clusters_bcast(edges, max_iters)
     labels = (
-        edges.groupby("src").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        _reduce_keyed(
+            edges.select_columns(["src"]), "src", _npart() * 8,
+            _keyed_count_combine("src"),
+        )
         .map_batches(
             lambda t: pa.table({"node": t["src"], "label": t["src"]}),
             batch_format="pyarrow",
@@ -1194,15 +1213,14 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16):
         # propagate: each node offers its label to every neighbor
         # edges/labels/offered are all nonempty here (pairs > 0), so
         # the plain join is safe once partitioning matches the scale
-        offered = (
+        offered = _min_offer_per_node(
             edges.join(labels, join_type="inner", num_partitions=np_,
                        on=("src",), right_on=("node",))
             .map_batches(
                 lambda t: pa.table({"node": t["dst"], "offer": t["label"]}),
                 batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Min("offer", alias_name="offer"))
+            ),
+            _npart() * 8,
         )
         merged = labels.join(
             offered, join_type="left_outer", num_partitions=np_, on=("node",)
