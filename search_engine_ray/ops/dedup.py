@@ -594,6 +594,81 @@ def _reduce_pairs(ds, n_sub: int, **combine_kw):
     )
 
 
+# pair-doc shingle rows broadcast instead of joined when at most this
+# many (24 B/row -> ~50 MB of plasma arrays at the gate)
+_BCAST_VERIFY_SH_ROWS = 2_000_000
+
+
+def _verify_pairs_bcast(cand, shingles, threshold: float):
+    """Exact-Jaccard verify with ZERO exchanges: the (already
+    pair-doc-restricted, size-gated) shingle table is collected once
+    as doc-sorted arrays + per-doc offsets and ``ray.put``; one map
+    over the candidate pairs then computes every |A ∩ B| with a
+    vectorized sorted-run kernel — expand both sides' shingles tagged
+    by pair index, lexsort by (pair, sh), and count the runs of
+    length 2 (shingles are DISTINCT per doc, so a (pair, sh) run has
+    at most one row per side)."""
+    d_parts, s_parts, n_parts = [], [], []
+    for b in shingles.iter_batches(batch_format="pyarrow"):
+        d_parts.append(b["doc_id"].to_numpy())
+        s_parts.append(b["sh"].to_numpy())
+        n_parts.append(b["n_sh"].to_numpy(zero_copy_only=False))
+    d = np.concatenate(d_parts)
+    s = np.concatenate(s_parts)
+    nsh = np.concatenate(n_parts).astype(np.int64)
+    order = np.lexsort((s, d))
+    d, s, nsh = d[order], s[order], nsh[order]
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    udoc = d[starts]
+    offs = np.concatenate([starts, [len(d)]]).astype(np.int64)
+    nsh_doc = nsh[starts]  # constant per doc
+    ref = ray.put((udoc, offs, s, nsh_doc))
+
+    def verify(t: pa.Table, _ref=ref) -> pa.Table:
+        udoc_, offs_, sh_, nsh_ = ray.get(_ref)  # plasma, shared per node
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        if len(da) == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        ia = np.searchsorted(udoc_, da)  # pair docs always present
+        ib = np.searchsorted(udoc_, db)
+        n_a = nsh_[ia]
+        n_b = nsh_[ib]
+
+        def expand(idx):
+            lo, hi = offs_[idx], offs_[idx + 1]
+            cnt = hi - lo
+            pair = np.repeat(np.arange(len(idx), dtype=np.int64), cnt)
+            base = np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            pos = np.arange(int(cnt.sum()), dtype=np.int64) - base + np.repeat(lo, cnt)
+            return pair, sh_[pos]
+
+        pa_idx, sa = expand(ia)
+        pb_idx, sb = expand(ib)
+        pair_all = np.concatenate([pa_idx, pb_idx])
+        sh_all = np.concatenate([sa, sb])
+        o = np.lexsort((sh_all, pair_all))
+        pair_all, sh_all = pair_all[o], sh_all[o]
+        # a (pair, sh) run of length 2 == shingle present on BOTH sides
+        same = np.concatenate(
+            [(pair_all[1:] == pair_all[:-1]) & (sh_all[1:] == sh_all[:-1]), [False]]
+        )
+        inter = np.bincount(pair_all[same], minlength=len(da)).astype(np.int64)
+        union = n_a + n_b - inter
+        j = np.round(inter / union, 6)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def _jaccard_join(cand, shingles, threshold: float):
     """Distributed exact-Jaccard verify for EXTERNAL candidate pairs
     (LSH banding): join candidates against the (doc_id, sh, n_sh)
@@ -617,9 +692,13 @@ def _jaccard_join(cand, shingles, threshold: float):
     the docs that appear in any candidate pair — a broadcast membership
     probe (one sorted int64 array in plasma, zero shuffle) — so the two
     intersection joins move O(pair docs x shingles/doc) rows instead of
-    the whole corpus's shingle table. Same joined rows (the dropped
-    shingle rows belong to docs no pair references, so the inner joins
-    discard them anyway); above the gate the full-table joins stand."""
+    the whole corpus's shingle table. When that filtered table ALSO
+    fits ``_BCAST_VERIFY_SH_ROWS``, the joins disappear entirely: the
+    pair docs' shingle sets broadcast once (doc-sorted arrays +
+    offsets) and ONE map over the candidate pairs computes every
+    intersection with a vectorized sorted-run kernel — zero exchanges
+    past the banding shuffle. Above either gate the distributed joins
+    stand; monkeypatched tests pin all three shapes identical."""
     from ray.data.dataset import MaterializedDataset
 
     if not isinstance(shingles, MaterializedDataset):
@@ -647,6 +726,8 @@ def _jaccard_join(cand, shingles, threshold: float):
         shingles = shingles.map_batches(
             only_pair_docs, batch_format="pyarrow"
         ).materialize()
+        if shingles.count() <= _BCAST_VERIFY_SH_ROWS:
+            return _verify_pairs_bcast(cand, shingles, threshold)
     np_ = join_np(min(n_cand, shingles.count()), _npart())
     # intersection per candidate pair: re-key both sides by shingle
     a_side = cand.join(

@@ -94,6 +94,13 @@ def test_verify_tail_join_fallback_matches_broadcast(doc_dir, monkeypatch):
                      ["doc_a", "doc_b", "inter", "jaccard"])
     assert len(mh_bcast) and len(ng_bcast)
 
+    # middle shape: pair gate on, but the shingle-broadcast verify off
+    # (pre-filtered joins — the 100 TB shape for huge pair-doc sets)
+    monkeypatch.setattr(dedup, "_BCAST_VERIFY_SH_ROWS", -1)
+    mh_mid = frame(dedup.dedup_minhash_lsh(sf_dir, jaccard_threshold=0.5),
+                   ["doc_a", "doc_b", "jaccard"])
+    pd.testing.assert_frame_equal(mh_bcast, mh_mid)
+
     monkeypatch.setattr(dedup, "_BCAST_PAIR_ROWS", -1)   # force verify joins
     monkeypatch.setattr(dedup, "_BCAST_DUP_KEYS", -1)    # force df-cap join
     mh_join = frame(dedup.dedup_minhash_lsh(sf_dir, jaccard_threshold=0.5),
