@@ -682,6 +682,85 @@ def run_scaling(sf_dir: str, pair: str) -> None:
     }))
 
 
+def run_qps(num_cpus: int) -> None:
+    """Serving THROUGHPUT under concurrent clients (the latency bench
+    is sequential): N driver threads fire the reference query mix at a
+    doc-sharded searcher over the 2.4M-turn index; reports QPS and
+    in-flight p95 per concurrency level, scoring path and result-cache
+    path. The searcher is the same object serve.py hands to its
+    ThreadingHTTPServer, so this measures the production concurrency
+    path (locked byte-budget LRU, pipelined per-shard calls)."""
+    import threading
+
+    import numpy as np
+
+    from search_engine_ray.corpus import make_queries
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    ray = _quiet_ray(num_cpus)
+    corpus_dir, turns = ensure_corpus(0.1, scale=20)
+    tag = f"big-{turns}"
+    idx = os.path.join(BENCH_ROOT, f"idx-{tag}")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        bench_build(corpus_dir, tag)
+    qdf = make_queries(N_QUERIES)
+    queries = [(q, int(k)) for q, k in zip(qdf["query"], qdf["k"])]
+    out: dict = {"turns": turns, "n_shards": 8, "levels": {}}
+    for n_replicas in (1, 4):
+        searcher = DocShardedSearcher(idx, n_shards=8, n_replicas=n_replicas)
+        try:
+            for _ in range(n_replicas):  # warm every replica's memos
+                for q, k in queries:
+                    searcher.search(q, k, mode="OR", result_cache=False)
+            for result_cache in (False, True):
+                if result_cache:
+                    for _ in range(n_replicas):  # populate result caches
+                        for q, k in queries:
+                            searcher.search(q, k, mode="OR")
+                for n_threads in (1, 4, 16):
+                    passes = 4 if n_threads == 1 else 2 * n_threads
+                    lat: list = []
+                    lock = threading.Lock()
+
+                    def client(tid: int):
+                        local = []
+                        for _ in range(passes // n_threads or 1):
+                            for q, k in queries:
+                                t0 = time.monotonic()
+                                searcher.search(
+                                    q, k, mode="OR", result_cache=result_cache
+                                )
+                                local.append(time.monotonic() - t0)
+                        with lock:
+                            lat.extend(local)
+
+                    threads = [
+                        threading.Thread(target=client, args=(i,))
+                        for i in range(n_threads)
+                    ]
+                    t0 = time.monotonic()
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        t.join()
+                    wall = time.monotonic() - t0
+                    key = (
+                        f"{'cache' if result_cache else 'score'}"
+                        f"_r{n_replicas}_c{n_threads}"
+                    )
+                    out["levels"][key] = {
+                        "qps": round(len(lat) / wall, 1),
+                        "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+                        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+                        "samples": len(lat),
+                    }
+        finally:
+            searcher.close()
+    out["host_calibration"] = host_calibration()
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
@@ -695,6 +774,8 @@ def main():
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--fast", action="store_true",
                    help="skip the 2.4M-turn and small-scaling sections")
+    p.add_argument("--qps", action="store_true",
+                   help="serving throughput under concurrent clients")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -706,6 +787,8 @@ def main():
         run_big24_child(a.corpus, a.cpus, a.out)
     elif a.hash_child:
         run_hash_child(a.sf_dir, a.cpus, a.out)
+    elif a.qps:
+        run_qps(a.cpus)
     elif a.scaling:
         run_scaling(a.sf_dir, a.pair)
     else:

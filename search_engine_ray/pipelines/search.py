@@ -216,11 +216,22 @@ class DocShardedSearcher:
     a concatenate + the shared deterministic top-k."""
 
     def __init__(self, index_dir: str, n_shards: int = 4,
-                 load_positions: bool = False):
+                 load_positions: bool = False, n_replicas: int = 1):
+        import itertools
         import uuid
 
         self.index_dir = index_dir
         self.n_shards = n_shards
+        # QPS scaling: one shard SET serves ~n_shards concurrent
+        # queries before its single-threaded actors queue; replicas
+        # multiply that ceiling. Queries round-robin across complete
+        # sets (results are bit-identical — same layout files, same
+        # actor class), so tail latency under concurrent clients drops
+        # by ~the replica factor at the cost of n_replicas x index
+        # memory. itertools.count.__next__ is a C-level atomic in
+        # CPython — safe under the threaded serving tier without a lock.
+        self.n_replicas = max(1, int(n_replicas))
+        self._rr = itertools.count()
         # positions are opt-in for serving: each shard actor holds its
         # terms' position blocks in memory, which a pure BM25 tier
         # doesn't need — phrase() requires it (and says so)
@@ -350,14 +361,19 @@ class DocShardedSearcher:
         self._groups = groups
         paths = self._write_layouts(groups)
         # actors load the df broadcast from disk themselves: restart-safe
-        # (an ObjectRef constructor arg dies with the driver's ref)
-        self.shards = [
-            DocShardActor.remote(
-                self.index_dir, path, load_positions=self.load_positions
-            )
-            for path in paths
+        # (an ObjectRef constructor arg dies with the driver's ref).
+        # All replica sets share ONE set of layout files.
+        self._replica_sets = [
+            [
+                DocShardActor.remote(
+                    self.index_dir, path, load_positions=self.load_positions
+                )
+                for path in paths
+            ]
+            for _ in range(self.n_replicas)
         ]
-        ray.get([s.ping.remote() for s in self.shards])
+        self.shards = self._replica_sets[0]
+        ray.get([s.ping.remote() for rs in self._replica_sets for s in rs])
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             meta = json.load(f)
         self.cfg = IndexConfig.from_json(meta["config"])
@@ -381,14 +397,19 @@ class DocShardedSearcher:
         groups, _ = self._layout(self.index_dir, self.n_shards)
         self._gen += 1
         paths = self._write_layouts(groups)
-        fresh = [
-            DocShardActor.remote(
-                self.index_dir, p, load_positions=self.load_positions
-            )
-            for p in paths
+        fresh_sets = [
+            [
+                DocShardActor.remote(
+                    self.index_dir, p, load_positions=self.load_positions
+                )
+                for p in paths
+            ]
+            for _ in range(self.n_replicas)
         ]
-        ray.get([a.ping.remote() for a in fresh])
-        old, self.shards, self._groups = self.shards, fresh, groups
+        ray.get([a.ping.remote() for rs in fresh_sets for a in rs])
+        old = [a for rs in self._replica_sets for a in rs]
+        self._replica_sets = fresh_sets
+        self.shards, self._groups = fresh_sets[0], groups
         # retire (don't kill) the old generation: an in-flight query —
         # including a seconds-long /batch — that snapshotted the old
         # list must be able to finish. Retired generations are reaped
@@ -439,12 +460,14 @@ class DocShardedSearcher:
         import shutil
 
         self._reap_retired(force=True)
-        for a in self.shards:
-            try:
-                ray.kill(a)
-            except Exception:  # noqa: BLE001 - actor may already be dead
-                pass
+        for rs in getattr(self, "_replica_sets", [self.shards]):
+            for a in rs:
+                try:
+                    ray.kill(a)
+                except Exception:  # noqa: BLE001 - actor may already be dead
+                    pass
         self.shards = []
+        self._replica_sets = []
         self._retired = []
         shutil.rmtree(self._layout_dir, ignore_errors=True)
 
@@ -456,12 +479,21 @@ class DocShardedSearcher:
         # and reclaim only the on-disk layout dir.
         try:
             self.shards = []
+            self._replica_sets = []
             self._retired = []
             import shutil
 
             shutil.rmtree(self._layout_dir, ignore_errors=True)
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
+
+    def _pick_shards(self) -> list:
+        """One complete replica set, round-robin (atomic counter): the
+        snapshot rule from search_many applies per call."""
+        sets = self._replica_sets
+        if len(sets) == 1:
+            return sets[0]
+        return sets[next(self._rr) % len(sets)]
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR",
                result_cache: bool = True):
@@ -495,7 +527,7 @@ class DocShardedSearcher:
                 "searcher constructed with load_positions=True"
             )
         self._reap_retired()
-        shards = self.shards  # one snapshot (see search_many)
+        shards = self._pick_shards()  # one snapshot (see search_many)
         parts = ray.get([s.phrase.remote(phrase, k) for s in shards])
         ids = (
             np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
@@ -519,9 +551,9 @@ class DocShardedSearcher:
         self._reap_retired()  # grace-expired old generations
         from ..functions import scoring
 
-        # one snapshot of the shard list: a refresh() swapping
-        # self.shards mid-call must not mix layout generations
-        shards = self.shards
+        # one snapshot of ONE replica's shard list: a refresh()
+        # swapping the sets mid-call must not mix layout generations
+        shards = self._pick_shards()
         futures = [
             [s.search.remote(q, k, mode, result_cache) for s in shards]
             for q, k in queries

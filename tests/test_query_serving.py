@@ -122,6 +122,35 @@ def test_doc_sharded_matches_local(index_dir):
             assert sc_l.tolist() == sc_s.tolist(), (q, mode)
 
 
+def test_doc_sharded_replicas_bit_identical(index_dir):
+    """Replicated shard sets (the QPS lever) must return bit-identical
+    results no matter which replica the round-robin lands on, and a
+    refresh must swap every replica set."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir)
+    sharded = DocShardedSearcher(index_dir, n_shards=2, n_replicas=3)
+    try:
+        assert len(sharded._replica_sets) == 3
+        for q in ["running meetings", "the of and", "w0017 runs"]:
+            for rep in range(6):  # cycles every replica twice
+                ids_l, sc_l = local.search(q, 50, mode="OR")
+                ids_s, sc_s = sharded.search(q, 50, mode="OR")
+                assert ids_l.tolist() == ids_s.tolist(), (q, rep)
+                assert sc_l.tolist() == sc_s.tolist(), (q, rep)
+        old_ids = {id(a) for rs in sharded._replica_sets for a in rs}
+        sharded.refresh()
+        assert len(sharded._replica_sets) == 3
+        new_ids = {id(a) for rs in sharded._replica_sets for a in rs}
+        assert not (old_ids & new_ids)  # full blue-green swap
+        ids_l, _sc = local.search("running meetings", 50, mode="OR")
+        for rep in range(3):
+            ids_s, _s2 = sharded.search("running meetings", 50, mode="OR")
+            assert ids_l.tolist() == ids_s.tolist()
+    finally:
+        sharded.close()
+
+
 def test_http_search_endpoint(index_dir):
     """GET /search returns the same top-k as LocalIndex, with snippets
     (reference parity: Search.java:198's routed JSON endpoint)."""
