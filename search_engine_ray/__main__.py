@@ -9,7 +9,7 @@
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
     python -m search_engine_ray prep   --source DOCS --out DIR
     python -m search_engine_ray mixture --source DOCS --out DIR
-    python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N]
+    python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N] [--replicas R]
 
 Owns the Ray session (the only places allowed to: CLI, bench.py, test
 fixture — never library code / __ray_entry__.py).
@@ -141,7 +141,7 @@ def cmd_compact(a) -> int:
 def cmd_serve(a) -> int:
     from .serve import serve
 
-    serve(a.index, port=a.port, n_shards=a.shards)
+    serve(a.index, port=a.port, n_shards=a.shards, n_replicas=a.replicas)
     return 0
 
 
@@ -253,6 +253,8 @@ def main(argv=None) -> int:
     sv.add_argument("--index", required=True)
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--shards", type=int, default=4)
+    sv.add_argument("--replicas", type=int, default=1,
+                    help="shard-set replicas (QPS lever when actors saturate)")
     sv.set_defaults(fn=cmd_serve)
 
     a = p.parse_args(argv)

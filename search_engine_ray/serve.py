@@ -411,14 +411,16 @@ class SearchServer:
         return True
 
 
-def serve(index_dir: str, port: int = 8080, n_shards: int = 4):
+def serve(index_dir: str, port: int = 8080, n_shards: int = 4,
+          n_replicas: int = 1):
     """Blocking entry point: build the sharded searcher and serve."""
     from .pipelines.search import DocShardedSearcher
 
     srv = SearchServer(
         index_dir,
         DocShardedSearcher(
-            index_dir, n_shards, load_positions=_positions_enabled(index_dir)
+            index_dir, n_shards, load_positions=_positions_enabled(index_dir),
+            n_replicas=n_replicas,
         ),
         port,
     )
