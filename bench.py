@@ -709,14 +709,17 @@ def run_qps(num_cpus: int) -> None:
     for n_replicas in (1, 4):
         searcher = DocShardedSearcher(idx, n_shards=8, n_replicas=n_replicas)
         try:
-            for _ in range(n_replicas):  # warm every replica's memos
+            # warm EVERY replica set directly (round-robin with 50
+            # queries mod 4 replicas only ever touches 2 of the 4 —
+            # gcd(50,4)=2 — leaving cold replicas in the timed passes)
+            for rs in searcher._replica_sets:
                 for q, k in queries:
-                    searcher.search(q, k, mode="OR", result_cache=False)
+                    ray.get([s.search.remote(q, k, "OR", False) for s in rs])
             for result_cache in (False, True):
                 if result_cache:
-                    for _ in range(n_replicas):  # populate result caches
+                    for rs in searcher._replica_sets:  # populate caches
                         for q, k in queries:
-                            searcher.search(q, k, mode="OR")
+                            ray.get([s.search.remote(q, k, "OR", True) for s in rs])
                 for n_threads in (1, 4, 16):
                     passes = 4 if n_threads == 1 else 2 * n_threads
                     lat: list = []

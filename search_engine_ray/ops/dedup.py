@@ -94,6 +94,20 @@ def hash_content_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def min_id_per_hash(g: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(survivor ids, copy counts) for a (doc_id, h) partition — the
+    shared exact-dedup survivor kernel (here and in
+    prepare.prepare_corpus): smallest doc_id per hash run, vectorized
+    lexsort + run detection."""
+    h = g["h"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, h))
+    h, ids = h[order], ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(h)]]))
+    return ids[starts], counts.astype(np.int64)
+
+
 def dedup_exact(sf_dir: str):
     """Groups identical texts; keeps the smallest doc_id (the analog of
     KVS key collision where last-write-wins — made deterministic).
@@ -108,16 +122,11 @@ def dedup_exact(sf_dir: str):
     hashed = ds.map_batches(hash_content_batch, batch_format="pyarrow")
 
     def survivors(g: pa.Table) -> pa.Table:
-        h = g["h"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        order = np.lexsort((ids, h))
-        h, ids = h[order], ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
-        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        keep, counts = min_id_per_hash(g)
         return pa.table(
             {
-                "keep_doc_id": pa.array(ids[starts], pa.int64()),
-                "n_copies": pa.array(counts.astype(np.int64), pa.int64()),
+                "keep_doc_id": pa.array(keep, pa.int64()),
+                "n_copies": pa.array(counts, pa.int64()),
             }
         )
 
@@ -547,20 +556,28 @@ def _keyed_count_combine(key_col: str, count_name: str | None = None,
 
     def combine(g: pa.Table) -> pa.Table:
         key = g[key_col].combine_chunks()
+        if g.num_rows == 0:
+            # defensive: map_groups groups are non-empty today, but an
+            # empty block must not crash (reduceat rejects empty starts)
+            cols = {key_col: key.slice(0, 0)}
+            if count_name is not None:
+                cols[count_name] = pa.array([], pa.int64())
+            for _src, out in sums:
+                cols[out] = pa.array([], pa.int64())
+            return pa.table(cols)
         if pa.types.is_integer(key.type):
             k = key.to_numpy()
             order = np.argsort(k, kind="stable")
             k = k[order]
             starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
             cols = {key_col: pa.array(k[starts], key.type)}
-            order_pa = None
         else:
             order_pa = pc.sort_indices(key)
             ks = key.take(order_pa)
             neq = pc.not_equal(
                 ks.slice(1), ks.slice(0, max(len(ks) - 1, 0))
             ).to_numpy(zero_copy_only=False).astype(bool)
-            starts = np.flatnonzero(np.concatenate([[True], neq])) if len(ks) else np.empty(0, np.int64)
+            starts = np.flatnonzero(np.concatenate([[True], neq]))
             cols = {key_col: ks.take(pa.array(starts, pa.int64()))}
             order = order_pa.to_numpy()
         if count_name is not None:

@@ -78,15 +78,11 @@ def surviving_ids(sf_dir: str):
     # near-singletons, so groupby(h).aggregate(Min) would pay Ray's
     # per-group Python cost once per document (see dedup._reduce_keyed)
     from .dedup import (_keyed_count_combine, _npart, _reduce_keyed,
-                        hash_content_batch)
+                        hash_content_batch, min_id_per_hash)
 
     def min_per_hash(g: pa.Table) -> pa.Table:
-        h = g["h"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        order = np.lexsort((ids, h))
-        h, ids = h[order], ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
-        return pa.table({"doc_id": pa.array(ids[starts], pa.int64())})
+        keep, _ = min_id_per_hash(g)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
     exact = _reduce_keyed(
         clean.map_batches(hash_content_batch, batch_format="pyarrow"),

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..io import read_parquet_light
+from ..io import empty_dataset, read_parquet_light
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -301,11 +301,16 @@ def flame_cogroup(sf_dir: str):
     from .dedup import _keyed_count_combine, _reduce_keyed
 
     # per-customer counts are near-unique-key groups — partition-
-    # vectorized (see dedup._reduce_keyed)
-    orders_per_cust = _reduce_keyed(
-        _read(sf_dir, "orders", columns=["o_custkey"]),
-        "o_custkey", _events_nsub(),
-        _keyed_count_combine("o_custkey", "n_orders"),
+    # vectorized (see dedup._reduce_keyed); typed-empty union keeps
+    # the join side's schema on an empty orders table
+    orders_per_cust = empty_dataset(
+        pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())])
+    ).union(
+        _reduce_keyed(
+            _read(sf_dir, "orders", columns=["o_custkey"]),
+            "o_custkey", _events_nsub(),
+            _keyed_count_combine("o_custkey", "n_orders"),
+        )
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
         lambda t: pa.table(
@@ -1116,11 +1121,17 @@ def analytics_q3(sf_dir: str):
         )
 
     top = (
-        j.map_batches(
-            lambda t: _add_upart(t, n_sub, key="l_orderkey"), batch_format="pyarrow"
+        empty_dataset(  # typed empty: schema survives a zero-match join
+            pa.schema([("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())])
         )
-        .groupby("upart")
-        .map_groups(sum_top10, batch_format="pyarrow")
+        .union(
+            j.map_batches(
+                lambda t: _add_upart(t, n_sub, key="l_orderkey"),
+                batch_format="pyarrow",
+            )
+            .groupby("upart")
+            .map_groups(sum_top10, batch_format="pyarrow")
+        )
         .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -1171,8 +1182,10 @@ def events_dau(sf_dir: str):
         pass (all rows of a user are co-located, so a pair seen in two
         batches dedupes here). A groupby([day, user]) would pay Ray's
         per-group Python cost once per active (day, user) pair."""
-        d = g["day"].combine_chunks()
-        unit = d.type.unit
+        # normalize to us so the typed-empty union's schema always
+        # matches regardless of the source table's timestamp unit
+        d = g["day"].combine_chunks().cast(pa.timestamp("us"))
+        unit = "us"
         di = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
         u = g["user_id"].to_numpy()
         order = np.lexsort((u, di))
@@ -1191,7 +1204,11 @@ def events_dau(sf_dir: str):
         )
 
     n_sub = _events_nsub()
-    combined = (
+    # typed-empty union: schema survives an empty events table (the
+    # downstream day groupby names its columns)
+    combined = empty_dataset(
+        pa.schema([("day", pa.timestamp("us")), ("n_part", pa.int64())])
+    ).union(
         ds.map_batches(day_user, batch_format="pyarrow")
         .map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
         .groupby("upart")

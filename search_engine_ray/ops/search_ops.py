@@ -87,6 +87,21 @@ def transcripts_dir(sf_dir: str) -> str:
             ds.map_batches(
                 transcripts_from_documents_batch, batch_format="pyarrow"
             ).write_parquet(ck.tmp)
+            import glob as _glob
+
+            if not _glob.glob(os.path.join(ck.tmp, "*.parquet")):
+                # empty source: write_parquet emits NO files, leaving a
+                # dir later reads reject — pin the schema with one
+                # zero-row file (the same contract as an empty index)
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(
+                    transcripts_from_documents_batch(
+                        pa.table({"doc_id": pa.array([], pa.int64()),
+                                  "text": pa.array([], pa.string())})
+                    ),
+                    os.path.join(ck.tmp, "empty.parquet"),
+                )
             ck.commit()
     return out
 
@@ -792,9 +807,19 @@ def conv_stats(sf_dir: str):
             }
         )
 
-    return _reduce_keyed(
-        read_parquet_light(tdir).map_batches(pre, batch_format="pyarrow"),
-        "conv_id", _npart() * 8, stats_part,
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("n_turns", pa.int64()),
+         ("total_tokens", pa.int64()), ("n_tool_turns", pa.int64()),
+         ("first_turn", pa.int64()), ("last_turn", pa.int64())]
+    )
+    # typed-empty union: an all-empty map_groups output loses its
+    # schema in Ray 2.49, and an empty corpus must still present the
+    # op's columns
+    return empty_dataset(out_schema).union(
+        _reduce_keyed(
+            read_parquet_light(tdir).map_batches(pre, batch_format="pyarrow"),
+            "conv_id", _npart() * 8, stats_part,
+        )
     )
 
 

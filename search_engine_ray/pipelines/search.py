@@ -489,10 +489,15 @@ class DocShardedSearcher:
 
     def _pick_shards(self) -> list:
         """One complete replica set, round-robin (atomic counter): the
-        snapshot rule from search_many applies per call."""
+        snapshot rule from search_many applies per call. A closed
+        searcher has no sets — return the empty shard list so late
+        callers (a ThreadingHTTPServer worker finishing during
+        shutdown) get the pre-replica empty-result behavior."""
         sets = self._replica_sets
         if len(sets) == 1:
             return sets[0]
+        if not sets:
+            return []
         return sets[next(self._rr) % len(sets)]
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR",

@@ -89,3 +89,20 @@ def test_dup_heavy_small_vocab_corpus(ray_session, tmp_path, op):
         assert n == 60 * 3  # top-3 keywords for every doc
     if op is text_ops.unigram_logprob:
         assert n == 60
+
+
+def test_fully_empty_corpus(ray_session, tmp_path):
+    """Zero-row documents table: every doc-table op must return an
+    empty result without crashing. Pins the transcripts-cache fix
+    (write_parquet of an empty derivation emits NO files, which left
+    an unreadable cache dir for conv_stats) and the typed-empty-union
+    guards on the survivor/stats reducers."""
+    from search_engine_ray.ops import search_ops
+
+    _write(tmp_path, [], [])
+    for op in [dedup.dedup_exact, dedup.dedup_minhash_lsh,
+               prepare.prepare_corpus, text_ops.unigram_logprob,
+               search_ops.conv_stats]:
+        res = op(str(tmp_path))
+        n = res.num_rows if isinstance(res, pa.Table) else res.count()
+        assert n == 0, op.__name__

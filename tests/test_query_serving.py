@@ -882,3 +882,17 @@ def test_span_local_memo_is_bounded_per_term():
     loc_keys = [k for k in cache._d if isinstance(k, tuple) and k[0] == "loc"]
     assert loc_keys == [("loc", "t")]
     assert _span_local_ids(ids, 7, None, "t").tolist() == (ids - 7).tolist()
+
+
+def test_search_after_close_returns_empty(index_dir):
+    """A late caller (e.g. an HTTP worker thread finishing during
+    shutdown) must get the empty-result behavior, not an integer
+    modulo-zero crash in _pick_shards (replica sets are [] after
+    close)."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    s = DocShardedSearcher(index_dir, n_shards=2, n_replicas=2)
+    s.close()
+    ids, scores = s.search("running meetings", 5, mode="OR")
+    assert len(ids) == 0 and len(scores) == 0
+    assert s.search_many([("running meetings", 5)], mode="OR")[0][0].size == 0
