@@ -35,6 +35,17 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), 0), pa.int64())
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — free (no Ray, no scan).
+    Used to early-exit joins whose input is truly empty: Ray 2.49's
+    hash-shuffle join crashes when a partition receives zero blocks
+    from one side (see io.join_np), and a 0-row probe side guarantees
+    that for every partition."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _coalesced_groupby(ds, keys):
     """Coalesce a post-combiner dataset before its groupby.
 
@@ -300,23 +311,31 @@ GROUP BY o.o_orderstatus
 def flame_cogroup(sf_dir: str):
     from .dedup import _keyed_count_combine, _reduce_keyed
 
-    # per-customer counts are near-unique-key groups — partition-
-    # vectorized (see dedup._reduce_keyed); typed-empty union keeps
-    # the join side's schema on an empty orders table
-    orders_per_cust = empty_dataset(
-        pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())])
-    ).union(
-        _reduce_keyed(
-            _read(sf_dir, "orders", columns=["o_custkey"]),
-            "o_custkey", _events_nsub(),
-            _keyed_count_combine("o_custkey", "n_orders"),
-        )
-    )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
         lambda t: pa.table(
             {"c_custkey": t["c_custkey"], "acctbal_cents": _cents(t["c_acctbal"])}
         ),
         batch_format="pyarrow",
+    )
+    # truly-empty sides early-exit before the hash-shuffle join (which
+    # crashes on a zero-block side, see _table_rows); a left join with
+    # zero right rows is just the left side with n_orders = 0
+    if _table_rows(sf_dir, "customer") == 0:
+        return empty_dataset(pa.schema(
+            [("c_custkey", pa.int64()), ("acctbal_cents", pa.int64()),
+             ("n_orders", pa.int64())]))
+    if _table_rows(sf_dir, "orders") == 0:
+        return cust.map_batches(
+            lambda t: t.append_column(
+                "n_orders", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+    # per-customer counts are near-unique-key groups — partition-
+    # vectorized (see dedup._reduce_keyed)
+    orders_per_cust = _reduce_keyed(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        "o_custkey", _events_nsub(),
+        _keyed_count_combine("o_custkey", "n_orders"),
     )
     joined = cust.join(
         orders_per_cust, join_type="left_outer", num_partitions=4,
@@ -1078,6 +1097,12 @@ FROM per_user
 #      — the multi-operator composition a reporting pipeline runs ----
 
 def analytics_q3(sf_dir: str):
+    # inner joins with any truly-empty input produce nothing — exit
+    # before the hash-shuffle join's zero-block crash (see _table_rows)
+    if min(_table_rows(sf_dir, t)
+           for t in ("customer", "orders", "lineitem")) == 0:
+        return empty_dataset(pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_e4", pa.int64())]))
     cust = (
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
         .map_batches(

@@ -106,3 +106,32 @@ def test_fully_empty_corpus(ray_session, tmp_path):
         res = op(str(tmp_path))
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, op.__name__
+
+
+def test_empty_tpch_tables(ray_session, tmp_path):
+    """Zero-row relational inputs: joins must early-exit (Ray 2.49's
+    hash-shuffle join crashes when a partition receives zero blocks
+    from one side), and a left join against an empty right side must
+    still return every left row with the fill value."""
+    import os
+    from search_engine_ray.ops import relational
+
+    src = "/root/testdata/sf0.001"
+    for t in ("customer", "orders", "lineitem"):
+        pq.write_table(
+            pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 0),
+            str(tmp_path / f"{t}.parquet"),
+        )
+    assert relational.analytics_q3(str(tmp_path)).count() == 0
+    assert relational.flame_cogroup(str(tmp_path)).count() == 0
+
+    # customers present, orders empty: all customers, n_orders == 0
+    pq.write_table(
+        pq.read_table(os.path.join(src, "customer.parquet")),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = relational.flame_cogroup(str(tmp_path)).to_pandas()
+    assert len(df) == pq.read_metadata(
+        os.path.join(src, "customer.parquet")).num_rows
+    assert (df["n_orders"] == 0).all()
+    assert sorted(df.columns) == ["acctbal_cents", "c_custkey", "n_orders"]
