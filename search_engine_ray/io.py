@@ -103,6 +103,29 @@ def read_parquet_light(path, columns=None) -> "ray.data.Dataset":
     )
 
 
+def parquet_rows(path) -> int | None:
+    """Exact row count from parquet footers only (no data read, no Ray
+    execution) — the free ``rows_hint`` source for reductions whose
+    input is one-row-per-source-row (content hashes, doc keys). Returns
+    None when the source isn't resolvable to parquet files."""
+    import pyarrow.parquet as pq
+
+    if isinstance(path, (list, tuple)):
+        subs = [parquet_rows(p) for p in path]
+        return None if any(s is None for s in subs) else sum(subs)
+    if os.path.isdir(path):
+        hits = _glob.glob(os.path.join(path, "*.parquet")) or _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        return sum(pq.read_metadata(h).num_rows for h in hits) if hits else None
+    if os.path.exists(path):
+        try:
+            return pq.read_metadata(path).num_rows
+        except Exception:  # noqa: BLE001 - not a parquet file
+            return None
+    return None
+
+
 def empty_dataset(schema: pa.Schema) -> "ray.data.Dataset":
     """A one-empty-block dataset with an explicit schema — the typed
     empty result ops return when a guard detects there is nothing to

@@ -26,7 +26,7 @@ import ray
 import ray.data
 
 from ..io import (collect_sorted_i64, docs_path, empty_dataset, join_np,
-                  read_parquet_light, sorted_member)
+                  parquet_rows, read_parquet_light, sorted_member)
 
 from ..config import IndexConfig
 from ..functions.analysis import split_tokens_arrow
@@ -82,6 +82,26 @@ def _hash60(strings) -> np.ndarray:
     return _md5_60_arr(obj)
 
 
+def _ss_lookup(keys: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """``searchsorted`` lookup that FAILS LOUDLY on a missing probe.
+    The broadcast fast paths rely on the "probe key always present"
+    invariant (pair docs always have size/shingle rows; edge endpoints
+    are always in the node vector) — a silent miss would read a
+    NEIGHBORING key's value, yielding a wrong Jaccard/label with no
+    error. Two extra vector compares per batch, trivial next to the
+    kernels this guards."""
+    idx = np.searchsorted(keys, probes)
+    if idx.size:
+        bad = (idx >= len(keys)) | (keys[np.minimum(idx, len(keys) - 1)] != probes)
+        if bad.any():
+            raise AssertionError(
+                f"broadcast lookup missed {int(bad.sum())}/{idx.size} probe "
+                "key(s): the 'probe key always present' invariant broke "
+                "upstream (candidate doc without size/shingle/node rows)"
+            )
+    return idx
+
+
 # ---- exact dedup: hash-partition on content + per-group first ----
 
 def hash_content_batch(t: pa.Table) -> pa.Table:
@@ -135,7 +155,8 @@ def dedup_exact(sf_dir: str):
     # its schema in Ray 2.49, and an empty corpus must still present
     # the op's columns
     return empty_dataset(out_schema).union(
-        _reduce_keyed(hashed, "h", _npart() * 8, survivors)
+        _reduce_keyed(hashed, "h", _npart() * 8, survivors,
+                      rows_hint=parquet_rows(docs_path(sf_dir)))
     )
 
 
@@ -348,9 +369,9 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
             da = t["doc_a"].to_numpy()
             db = t["doc_b"].to_numpy()
             # every pair doc has a size row (pairs and sizes derive
-            # from the same shingle table), so the lookup always hits
-            n_a = kn[np.searchsorted(kd, da)]
-            n_b = kn[np.searchsorted(kd, db)]
+            # from the same shingle table); _ss_lookup asserts it
+            n_a = kn[_ss_lookup(kd, da)]
+            n_b = kn[_ss_lookup(kd, db)]
             inter_n = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
             union = n_a + n_b - inter_n
             j = np.round(inter_n / union, 6)
@@ -505,7 +526,27 @@ def _combine_pairs_partition(g: pa.Table, count_col: str | None = None,
     return pa.table(cols)
 
 
-def _reduce_keyed(ds, key_col: str, n_sub: int, combine):
+_COMBINE_TARGET_ROWS = 4_000_000  # per-partition combine working set
+
+
+def _nsub_for(n_sub: int, rows_hint: int | None) -> int:
+    """Row-aware partition count: each map_groups combine materializes
+    one whole hash partition (~rows / n_sub rows) in one task's heap,
+    so the CPU-derived ``_npart()`` floor alone would let per-task
+    memory grow linearly with the corpus. When the caller knows the
+    input row count (materialized upstream, or parquet metadata), the
+    count scales up so partitions stay ~``_COMBINE_TARGET_ROWS`` rows
+    (~100-200 MB of int64 columns); capped at 2^14 — at that width the
+    shuffle itself, not the combine, is the binding cost. Without a
+    hint the CPU sizing stands and the linear-memory bound is the
+    documented gate (see _reduce_keyed)."""
+    if rows_hint:
+        n_sub = max(n_sub, min(1 << 14, -(-int(rows_hint) // _COMBINE_TARGET_ROWS)))
+    return n_sub
+
+
+def _reduce_keyed(ds, key_col: str, n_sub: int, combine,
+                  rows_hint: int | None = None):
     """Single-int64-key analog of ``_reduce_pairs``: hash-partition by
     ``key_col`` and run one vectorized ``combine`` per partition
     (which receives every row of each key it owns, plus the transient
@@ -514,11 +555,17 @@ def _reduce_keyed(ds, key_col: str, n_sub: int, combine):
     Ray's per-GROUP Python aggregate cost (~10-100us x N groups) never
     appears. Per-partition rows are N / n_sub; ``n_sub`` scales with
     the cluster via ``_npart()`` at every call site, the same sizing
-    contract as the pair-generation partitions.
+    contract as the pair-generation partitions, and additionally with
+    ``rows_hint`` (``_nsub_for``) where the caller knows the input row
+    count. MEMORY GATE for hint-less call sites: one partition
+    (~N / n_sub rows of int64 columns) must fit a worker heap — at the
+    CPU floor of 128 partitions that binds around ~10^9 input rows per
+    job; pass ``rows_hint`` past that scale.
 
     String keys hash with polars' vectorized xxhash (fixed seed —
     deterministic across workers within one job, which is all a
     shuffle key needs); integer keys partition by value directly."""
+    n_sub = _nsub_for(n_sub, rows_hint)
 
     def add_kpart(t: pa.Table) -> pa.Table:
         col = t[key_col]
@@ -591,11 +638,14 @@ def _keyed_count_combine(key_col: str, count_name: str | None = None,
     return combine
 
 
-def _reduce_pairs(ds, n_sub: int, **combine_kw):
+def _reduce_pairs(ds, n_sub: int, rows_hint: int | None = None, **combine_kw):
     """Distributed pair reduction: hash-partition by the (a, b) pair,
     then one vectorized ``_combine_pairs_partition`` call per
     partition. Exact for any per-pair aggregate the combine supports
-    (each pair's rows are co-located by construction)."""
+    (each pair's rows are co-located by construction). ``rows_hint``
+    scales the partition count past the CPU floor (see _nsub_for /
+    _reduce_keyed's memory gate)."""
+    n_sub = _nsub_for(n_sub, rows_hint)
     a_col = combine_kw.get("a_col", "doc_a")
     b_col = combine_kw.get("b_col", "doc_b")
     return (
@@ -647,8 +697,8 @@ def _verify_pairs_bcast(cand, shingles, threshold: float):
         db = t["doc_b"].to_numpy()
         if len(da) == 0:
             return _PAIRS_SCHEMA.empty_table()
-        ia = np.searchsorted(udoc_, da)  # pair docs always present
-        ib = np.searchsorted(udoc_, db)
+        ia = _ss_lookup(udoc_, da)  # pair docs always present (asserted)
+        ib = _ss_lookup(udoc_, db)
         n_a = nsh_[ia]
         n_b = nsh_[ib]
 
@@ -887,7 +937,8 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     # is the vocabulary table — small bytes relative to the shingle rows.
     # df is partition-vectorized (near-unique keys — see _reduce_keyed)
     df = _reduce_keyed(
-        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df"),
+        rows_hint=n_sh_rows,
     )
     cold = df.map_batches(
         lambda t: t.filter(pc.less_equal(t["df"], pa.scalar(_DF_CAP))).select(["sh"]),
@@ -947,7 +998,8 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.4):
     # groupby([doc_a, doc_b]) pay Python per group)
     inter = _reduce_pairs(raw_pairs, n_sub, count_col="n", out_count="inter")
     sizes = _reduce_keyed(
-        shingles, "doc_id", _npart() * 8, _keyed_count_combine("doc_id", "n_sh")
+        shingles, "doc_id", _npart() * 8, _keyed_count_combine("doc_id", "n_sh"),
+        rows_hint=n_sh_rows,
     ).materialize()
     return _sizes_and_threshold(inter, sizes, threshold)
 
@@ -1226,7 +1278,7 @@ def _clusters_bcast(edges, max_iters: int):
         def offers(t: pa.Table, _n=nref, _l=lref) -> pa.Table:
             nd = ray.get(_n)  # plasma reads, shared per node
             lb = ray.get(_l)
-            src_lab = lb[np.searchsorted(nd, t["src"].to_numpy())]
+            src_lab = lb[_ss_lookup(nd, t["src"].to_numpy())]
             return pa.table(
                 {"node": t["dst"], "offer": pa.array(src_lab, pa.int64())}
             )
@@ -1236,7 +1288,7 @@ def _clusters_bcast(edges, max_iters: int):
         )
         new = lab.copy()
         for b in offered.iter_batches(batch_format="pyarrow"):
-            idx = np.searchsorted(nodes, b["node"].to_numpy())
+            idx = _ss_lookup(nodes, b["node"].to_numpy())
             off = b["offer"].to_numpy(zero_copy_only=False)
             new[idx] = np.minimum(new[idx], off)
         if (new == lab).all():
@@ -1591,7 +1643,8 @@ def dup_span_fraction(sf_dir: str):
     # handful of distinct shingles, so size the join by df's count.
     # Partition-vectorized (near-unique keys — see _reduce_keyed)
     df = _reduce_keyed(
-        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+        shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df"),
+        rows_hint=n_rows,
     ).materialize()
     dup_keys = df.map_batches(
         lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
@@ -1631,6 +1684,7 @@ def dup_span_fraction(sf_dir: str):
     per_doc = _reduce_keyed(
         flagged, "doc_id", _npart() * 8,
         _keyed_count_combine("doc_id", "n_sh", sum_col="is_dup", sum_name="n_dup"),
+        rows_hint=n_rows,
     )
 
     def ppm(t: pa.Table) -> pa.Table:
@@ -1711,14 +1765,16 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
         .select_columns(["doc_id", "sh"])
         .materialize()
     )
-    if shingles.count() == 0:
+    n_sh_rows = shingles.count()
+    if n_sh_rows == 0:
         return empty_dataset(
             pa.schema([("doc_id", pa.int64()), ("n_sh", pa.int64()),
                        ("n_dup", pa.int64()), ("dup_ppm", pa.int64())])
         )
     dup_sh = (
         _reduce_keyed(
-            shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df")
+            shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df"),
+            rows_hint=n_sh_rows,
         )
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(2))).select(["sh"]),
@@ -1793,6 +1849,7 @@ def dup_span_fraction_approx(sf_dir: str, bits_per_key: int = _BLOOM_BITS_PER_KE
         shingles.map_batches(probe, batch_format="pyarrow"), "doc_id",
         _npart() * 8,
         _keyed_count_combine("doc_id", "n_sh", sum_col="is_dup", sum_name="n_dup"),
+        rows_hint=n_sh_rows,
     )
 
     def ppm(t: pa.Table) -> pa.Table:
@@ -1879,7 +1936,8 @@ def dedup_incremental(sf_dir: str):
     out_schema = pa.schema([("doc_id", pa.int64()), ("status", pa.string()),
                             ("dup_of", pa.int64())])
     return empty_dataset(out_schema).union(
-        _reduce_keyed(hashed, "h", _npart() * 8, verdict_partition)
+        _reduce_keyed(hashed, "h", _npart() * 8, verdict_partition,
+                      rows_hint=parquet_rows(docs_path(sf_dir)))
     )
 
 

@@ -1537,6 +1537,12 @@ def profile_table(sf_dir: str):
         .map_batches(lambda t: _add_upart(t, n_sub, key="vhash"), batch_format="pyarrow")
         .groupby("upart")
         .map_groups(distinct_count_part, batch_format="pyarrow")
+        # typed-empty union (same guard as term_stats/conv_stats): on an
+        # empty documents table the map_groups output loses its schema
+        # in Ray 2.49 and the groupby below would crash on "col"
+        .union(empty_dataset(
+            pa.schema([("col", pa.string()), ("n_part", pa.int64())])
+        ))
         .groupby("col")
         .aggregate(Sum("n_part", alias_name="n_distinct"))
         .to_pandas()

@@ -487,9 +487,15 @@ class DocShardedSearcher:
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
 
-    def _pick_shards(self) -> list:
-        """One complete replica set, round-robin (atomic counter): the
-        snapshot rule from search_many applies per call. A closed
+    def _pick_shards(self, route_key: str | None = None) -> list:
+        """One complete replica set: by QUERY HASH when a route key is
+        given (single-query calls), round-robin otherwise (mixed
+        batches). Hash routing keeps each replica's per-actor result
+        cache warm for repeat queries — under round-robin alone a
+        repeat query is re-scored once per replica before caching warms
+        and the hit rate is diluted ~n_replicas-fold. crc32 (not
+        ``hash``) so routing is stable across processes/restarts.
+        The snapshot rule from search_many applies per call. A closed
         searcher has no sets — return the empty shard list so late
         callers (a ThreadingHTTPServer worker finishing during
         shutdown) get the pre-replica empty-result behavior."""
@@ -498,12 +504,17 @@ class DocShardedSearcher:
             return sets[0]
         if not sets:
             return []
+        if route_key is not None:
+            import zlib
+
+            return sets[zlib.crc32(route_key.encode()) % len(sets)]
         return sets[next(self._rr) % len(sets)]
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "OR",
                result_cache: bool = True):
         return self.search_many([(query, k)], mode=mode,
-                                result_cache=result_cache)[0]
+                                result_cache=result_cache,
+                                route_key=query)[0]
 
     def explain(self, query: str, mode: str = "OR") -> dict:
         """Query debugging through shard 0 (df/upper bounds are GLOBAL
@@ -532,7 +543,7 @@ class DocShardedSearcher:
                 "searcher constructed with load_positions=True"
             )
         self._reap_retired()
-        shards = self._pick_shards()  # one snapshot (see search_many)
+        shards = self._pick_shards(phrase)  # one snapshot (see search_many)
         parts = ray.get([s.phrase.remote(phrase, k) for s in shards])
         ids = (
             np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
@@ -546,7 +557,7 @@ class DocShardedSearcher:
         return ids[idx], scores[idx]
 
     def search_many(self, queries: list[tuple[str, int]], mode: str = "OR",
-                    result_cache: bool = True):
+                    result_cache: bool = True, route_key: str | None = None):
         """Pipelined multi-query evaluation: ALL (query x shard) calls
         are launched before any result is gathered, so shard actors
         work on query i+1 while the driver merges query i — higher
@@ -558,7 +569,7 @@ class DocShardedSearcher:
 
         # one snapshot of ONE replica's shard list: a refresh()
         # swapping the sets mid-call must not mix layout generations
-        shards = self._pick_shards()
+        shards = self._pick_shards(route_key)
         futures = [
             [s.search.remote(q, k, mode, result_cache) for s in shards]
             for q, k in queries
