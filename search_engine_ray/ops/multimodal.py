@@ -1,17 +1,19 @@
-"""Multimodal (binary-payload) stages — real Ray plumbing, stubbed codecs.
+"""Multimodal (binary-payload) stages — real Ray plumbing, REAL PNG codec.
 
 Large-scale training-data pipelines treat image/audio/video as opaque
 ``binary`` columns with typed metadata; the decode / feature-extract /
 frame-sample stages are stateful actor-pool ``map_batches`` stages with
 SMALL batch sizes (a batch x concurrency of multi-MB payloads must fit
-a worker heap). The image/audio libraries are not in this container, so
-the codec itself is STUBBED: ``MediaFeatureExtractor`` probes for PIL
-in ``__init__`` (once per actor — where a real model/codec load
-belongs) and, absent it, uses a deterministic fake decoder so the
-schema, actor signature, batching and output layout are real and
-gate-checked. The driver tables carry no binary column, so payloads
-are derived deterministically from ``documents.text`` (UTF-8 bytes;
-``CAST(text AS BLOB)`` on the oracle side).
+a worker heap). The container ships no image library, so the codec is
+the vendored pure-Python PNG implementation (``functions/png.py`` —
+stdlib zlib + numpy, full unfilter pipeline): ``decode_image`` prefers
+PIL when importable and otherwise decodes PNG payloads for real;
+payloads that are not a decodable image fall back to the deterministic
+fake featurizer so the gate entry (whose payloads are UTF-8 text
+bytes, ``CAST(text AS BLOB)`` on the oracle side) is byte-stable. The
+``image_stats`` op exercises the real path end-to-end inside Ray: a
+deterministic PNG is ENCODED from each document's text bytes by one
+actor-pool stage and DECODED back to pixel statistics by the next.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.png import PNG_MAGIC, decode_png, encode_png, parse_ihdr
 from ..io import read_parquet_light
 
 _FRAME = 1000   # bytes per fake "frame"
@@ -40,46 +43,47 @@ def _payloads(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def decode_image(payload: bytes):
-    """Real decode path — requires an image library this container
-    doesn't ship. The pipeline never calls it unless PIL is present."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv (not available in this "
-        "environment); MediaFeatureExtractor falls back to the "
-        "deterministic fake decoder"
-    )
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """REAL image decode: PIL when importable (any format it knows),
+    else the vendored PNG decoder (``functions/png.py``). Returns
+    (pixels uint8 array, mode). Raises ``ValueError`` for payloads in
+    no decodable format — callers that must not fail route those to the
+    deterministic fake featurizer instead (``MediaFeatureExtractor``)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import PIL.Image
+        import io
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        return np.asarray(img), img.mode
+    except ImportError:
+        pass
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    raise ValueError("payload is not a PNG and no image library is available")
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: codec probe/load once per actor in __init__,
-    vectorized feature extraction per batch in __call__. If a real
-    codec is importable but its decode path is not implemented, the
-    stage logs once and falls back to the deterministic fake decoder
-    instead of failing the pipeline."""
+    """Actor-pool stage: codec probe once per actor in __init__,
+    vectorized feature extraction per batch in __call__. PNG payloads
+    get a REAL header parse (width/height straight from IHDR — what a
+    production dimension probe reads, 25 bytes per payload); payloads
+    in no known image format get the deterministic fake featurizer
+    (dimensions derived from size) so text-derived gate payloads keep
+    a stable, oracle-reproducible output."""
 
     def __init__(self):
         try:  # pragma: no cover - PIL absent in this container
             import PIL  # noqa: F401
 
-            self.real = True
+            self.pil = True
         except ImportError:
-            self.real = False
-        self._warned = False
+            self.pil = False
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t["payload"].combine_chunks()
         n_bytes = pc.cast(pc.binary_length(payload), pa.int64())
-        if self.real and not self._warned:  # pragma: no cover
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "real image decode path not implemented; using the "
-                "deterministic fake decoder"
-            )
-            self._warned = True
-        # deterministic fake "decode": dimensions derived from size,
-        # header = first 8 bytes hex (what a real magic-number sniff reads)
         nb = n_bytes.to_numpy()
+        # fake-path dimensions (size-derived); real parses overwrite
         width = nb % 512
         height = (nb // 512) % 512
         # vectorized: slice the 8-byte head with an Arrow kernel, then
@@ -88,6 +92,20 @@ class MediaFeatureExtractor:
         heads = pc.binary_slice(payload, 0, 8)
         head_np = heads.to_numpy(zero_copy_only=False)
         head_hex = [None if v is None else v.hex().upper() for v in head_np]
+        # real magic-number sniff: IHDR header parse for the PNG rows
+        # only (the 33-byte header slice, not the pixel stream)
+        is_png = np.fromiter(
+            (v is not None and v[:8] == PNG_MAGIC for v in head_np),
+            dtype=bool, count=len(head_np),
+        )
+        if is_png.any():
+            hdr_np = pc.binary_slice(payload, 0, 33).to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(is_png):
+                try:
+                    hdr = parse_ihdr(bytes(hdr_np[i]))
+                    width[i], height[i] = hdr["width"], hdr["height"]
+                except ValueError:
+                    pass  # truncated header: keep the fake dims
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -161,9 +179,86 @@ WHERE p.n > 0
 """
 
 
+class PngEncoder:
+    """Actor-pool encode stage: each document's text bytes become a
+    deterministic grayscale PNG (width/height from n_chars, pixels =
+    the bytes tiled row-major, zero-padded). Per-row loop is inherent —
+    a codec serializes one payload at a time — so the batch is small
+    and the pool wide; the zlib/cumsum work inside is C."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for s in texts:
+            b = ("" if s is None else s).encode()
+            w = len(b) % 16 + 1
+            h = (len(b) // 16) % 16 + 1
+            arr = np.frombuffer(b[: w * h].ljust(w * h, b"\0"), np.uint8)
+            payloads.append(encode_png(arr.reshape(h, w)))
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "payload": pa.array(payloads, pa.large_binary())}
+        )
+
+
+class ImageStatsExtractor:
+    """Actor-pool REAL-decode stage: every payload goes through the
+    actual codec (PIL or the vendored PNG pipeline — decompress,
+    unfilter, reconstruct pixels) and out come pixel statistics. This
+    is the genuine decode work a 100 TB image pipeline pays; batches
+    stay small (decoded pixels are the memory hot spot, not the
+    compressed payloads)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_numpy(zero_copy_only=False)
+        out = {"width": [], "height": [], "channels": [],
+               "mean_px_ppm": [], "px_sum": []}
+        for p in payloads:
+            pix, _mode = decode_image(bytes(p))
+            h, w = pix.shape[:2]
+            c = 1 if pix.ndim == 2 else pix.shape[2]
+            flat = pix.reshape(-1).astype(np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            # integer ppm mean: order-independent, hash-stable
+            out["mean_px_ppm"].append(
+                int(flat.sum() * 1_000_000 // max(flat.size, 1))
+            )
+            out["px_sum"].append(int(flat.sum()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+            }
+        )
+
+
+def image_stats(sf_dir: str):
+    """End-to-end REAL codec round trip inside Ray: text bytes ->
+    deterministic PNG (encode actor pool) -> pixel statistics (decode
+    actor pool). Rows-only aux entry: the decode side is not
+    SQL-expressible; correctness is pytest-pinned against direct numpy
+    on the same deterministic arrays (tests/test_multimodal_codec.py)."""
+    ds = read_parquet_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    encoded = ds.map_batches(
+        PngEncoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return encoded.map_batches(
+        ImageStatsExtractor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 RAY_QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
+}
+
+# rows-only aux entry: real PNG encode->decode round trip (the decode
+# is not SQL-expressible; pytest pins pixel stats against numpy)
+RAY_QUERIES_AUX = {
+    "image_stats": image_stats,
 }
 
 ORACLE_SQL = {
