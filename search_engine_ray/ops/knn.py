@@ -900,7 +900,23 @@ def embedding_stats(sf_dir: str):
 
 _HNSW_M = 8          # neighbor-list width per node
 _HNSW_EF = 32        # beam width (build and search)
-_HNSW_SHARDS = 4     # independent graphs (hash-sharded by vec_id)
+_MAX_SHARD_ROWS = 65_536  # ~42 s sequential build, ~35 MB resident / shard
+_SHARD_FLOOR = 4     # never fewer than the historical fixed count
+
+
+def hnsw_shards_for(n_rows: int, max_shard_rows: int = _MAX_SHARD_ROWS,
+                    floor: int = _SHARD_FLOOR) -> int:
+    """Power-of-two shard count with BOUNDED per-shard rows — the same
+    auto-scaling contract as dedup's ``_emb_rows_for``: the NSW insert
+    loop is inherently sequential per shard, so shard size (not corpus
+    size) must bound the single-task build time (measured ~1.6k
+    rows/s/shard at dim 64) and the per-actor memory. Used by both the
+    batch ``knn_hnsw`` and the persistent tier's ``build_ann_index``."""
+    need = -(-max(int(n_rows), 1) // max_shard_rows)
+    s = max(1, floor)
+    while s < need:
+        s <<= 1
+    return s
 
 
 def _nsw_search(v: np.ndarray, nbr: np.ndarray, q: np.ndarray, ef: int,
@@ -972,18 +988,27 @@ def _nsw_build(v: np.ndarray, m: int = _HNSW_M, ef: int = _HNSW_EF) -> np.ndarra
     return nbr
 
 
-def knn_hnsw(sf_dir: str, n_shards: int = _HNSW_SHARDS, m: int = _HNSW_M,
+def knn_hnsw(sf_dir: str, n_shards: int | None = None, m: int = _HNSW_M,
              ef: int = _HNSW_EF):
     """Graph-based ANN (the HNSW/NSW family): vectors hash-shard by
     vec_id; ``map_groups`` builds one independent beam-search graph per
     shard and answers every query from it; the finisher merges
-    per-shard candidates to the global top-k. Partitioning assumption
-    (documented per SURVEY §2): each shard's graph + vectors fit one
-    worker — at 100 TB the graphs are the stored index, built once per
-    shard and hosted by long-lived actors (the DocShardActor shape),
-    with queries broadcast and O(k) rows returned per shard. Sims are
+    per-shard candidates to the global top-k. ``n_shards`` auto-sizes
+    with the corpus (``hnsw_shards_for``: power-of-two ceil of
+    rows / 64k) so the sequential per-shard insert loop stays a bounded
+    single-task cost at any scale; each shard's graph + vectors fit one
+    worker. The PERSISTENT twin (`pipelines/ann_index.py`) builds the
+    same graphs once, stores them, and hosts them in long-lived actors
+    (the DocShardActor shape) with queries broadcast and O(k) rows
+    returned per shard — bit-identical results, pytest-pinned. Sims are
     exact cosines (graph affects recall only); rows-only aux entry,
     recall vs brute force pytest-bounded."""
+    if n_shards is None:
+        from ..io import parquet_rows
+
+        n_shards = hnsw_shards_for(
+            parquet_rows(f"{sf_dir}/embeddings.parquet") or 0
+        )
     qids, qmat = _load_queries(sf_dir)
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((qids, qnorm))
@@ -1038,11 +1063,21 @@ RAY_QUERIES = {
     "embedding_stats": embedding_stats,
 }
 
+def _knn_hnsw_served(sf_dir: str):
+    """Lazy import: pipelines.ann_index imports this module, so the
+    aux registration must not import it back at module load."""
+    from ..pipelines.ann_index import knn_hnsw_served
+
+    return knn_hnsw_served(sf_dir)
+
+
 # rows-only aux entries (no SQL twin; recall vs brute force is
-# pytest-bounded for both)
+# pytest-bounded, and the served path is pytest-pinned bit-identical
+# to the batch path)
 RAY_QUERIES_AUX = {
     "knn_pq": knn_pq,
     "knn_hnsw": knn_hnsw,
+    "knn_hnsw_served": _knn_hnsw_served,
 }
 
 ORACLE_SQL = {

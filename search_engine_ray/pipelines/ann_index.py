@@ -1,0 +1,269 @@
+"""Persistent ANN serving tier: build-once per-shard NSW graphs hosted
+by long-lived actors (VERDICT r4 item 1 — the vector twin of the text
+tier's ``DocShardActor``, `pipelines/search.py:156`).
+
+Reference analog: the reference keeps its index resident in the KVS
+and serves point-gets against it
+(`/root/reference/src/cis5550/jobs/Search.java:236`); ``knn_hnsw``'s
+per-invocation ``map_groups`` rebuild is the batch analog. This module
+completes the serving story:
+
+- ``build_ann_index``: one Ray job shards the vectors by
+  ``vec_id & (n_shards - 1)`` (auto-sized: power-of-two ceil of
+  rows / max_shard_rows — the same auto-scaling contract as dedup's
+  ``_emb_rows_for``, fixing the fixed-``_HNSW_SHARDS`` scale killer),
+  builds ONE independent NSW graph per shard inside ``map_groups``,
+  and WRITES each graph from its own task (``.npz``: sorted vec_ids,
+  unit-normalized float64 vectors, int32 neighbor lists) — the driver
+  never holds a graph. Resumable layout: one file per shard under a
+  manifest, so a re-run skips finished shards (fingerprint-checked).
+- ``VecShardActor``: loads its shard file ONCE in ``__init__``
+  (restart-safe: plain-path constructor args) and answers a query
+  batch with its local top-k — per-query network is O(k) rows.
+- ``AnnSearcher``: driver-side scatter-gather. The query matrix ships
+  once per call via ``ray.put`` (zero-copy plasma fetch per actor, not
+  re-serialized per task); the merge is the same deterministic
+  (sim desc, vec_id asc) kernel the batch path uses, so actor-served
+  results are BIT-IDENTICAL to ``knn_hnsw``'s map_groups path at the
+  same (n_shards, m, ef) — pinned by tests/test_ann_serving.py.
+
+Scale notes (100 TB): shard files live on shared storage like the text
+index's segments; each actor holds one shard's vectors + graph
+(~(dim*8 + m*4) bytes/vector — float64 here for bit-parity with the
+exact-cosine scorer; a memory-tight deployment stores int8/PQ codes
+and reranks, see ops/knn.embedding_quantize). Queries broadcast to all
+shards; at very large shard counts a routing layer (IVF-style coarse
+centroids per shard) would prune the fan-out — that composition is
+``knn_ivf``'s probe logic over this tier's actors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..ops.knn import (
+    _HNSW_EF, _HNSW_M, _MAX_SHARD_ROWS, _TOP_K, _emb_matrix, _load_queries,
+    _nsw_build, _nsw_search, _read_emb, hnsw_shards_for,
+)
+
+
+def _shard_file(index_dir: str, shard: int) -> str:
+    return os.path.join(index_dir, f"shard-{shard}.npz")
+
+
+def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
+                    m: int = _HNSW_M, ef: int = _HNSW_EF,
+                    max_shard_rows: int = _MAX_SHARD_ROWS) -> dict:
+    """Build (or resume) the persistent NSW index over
+    ``{sf_dir}/embeddings.parquet``. Graphs are written from the
+    map_groups tasks (atomic tmp+rename per shard); a finished shard
+    is skipped on re-run when the meta fingerprint matches. Returns
+    the meta dict."""
+    from ..io import parquet_rows
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = parquet_rows(src) or 0
+    if n_shards is None:
+        n_shards = hnsw_shards_for(n_rows, max_shard_rows)
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
+    meta = {"kind": "nsw", "n_shards": int(n_shards), "m": int(m),
+            "ef": int(ef), "source_rows": int(n_rows), "source": src}
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    done = set()
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if {k: old.get(k) for k in meta} == meta:
+            done = {
+                s for s in range(n_shards)
+                if os.path.exists(_shard_file(index_dir, s))
+            }
+            if len(done) == n_shards:
+                return old
+        else:  # config/source changed: rebuild everything
+            for s in range(n_shards):
+                try:
+                    os.remove(_shard_file(index_dir, s))
+                except FileNotFoundError:
+                    pass
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.cast(pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32())
+        return t.append_column("shard", shard)
+
+    def build_and_write(group: pa.Table) -> pa.Table:
+        shard = int(group["shard"][0].as_py())
+        if shard in done:  # resumed run: this shard is already on disk
+            return pa.table({"shard": pa.array([shard], pa.int32()),
+                             "n_rows": pa.array([-1], pa.int64())})
+        vids = group["vec_id"].to_numpy()
+        order = np.argsort(vids, kind="stable")  # deterministic inserts
+        vids = vids[order]
+        v = _emb_matrix(group["embedding"])[order]
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        nbr = _nsw_build(v, m=m, ef=ef)
+        path = _shard_file(index_dir, shard)
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: savez appends no suffix
+            np.savez(f, vids=vids, v=v, nbr=nbr)
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_rows": pa.array([len(vids)], pa.int64())})
+
+    stats = (
+        _read_emb(sf_dir)
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_and_write, batch_format="pyarrow")
+        .take_all()
+    )  # O(n_shards) tiny rows
+    built = {int(r["shard"]) for r in stats}
+    # shards with NO vectors (sparse id space) still need a file so the
+    # actor tier can start uniformly
+    for s in range(n_shards):
+        if s not in built and s not in done:
+            path = _shard_file(index_dir, s)
+            with open(path + ".tmp", "wb") as f:
+                np.savez(f, vids=np.empty(0, np.int64),
+                         v=np.empty((0, 0), np.float64),
+                         nbr=np.empty((0, m), np.int32))
+            os.replace(path + ".tmp", path)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+@ray.remote(max_restarts=2, max_task_retries=1)
+class VecShardActor:
+    """Holds one shard's vectors + NSW graph, loaded once. Constructor
+    args are plain paths/ints so a crashed actor restarts from disk and
+    the in-flight query retries transparently (same contract as
+    DocShardActor)."""
+
+    def __init__(self, index_dir: str, shard_id: int):
+        z = np.load(_shard_file(index_dir, shard_id))
+        self.vids = z["vids"]
+        self.v = z["v"]
+        self.nbr = z["nbr"]
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.ef = int(json.load(f)["ef"])
+
+    def query(self, payload, k: int, exclude_self: bool = True):
+        """(qids, unit-normalized query matrix) -> per-shard top-k
+        candidate arrays (qid, vec_id, sim) — O(n_queries * k) returned
+        bytes, never O(shard)."""
+        q_ids, q = payload
+        n = len(self.vids)
+        out_q, out_v, out_s = [], [], []
+        kk = k + 1 if exclude_self else k
+        for qi_pos, qi in enumerate(q_ids):
+            if n == 0:
+                continue
+            idx, sims = _nsw_search(self.v, self.nbr, q[qi_pos], self.ef, n, kk)
+            if exclude_self:
+                keep = self.vids[idx] != qi
+                idx, sims = idx[keep], sims[keep]
+            out_q.append(np.full(idx.size, qi, np.int64))
+            out_v.append(self.vids[idx])
+            out_s.append(np.round(sims, 6))
+        if not out_q:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
+        return (np.concatenate(out_q), np.concatenate(out_v),
+                np.concatenate(out_s))
+
+    def ping(self) -> bool:
+        return True
+
+
+class AnnSearcher:
+    """Driver-side scatter-gather over the persistent vector shards."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.shards = [
+            VecShardActor.remote(index_dir, s)
+            for s in range(int(self.meta["n_shards"]))
+        ]
+        ray.get([s.ping.remote() for s in self.shards])
+
+    def search_matrix(self, qids: np.ndarray, qmat: np.ndarray,
+                      k: int = _TOP_K, exclude_self: bool = True):
+        """Top-k per query over all shards; (qid, vec_id, sim) arrays
+        sorted (qid asc, sim desc, vec_id asc) — the exact merge the
+        batch path's ``_topk_per_qid`` finisher applies, so results are
+        bit-identical to ``knn_hnsw`` at the same build params."""
+        qnorm = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        ref = ray.put((np.asarray(qids, np.int64), qnorm))
+        parts = ray.get([
+            s.query.remote(ref, k, exclude_self) for s in self.shards
+        ])
+        qs = np.concatenate([p[0] for p in parts])
+        vs = np.concatenate([p[1] for p in parts])
+        ss = np.concatenate([p[2] for p in parts])
+        out_q, out_v, out_s = [], [], []
+        for qi in np.asarray(qids, np.int64):
+            sel = qs == qi
+            v_, s_ = vs[sel], ss[sel]
+            order = np.lexsort((v_, -s_))[:k]
+            out_q.append(np.full(order.size, qi, np.int64))
+            out_v.append(v_[order])
+            out_s.append(s_[order])
+        return (np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+                np.concatenate(out_v) if out_v else np.empty(0, np.int64),
+                np.concatenate(out_s) if out_s else np.empty(0, np.float64))
+
+    def search_table(self, qids, qmat, k: int = _TOP_K,
+                     exclude_self: bool = True) -> pa.Table:
+        q, v, s = self.search_matrix(qids, qmat, k, exclude_self)
+        return pa.table({"qid": pa.array(q, pa.int64()),
+                         "vec_id": pa.array(v, pa.int64()),
+                         "sim": pa.array(s, pa.float64())})
+
+    def close(self) -> None:
+        for a in self.shards:
+            try:
+                ray.kill(a)
+            except Exception:  # noqa: BLE001 - actor may already be dead
+                pass
+        self.shards = []
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        # same no-ray.kill rule as DocShardedSearcher.__del__
+        try:
+            self.shards = []
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
+
+def knn_hnsw_served(sf_dir: str):
+    """Aux gate entry: the SERVED graph-ANN path — build-once (cached
+    under /tmp keyed by source), long-lived shard actors, query
+    broadcast. Bit-identical to ``knn_hnsw`` (pytest-pinned); rows-only
+    aux like its batch twin."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join("/tmp/seray_cache", f"ann-{key}")
+    build_ann_index(sf_dir, index_dir)
+    qids, qmat = _load_queries(sf_dir)
+    searcher = AnnSearcher(index_dir)
+    try:
+        return searcher.search_table(qids, qmat)
+    finally:
+        searcher.close()

@@ -1,0 +1,142 @@
+"""Persistent ANN serving tier (pipelines/ann_index.py).
+
+Pins VERDICT r4 item 1: build-once per-shard NSW graphs hosted by
+long-lived actors must be BIT-IDENTICAL to the batch ``knn_hnsw``
+map_groups path, the shard count must auto-size with the corpus, and
+the build must resume (finished shards skipped, config changes force a
+rebuild)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.ops import knn
+from search_engine_ray.pipelines.ann_index import (
+    AnnSearcher, build_ann_index, knn_hnsw_served,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_sf(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("annsf")
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = [
+        (centers[i % 6] + rng.standard_normal(16) * 0.01).astype(np.float32)
+        for i in range(90)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(90), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), np.stack(vecs).astype(np.float64)
+
+
+def test_shards_auto_size_power_of_two():
+    from search_engine_ray.ops.knn import hnsw_shards_for
+
+    assert hnsw_shards_for(0) == 4
+    assert hnsw_shards_for(60) == 4
+    assert hnsw_shards_for(65_536) == 4
+    assert hnsw_shards_for(65_537) == 4  # need=2 < floor
+    assert hnsw_shards_for(5 * 65_536) == 8
+    assert hnsw_shards_for(100 * 65_536) == 128
+    assert hnsw_shards_for(1000, max_shard_rows=100) == 16  # need=10 -> 16
+
+
+def test_served_bit_identical_to_map_groups(emb_sf, tmp_path):
+    sf_dir, _mat = emb_sf
+    idx = str(tmp_path / "ann")
+    meta = build_ann_index(sf_dir, idx)
+    assert meta["n_shards"] == 4  # floor at this size
+    batch = (
+        knn.knn_hnsw(sf_dir).to_pandas()
+        .sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    searcher = AnnSearcher(idx)
+    try:
+        served = (
+            searcher.search_table(*knn._load_queries(sf_dir)).to_pandas()
+            .sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+    finally:
+        searcher.close()
+    # BIT identity: same rows, same float64 scores, same order
+    assert len(served) == len(batch)
+    assert (served["qid"].to_numpy() == batch["qid"].to_numpy()).all()
+    assert (served["vec_id"].to_numpy() == batch["vec_id"].to_numpy()).all()
+    assert (served["sim"].to_numpy() == batch["sim"].to_numpy()).all()
+
+
+def test_build_resumes_and_rebuilds_on_config_change(emb_sf, tmp_path):
+    sf_dir, _ = emb_sf
+    idx = str(tmp_path / "ann")
+    build_ann_index(sf_dir, idx)
+    files = sorted(f for f in os.listdir(idx) if f.endswith(".npz"))
+    assert files == [f"shard-{s}.npz" for s in range(4)]
+    mtimes = {f: os.path.getmtime(os.path.join(idx, f)) for f in files}
+
+    # delete one shard; re-run rebuilds ONLY that shard
+    os.remove(os.path.join(idx, "shard-2.npz"))
+    build_ann_index(sf_dir, idx)
+    for f in files:
+        if f == "shard-2.npz":
+            assert os.path.exists(os.path.join(idx, f))
+        else:
+            assert os.path.getmtime(os.path.join(idx, f)) == mtimes[f]
+
+    # changed build params: meta mismatch forces a full rebuild
+    build_ann_index(sf_dir, idx, ef=16)
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["ef"] == 16
+
+
+def test_empty_shards_and_sparse_ids(ray_session, tmp_path):
+    """A shard with no vectors (sparse id space) still gets a file and
+    a servable actor; results only come from populated shards."""
+    d = tmp_path / "sparse"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    ids = [0, 1, 2, 3, 4, 8, 16, 24]  # ids 5,6,7 mod 8 never occur
+    vecs = rng.standard_normal((len(ids), 8)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    idx = str(tmp_path / "annsparse")
+    build_ann_index(str(d), idx, n_shards=8)
+    searcher = AnnSearcher(idx)
+    try:
+        q, v, s = searcher.search_matrix(
+            np.array([0], np.int64), vecs[:1].astype(np.float64), k=3
+        )
+    finally:
+        searcher.close()
+    assert q.size == 3 and (v != 0).all()
+
+
+def test_knn_hnsw_served_gate_entry(emb_sf):
+    sf_dir, _ = emb_sf
+    t = knn_hnsw_served(sf_dir)
+    assert t.num_rows == 5 * 5
+    assert t.column_names == ["qid", "vec_id", "sim"]
