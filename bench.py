@@ -43,7 +43,7 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _quiet_ray(num_cpus: int):
+def _quiet_ray(num_cpus: int, namespace: str | None = None):
     import logging
 
     import ray
@@ -55,6 +55,7 @@ def _quiet_ray(num_cpus: int):
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            namespace=namespace,  # explicit -> named actors cross-job visible
         )
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -264,7 +265,11 @@ def bench_big() -> dict:
     full build throughput + doc-sharded serving p95 at 20x the default
     size — catches regressions that only show at depth (BASELINE.md
     previously carried these numbers out-of-band). Runs on the
-    caller's already-initialized Ray session."""
+    caller's already-initialized Ray session. Closes with the
+    incremental-maintenance depth rep (extend + compact + post-compact
+    parity, VERDICT r4 item 6) — which leaves the cached index at
+    2.52M turns for any LATER standalone --qps reuse (5% bigger;
+    rebuilt fresh by the next full bench run)."""
     corpus_dir, turns = ensure_corpus(0.1, scale=20)
     tag = f"big-{turns}"
     build_s = bench_build(corpus_dir, tag)
@@ -275,7 +280,202 @@ def bench_big() -> dict:
         "turns_per_sec": round(turns / build_s, 1),
     }
     out.update(_serving_latencies(idx, n_shards=8))
+    try:
+        out["extend_compact"] = bench_extend_compact(idx, turns)
+    except Exception as ex:  # noqa: BLE001 - best-effort subsection
+        out["extend_compact"] = {"error": f"{type(ex).__name__}: {ex}"}
     return out
+
+
+def bench_extend_compact(idx: str, turns: int, delta_convs: int = 12_000) -> dict:
+    """Incremental indexing at depth: append a 5% delta (120k turns)
+    to the freshly built 2.4M index, measure extend throughput, then
+    compact back to the target partition layout and verify POST-COMPACT
+    QUERY PARITY (bit-identical top-k to post-extend — compaction only
+    regroups segments) plus post-compact serving p95."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.corpus import make_queries, make_transcripts
+    from search_engine_ray.pipelines.build_index import compact_index, extend_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    delta_dir = os.path.join(BENCH_ROOT, f"delta-{turns}")
+    delta_file = os.path.join(delta_dir, "delta.parquet")
+    if not os.path.exists(delta_file):
+        os.makedirs(delta_dir, exist_ok=True)
+        t = make_transcripts(
+            n_convs=delta_convs, turns_per_conv=10, seed=99,
+            conv_offset=turns // 10,  # keys sort strictly after existing
+        )
+        pq_.write_table(t, delta_file + ".tmp")
+        os.replace(delta_file + ".tmp", delta_file)
+    delta_turns = delta_convs * 10
+
+    t0 = time.monotonic()
+    extend_index(idx, delta_file, n_partitions=8)
+    extend_s = time.monotonic() - t0
+
+    qdf = make_queries(N_QUERIES)
+    queries = [(q, int(k)) for q, k in zip(qdf["query"], qdf["k"])]
+    out = {
+        "delta_turns": delta_turns,
+        "extend_sec": round(extend_s, 3),
+        "extend_turns_per_sec": round(delta_turns / extend_s, 1),
+    }
+    searcher = DocShardedSearcher(idx, n_shards=8)
+    try:
+        post_extend = [
+            searcher.search(q, k, mode="OR", result_cache=False)
+            for q, k in queries
+        ]
+        t0 = time.monotonic()
+        compact_index(idx, n_partitions=8)
+        out["compact_sec"] = round(time.monotonic() - t0, 3)
+        searcher.refresh()
+        post_compact = [
+            searcher.search(q, k, mode="OR", result_cache=False)
+            for q, k in queries
+        ]
+        out["post_compact_parity"] = all(
+            a[0].tolist() == b[0].tolist() and a[1].tolist() == b[1].tolist()
+            for a, b in zip(post_extend, post_compact)
+        )
+        lat = []
+        for _ in range(2):
+            for q, k in queries:
+                t0 = time.monotonic()
+                searcher.search(q, k, mode="OR", result_cache=False)
+                lat.append(time.monotonic() - t0)
+        out["post_compact_p95_ms"] = round(
+            float(np.percentile(lat, 95)) * 1000, 2
+        )
+    finally:
+        searcher.close()
+    return out
+
+
+def ensure_documents(corpus_dir: str, turns: int) -> str:
+    """documents-shaped table derived deterministically from the cached
+    transcript corpus (turn text as documents, doc_id = conv_num * 10 +
+    turn_idx): the dedup family's input at depth. One Ray job, cached."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_ray.io import read_parquet_clean
+
+    out = os.path.join(BENCH_ROOT, f"docs-{turns}")
+    done = out + ".done"  # marker OUTSIDE the dir: readers glob it whole
+    if os.path.exists(done):
+        return out
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        conv_num = pc.cast(
+            pc.utf8_slice_codeunits(t["conv_id"], 5, 13), pa.int64()
+        )
+        doc_id = pc.add(
+            pc.multiply(conv_num, 10), pc.cast(t["turn_idx"], pa.int64())
+        )
+        return pa.table({"doc_id": doc_id, "text": t["text"]})
+
+    shutil.rmtree(out, ignore_errors=True)
+    read_parquet_clean(corpus_dir).map_batches(
+        to_docs, batch_format="pyarrow"
+    ).write_parquet(out)
+    with open(done, "w") as f:
+        f.write(str(turns))
+    return out
+
+
+_BIG_DEDUP_OPS = ("dedup_exact", "dedup_minhash_lsh", "dup_span_fraction",
+                  "dup_span_approx")
+
+
+def bench_big_dedup() -> dict:
+    """Dedup family at 2.4M documents (VERDICT r4 item 3): the Bloom
+    vs broadcast-exact A/B where per-op scheduling overhead no longer
+    dominates (at sf0.1 both read ~0.8 s and the A/B is meaningless)."""
+    corpus_dir, turns = ensure_corpus(0.1, scale=20)
+    docs_dir = ensure_documents(corpus_dir, turns)
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out: dict = {"docs": turns}
+    for name in _BIG_DEDUP_OPS:
+        t0 = time.monotonic()
+        res = qs[name](docs_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.monotonic() - t0, 3)
+    if out.get("dup_span_approx"):
+        out["bloom_speedup_x"] = round(
+            out["dup_span_fraction"] / out["dup_span_approx"], 2
+        )
+    return out
+
+
+def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
+    """Persistent ANN serving tier at depth: build-once cost for the
+    sharded NSW index over a deterministic synthetic embedding table,
+    then steady-state query latency through the long-lived shard
+    actors (5 queries broadcast per call, p95 over ``reps`` calls)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.knn import _load_queries
+    from search_engine_ray.pipelines.ann_index import (
+        AnnSearcher, build_ann_index,
+    )
+
+    emb_dir = os.path.join(BENCH_ROOT, f"emb-{n_vectors}")
+    emb_file = os.path.join(emb_dir, "embeddings.parquet")
+    if not os.path.exists(emb_file):
+        os.makedirs(emb_dir, exist_ok=True)
+        rng = np.random.default_rng(7)
+        # clustered vectors (ANN on uniform noise is degenerate)
+        centers = rng.standard_normal((256, dim)) * 2.0
+        vecs = (
+            centers[np.arange(n_vectors) % 256]
+            + rng.standard_normal((n_vectors, dim)) * 0.3
+        ).astype(np.float32)
+        pq_.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n_vectors), pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(vecs.reshape(-1), pa.float32()), dim
+                    ),
+                }
+            ),
+            emb_file,
+        )
+    idx = os.path.join(BENCH_ROOT, f"ann-{n_vectors}")
+    shutil.rmtree(idx, ignore_errors=True)  # build-once COST is the metric
+    t0 = time.monotonic()
+    meta = build_ann_index(emb_dir, idx, max_shard_rows=8_192)
+    build_s = time.monotonic() - t0
+    qids, qmat = _load_queries(emb_dir)
+    searcher = AnnSearcher(idx)
+    try:
+        for _ in range(3):  # warm: actor import + first plasma fetch
+            searcher.search_matrix(qids, qmat)
+        lat = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            searcher.search_matrix(qids, qmat)
+            lat.append(time.monotonic() - t0)
+    finally:
+        searcher.close()
+    return {
+        "n_vectors": n_vectors,
+        "n_shards": meta["n_shards"],
+        "build_sec": round(build_s, 3),
+        "build_vectors_per_sec": round(n_vectors / build_s, 1),
+        "query_batch5_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+        "query_batch5_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "query_calls": reps,
+    }
 
 
 _BIG24_STORE_GB = 4.0  # object store cap for the memory-pressure run
@@ -451,12 +651,20 @@ def run_main(sf_dir: str, num_cpus: int, fast: bool = False) -> None:
     queries.update(bench_gate_ops(sf_dir))
     # deep sections are best-effort: a failure there must never cost
     # the one-JSON-line contract for the sections that did run
-    big = scaling = big24 = None
+    big = scaling = big24 = big_dedup = ann = None
     if not fast:
         try:
             big = bench_big()
         except Exception as ex:  # noqa: BLE001
             big = {"error": f"{type(ex).__name__}: {ex}"}
+        try:
+            big_dedup = bench_big_dedup()
+        except Exception as ex:  # noqa: BLE001
+            big_dedup = {"error": f"{type(ex).__name__}: {ex}"}
+        try:
+            ann = bench_ann()
+        except Exception as ex:  # noqa: BLE001
+            ann = {"error": f"{type(ex).__name__}: {ex}"}
         try:
             # parallel chunk generation uses the LIVE parent session;
             # the memory-pressure child itself runs after shutdown so
@@ -497,6 +705,10 @@ def run_main(sf_dir: str, num_cpus: int, fast: bool = False) -> None:
     }
     if big is not None:
         payload["big_2p4m"] = big
+    if big_dedup is not None:
+        payload["big_2p4m_dedup"] = big_dedup
+    if ann is not None:
+        payload["ann_serving"] = ann
     if big24 is not None:
         payload["big_24m"] = big24
     if scaling is not None:
@@ -697,7 +909,7 @@ def run_qps(num_cpus: int) -> None:
     from search_engine_ray.corpus import make_queries
     from search_engine_ray.pipelines.search import DocShardedSearcher
 
-    ray = _quiet_ray(num_cpus)
+    ray = _quiet_ray(num_cpus, namespace="seray-qps")
     corpus_dir, turns = ensure_corpus(0.1, scale=20)
     tag = f"big-{turns}"
     idx = os.path.join(BENCH_ROOT, f"idx-{tag}")
@@ -759,9 +971,131 @@ def run_qps(num_cpus: int) -> None:
                     }
         finally:
             searcher.close()
+    try:
+        out["frontends"] = _qps_frontends(ray, idx, queries)
+    except Exception as ex:  # noqa: BLE001 - best-effort subsection
+        out["frontends"] = {"error": f"{type(ex).__name__}: {ex}"}
     out["host_calibration"] = host_calibration()
     ray.shutdown()
     print(json.dumps(out))
+
+
+def _qps_frontends(ray, idx: str, queries: list) -> dict:
+    """Multi-process frontends over ONE shared shard-actor set
+    (VERDICT r4 item 4): the single-driver QPS ceiling (~150-225) is
+    the frontend process itself — GIL + submission lock — while the
+    shard actors idle; serve.py holds no index state, so frontends
+    replicate for free. One owner process registers NAMED actors
+    (n_replicas=4 so the actor side is not the bottleneck); 1 vs 2
+    sibling processes attach via FrontendAttachedSearcher and hammer
+    the same query mix at 16 total client threads. Moves-the-ceiling
+    evidence = qps(2 frontends) / qps(1 frontend)."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    owner = DocShardedSearcher(idx, n_shards=8, n_replicas=4,
+                               name_prefix="qpsfe")
+    gcs = ray.get_runtime_context().gcs_address
+    out: dict = {}
+    try:
+        # warm every replica set's scoring memos directly
+        for rs in owner._replica_sets:
+            for q, k in queries:
+                ray.get([s.search.remote(q, k, "OR", False) for s in rs])
+        names = owner.actor_names()
+        for n_frontends in (1, 2):
+            threads_per = 16 // n_frontends
+            spec = {
+                "gcs": gcs, "namespace": "seray-qps", "index_dir": idx,
+                "names": names, "n_threads": threads_per,
+                "passes": 2 * threads_per, "queries": queries,
+                "result_cache": False,
+            }
+            procs = []
+            for fi in range(n_frontends):
+                spec_f = os.path.join(BENCH_ROOT, f"qpsfe-spec-{fi}.json")
+                out_f = os.path.join(BENCH_ROOT, f"qpsfe-out-{fi}.json")
+                with open(spec_f, "w") as f:
+                    json.dump({**spec, "out": out_f}, f)
+                env = dict(os.environ)
+                env.pop("RAY_ADDRESS", None)  # would force a new cluster
+                procs.append((subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--qps-frontend", "--spec", spec_f],
+                    stdout=subprocess.DEVNULL, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ), out_f))
+            results = []
+            for p, out_f in procs:
+                rc = p.wait(timeout=600)
+                if rc == 0:
+                    with open(out_f) as f:
+                        results.append(json.load(f))
+            key = f"fe{n_frontends}_c16"
+            out[key] = {
+                "qps": round(sum(r["qps"] for r in results), 1),
+                "p95_ms": round(max(r["p95_ms"] for r in results), 2),
+                "frontends_ok": len(results),
+            }
+        if out.get("fe1_c16", {}).get("qps"):
+            out["ceiling_moved_x"] = round(
+                out["fe2_c16"]["qps"] / out["fe1_c16"]["qps"], 2
+            )
+    finally:
+        owner.close()
+    return out
+
+
+def run_qps_frontend(spec_path: str) -> None:
+    """Child frontend process: attach to the owner's named shard
+    actors on the SAME cluster (explicit GCS address + namespace) and
+    run the client thread loop; writes {qps, p95_ms} to spec['out']."""
+    import threading
+
+    import numpy as np
+    import ray
+
+    from search_engine_ray.pipelines.search import FrontendAttachedSearcher
+
+    with open(spec_path) as f:
+        spec = json.load(f)
+    ray.init(address=spec["gcs"], namespace=spec["namespace"],
+             logging_level="ERROR")
+    fe = FrontendAttachedSearcher(spec["index_dir"], spec["names"])
+    queries = [(q, int(k)) for q, k in spec["queries"]]
+    n_threads, passes = int(spec["n_threads"]), int(spec["passes"])
+    rc_flag = bool(spec["result_cache"])
+    for q, k in queries:  # per-process warmup (import/first-call costs)
+        fe.search(q, k, mode="OR", result_cache=rc_flag)
+    lat: list = []
+    lock = threading.Lock()
+
+    def client(_tid: int):
+        local = []
+        for _ in range(passes // n_threads or 1):
+            for q, k in queries:
+                t0 = time.monotonic()
+                fe.search(q, k, mode="OR", result_cache=rc_flag)
+                local.append(time.monotonic() - t0)
+        with lock:
+            lat.extend(local)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_threads)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    with open(spec["out"], "w") as f:
+        json.dump({
+            "qps": round(len(lat) / wall, 1),
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+            "samples": len(lat),
+            "wall": round(wall, 3),
+        }, f)
+    fe.close()
+    ray.shutdown()
 
 
 def main():
@@ -779,6 +1113,9 @@ def main():
                    help="skip the 2.4M-turn and small-scaling sections")
     p.add_argument("--qps", action="store_true",
                    help="serving throughput under concurrent clients")
+    p.add_argument("--qps-frontend", action="store_true",
+                   help="internal: attached-frontend child (see --qps)")
+    p.add_argument("--spec", help="spec json for --qps-frontend")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -790,6 +1127,8 @@ def main():
         run_big24_child(a.corpus, a.cpus, a.out)
     elif a.hash_child:
         run_hash_child(a.sf_dir, a.cpus, a.out)
+    elif a.qps_frontend:
+        run_qps_frontend(a.spec)
     elif a.qps:
         run_qps(a.cpus)
     elif a.scaling:

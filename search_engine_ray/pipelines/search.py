@@ -216,12 +216,20 @@ class DocShardedSearcher:
     a concatenate + the shared deterministic top-k."""
 
     def __init__(self, index_dir: str, n_shards: int = 4,
-                 load_positions: bool = False, n_replicas: int = 1):
+                 load_positions: bool = False, n_replicas: int = 1,
+                 name_prefix: str | None = None):
         import itertools
         import uuid
 
         self.index_dir = index_dir
         self.n_shards = n_shards
+        # name_prefix: register the shard actors under
+        # "{prefix}-g{gen}-r{replica}-s{shard}" so OTHER driver
+        # processes on the same cluster can attach stateless frontends
+        # (FrontendAttachedSearcher) — the multi-frontend QPS path.
+        # Requires the owning driver to ray.init with an explicit
+        # namespace (anonymous namespaces are not cross-job visible).
+        self._name_prefix = name_prefix
         # QPS scaling: one shard SET serves ~n_shards concurrent
         # queries before its single-threaded actors queue; replicas
         # multiply that ceiling. Queries round-robin across complete
@@ -354,6 +362,37 @@ class DocShardedSearcher:
             paths.append(path)
         return paths
 
+    def _spawn_sets(self, paths) -> list:
+        """n_replicas actor sets over the gen's layout files; actors
+        are cluster-visible by name when name_prefix is set (the
+        generation in the name keeps blue-green swaps collision-free)."""
+        sets = []
+        for ri in range(self.n_replicas):
+            actors = []
+            for si, path in enumerate(paths):
+                cls = DocShardActor
+                if self._name_prefix:
+                    cls = DocShardActor.options(
+                        name=f"{self._name_prefix}-g{self._gen}-r{ri}-s{si}"
+                    )
+                actors.append(cls.remote(
+                    self.index_dir, path, load_positions=self.load_positions
+                ))
+            sets.append(actors)
+        return sets
+
+    def actor_names(self) -> list[list[str]]:
+        """Current generation's actor names per replica set (for
+        FrontendAttachedSearcher in another process). Only meaningful
+        with name_prefix."""
+        if not self._name_prefix:
+            raise ValueError("searcher was constructed without name_prefix")
+        return [
+            [f"{self._name_prefix}-g{self._gen}-r{ri}-s{si}"
+             for si in range(len(self._groups))]
+            for ri in range(self.n_replicas)
+        ]
+
     def _start(self):
         import json
 
@@ -363,15 +402,7 @@ class DocShardedSearcher:
         # actors load the df broadcast from disk themselves: restart-safe
         # (an ObjectRef constructor arg dies with the driver's ref).
         # All replica sets share ONE set of layout files.
-        self._replica_sets = [
-            [
-                DocShardActor.remote(
-                    self.index_dir, path, load_positions=self.load_positions
-                )
-                for path in paths
-            ]
-            for _ in range(self.n_replicas)
-        ]
+        self._replica_sets = self._spawn_sets(paths)
         self.shards = self._replica_sets[0]
         ray.get([s.ping.remote() for rs in self._replica_sets for s in rs])
         with open(os.path.join(self.index_dir, "meta.json")) as f:
@@ -397,15 +428,12 @@ class DocShardedSearcher:
         groups, _ = self._layout(self.index_dir, self.n_shards)
         self._gen += 1
         paths = self._write_layouts(groups)
-        fresh_sets = [
-            [
-                DocShardActor.remote(
-                    self.index_dir, p, load_positions=self.load_positions
-                )
-                for p in paths
-            ]
-            for _ in range(self.n_replicas)
-        ]
+        old_groups, self._groups = self._groups, groups
+        try:
+            fresh_sets = self._spawn_sets(paths)
+        except Exception:
+            self._groups = old_groups  # actor_names must track live gen
+            raise
         ray.get([a.ping.remote() for rs in fresh_sets for a in rs])
         old = [a for rs in self._replica_sets for a in rs]
         self._replica_sets = fresh_sets
@@ -587,6 +615,49 @@ class DocShardedSearcher:
             idx = scoring.topk_indices(scores, ids, k)
             out.append((ids[idx], scores[idx]))
         return out
+
+
+class FrontendAttachedSearcher:
+    """A STATELESS frontend over shard actors owned by ANOTHER driver
+    process on the same cluster: resolves the actors by name
+    (``DocShardedSearcher(..., name_prefix=...)`` + ``actor_names()``
+    on the owning side) and reuses the owner's scatter-gather merge
+    verbatim, so results are bit-identical to the owner's. This is the
+    serving-QPS scale lever past one driver process: the single-process
+    ceiling is the frontend's own GIL + submission lock (BASELINE.md),
+    while the shard actors — and their index memory — stay 1x shared.
+    No lifecycle responsibilities: no refresh, no close-kills (the
+    owner manages the actors; ``close`` just drops handles). The owner
+    must keep its actor generation alive while frontends are attached —
+    a blue-green refresh on the owner strands an attached frontend on
+    killed actors (re-attach with fresh names after a refresh)."""
+
+    def __init__(self, index_dir: str, actor_names: list[list[str]],
+                 namespace: str | None = None):
+        import itertools
+        import json
+
+        self._replica_sets = [
+            [ray.get_actor(n, namespace=namespace) for n in rs]
+            for rs in actor_names
+        ]
+        self.shards = self._replica_sets[0] if self._replica_sets else []
+        self._rr = itertools.count()
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.cfg = IndexConfig.from_json(json.load(f)["config"])
+
+    # the owner's routing + scatter-gather, unchanged (same attribute
+    # contract: _replica_sets, _rr, _reap_retired)
+    _pick_shards = DocShardedSearcher._pick_shards
+    search = DocShardedSearcher.search
+    search_many = DocShardedSearcher.search_many
+
+    def _reap_retired(self, force: bool = False) -> None:
+        pass  # owner-managed actors: nothing to reap here
+
+    def close(self) -> None:
+        self._replica_sets = []
+        self.shards = []
 
 
 class QueryEvaluator:

@@ -896,3 +896,55 @@ def test_search_after_close_returns_empty(index_dir):
     ids, scores = s.search("running meetings", 5, mode="OR")
     assert len(ids) == 0 and len(scores) == 0
     assert s.search_many([("running meetings", 5)], mode="OR")[0][0].size == 0
+
+
+def test_attached_frontend_bit_identical(index_dir):
+    """FrontendAttachedSearcher (the multi-process QPS lever): a
+    frontend resolving the owner's named shard actors must return
+    bit-identical results through the shared merge code. Attach here is
+    in-process (same namespace rules as a sibling driver — the
+    cross-process path is exercised by bench.py --qps)."""
+    from search_engine_ray.pipelines.search import (
+        DocShardedSearcher, FrontendAttachedSearcher,
+    )
+
+    owner = DocShardedSearcher(
+        index_dir, n_shards=2, n_replicas=2, name_prefix="tfe"
+    )
+    try:
+        names = owner.actor_names()
+        assert names == [[f"tfe-g0-r{r}-s{s}" for s in range(2)]
+                         for r in range(2)]
+        fe = FrontendAttachedSearcher(index_dir, names)
+        for q in ["running meetings", "the of and", "zzznope", "w0017 runs"]:
+            for mode in ("OR", "AND"):
+                ids_o, sc_o = owner.search(q, 50, mode=mode)
+                ids_f, sc_f = fe.search(q, 50, mode=mode)
+                assert ids_o.tolist() == ids_f.tolist(), (q, mode)
+                assert sc_o.tolist() == sc_f.tolist(), (q, mode)
+        fe.close()
+    finally:
+        owner.close()
+
+
+def test_named_refresh_uses_new_generation_names(ray_session, tmp_path):
+    """A blue-green refresh under name_prefix must register the fresh
+    actor set under generation-stamped names (no collision with the
+    retiring set) and actor_names() must track the live generation."""
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.build_index import build_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    src = str(tmp_path / "t")
+    write_transcripts(src, n_convs=40, turns_per_conv=5, seed=42, n_files=2)
+    d = str(tmp_path / "idx")
+    build_index(src, d, IndexConfig(doc_bucket_size=512), n_partitions=2)
+    s = DocShardedSearcher(d, n_shards=2, name_prefix="tgen")
+    try:
+        assert s.actor_names()[0][0] == "tgen-g0-r0-s0"
+        s.refresh()
+        assert s.actor_names()[0][0] == "tgen-g1-r0-s0"
+        ids, _ = s.search("running meetings", 5, mode="OR")
+        assert ids.size >= 0  # serving still works through gen-1 actors
+    finally:
+        s.close()
