@@ -1976,11 +1976,72 @@ RAY_QUERIES = {
     "dedup_incremental": dedup_incremental,
 }
 
-# rows-only aux entry (approximate by design — no SQL twin): the
-# driver records the weaker rows-only check; the one-sided-error bound
-# is pytest-enforced against the exact gate entry
+# aux entry (after the 50-entry driver window; tools_verify checks it
+# against the full oracle below — the blocked-Bloom layout is
+# deterministic given the key set, so even the false positives are
+# SQL-reproducible)
 RAY_QUERIES_AUX = {
     "dup_span_approx": dup_span_fraction_approx,
+}
+
+# The approximate op has a FULL oracle: the Bloom layout
+# (_bloom_layout) and the Kirsch-Mitzenmacher probe arithmetic
+# (_bloom_indices) are pure integer functions of the md5-60 shingle
+# hashes, which the SQL twin reproduces exactly — `bits` materializes
+# the set positions per block, `probes` recomputes each shingle's 3
+# probe positions, and a shingle is flagged dup iff all 3 hit. This
+# reproduces the one-sided Bloom error bit-for-bit (false positives
+# included), so the driver's value-hash compare holds.
+SQL_DUP_SPAN_APPROX = f"""
+WITH {_SQL_SHINGLES},
+sh60 AS (
+    SELECT doc_id, {_MD5_SQL.format("sh")} AS h FROM tri
+),
+dupk AS (
+    SELECT h FROM sh60 GROUP BY h HAVING COUNT(*) >= 2
+),
+layout AS (
+    SELECT n_blocks,
+           CASE WHEN per_block <= 1024 THEN 1024
+                WHEN per_block >= {_BLOOM_MAX_BITS} THEN {_BLOOM_MAX_BITS}
+                ELSE CAST(power(2, ceil(log2(per_block::DOUBLE))) AS BIGINT)
+           END AS m
+    FROM (
+        SELECT n_blocks,
+               ((nk + n_blocks - 1) // n_blocks) * {_BLOOM_BITS_PER_KEY} AS per_block
+        FROM (
+            SELECT nk,
+                   (nk * {_BLOOM_BITS_PER_KEY} + {_BLOOM_MAX_BITS - 1}) // {_BLOOM_MAX_BITS} AS n_blocks
+            FROM (SELECT GREATEST(1, (SELECT COUNT(*) FROM dupk)) AS nk)
+        )
+    )
+),
+bits AS (
+    SELECT DISTINCT d.h % l.n_blocks AS block,
+           ((d.h & (l.m - 1)) + i.i * ((d.h >> 30) | 1)) & (l.m - 1) AS pos
+    FROM dupk d CROSS JOIN layout l
+    CROSS JOIN (VALUES (0), (1), (2)) AS i(i)
+),
+probes AS (
+    SELECT s.doc_id, s.h, s.h % l.n_blocks AS block,
+           ((s.h & (l.m - 1)) + i.i * ((s.h >> 30) | 1)) & (l.m - 1) AS pos
+    FROM sh60 s CROSS JOIN layout l
+    CROSS JOIN (VALUES (0), (1), (2)) AS i(i)
+),
+flag AS (
+    SELECT p.doc_id, p.h,
+           CASE WHEN COUNT(b.pos) = 3 THEN 1 ELSE 0 END AS is_dup
+    FROM probes p LEFT JOIN bits b ON p.block = b.block AND p.pos = b.pos
+    GROUP BY p.doc_id, p.h
+)
+SELECT doc_id, COUNT(*) AS n_sh,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       CAST(floor(SUM(is_dup) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+FROM flag GROUP BY doc_id
+"""
+
+ORACLE_SQL_AUX = {
+    "dup_span_approx": SQL_DUP_SPAN_APPROX,
 }
 
 ORACLE_SQL = {
