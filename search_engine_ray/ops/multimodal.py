@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.png import PNG_MAGIC, decode_png, encode_png, parse_ihdr
+from ..functions.wav import decode_wav, encode_wav
 from ..io import read_parquet_light
 
 _FRAME = 1000   # bytes per fake "frame"
@@ -250,15 +251,138 @@ def image_stats(sf_dir: str):
     )
 
 
+class WavEncoder:
+    """Actor-pool audio encode stage: each document's text bytes become
+    a deterministic 16-bit PCM mono WAV (samples = zero-centered byte
+    values scaled to the int16 range, 8 kHz). Per-row loop is inherent
+    to a codec; the sample synthesis inside is numpy."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for s in texts:
+            b = np.frombuffer(("" if s is None else s).encode(), np.uint8)
+            samples = (b.astype(np.int16) - 128) * 256
+            payloads.append(encode_wav(samples, sample_rate=8000))
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "payload": pa.array(payloads, pa.large_binary())}
+        )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool REAL audio-decode stage: every payload goes through
+    the actual RIFF/PCM parser (``functions/wav.py``) and out come the
+    standard first-pass audio-quality features — duration, energy, zero
+    crossings — as order-stable integers. This is the decode work a
+    100 TB audio pipeline pays before any model sees a sample; batches
+    stay small (decoded sample arrays are the memory hot spot).
+
+    Reference analog: the reference has no audio path (its corpus is
+    crawled HTML, /root/reference/src/cis5550/jobs/Crawler.java); this
+    extends the engine's opaque-binary-column model to the audio
+    modality the brief's training-data pipelines need."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_numpy(zero_copy_only=False)
+        out = {"n_samples": [], "sample_rate": [], "channels": [],
+               "duration_ms": [], "energy": [], "zero_crossings": []}
+        for p in payloads:
+            s, rate = decode_wav(bytes(p))
+            n = s.shape[0]
+            ch = 1 if s.ndim == 1 else s.shape[1]
+            flat = s.reshape(-1).astype(np.int64)
+            mono = flat if ch == 1 else flat.reshape(-1, ch)[:, 0]
+            out["n_samples"].append(n)
+            out["sample_rate"].append(rate)
+            out["channels"].append(ch)
+            out["duration_ms"].append(int(n * 1000 // max(rate, 1)))
+            out["energy"].append(int((flat * flat).sum()))
+            out["zero_crossings"].append(
+                int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+            }
+        )
+
+
+def audio_stats(sf_dir: str):
+    """End-to-end REAL audio codec round trip inside Ray: text bytes ->
+    deterministic PCM WAV (encode actor pool) -> sample statistics
+    (decode actor pool). Aux entry WITH a full oracle: the synthesized
+    samples are a pure function of the text bytes, so energy and zero
+    crossings are SQL-expressible over the byte stream (per-byte
+    LATERAL unnest — fine at gate scale, the Ray side is the one built
+    for volume)."""
+    ds = read_parquet_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    encoded = ds.map_batches(
+        WavEncoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return encoded.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+# The WAV round trip is exactly recoverable in SQL: sample_i =
+# (byte_i - 128) * 256 over the UTF-8 byte stream, so n_samples =
+# octet_length, energy = sum(sample^2), and zero crossings count sign
+# flips between consecutive nonzero-product samples. DuckDB walks the
+# bytes with a LATERAL range over octet_length (blob indexing via
+# substring + ascii of the single-byte slice).
+SQL_AUDIO_STATS = """
+WITH b AS (
+    SELECT doc_id, hex(CAST(coalesce(text, '') AS BLOB)) AS hx,
+           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
+    FROM documents
+),
+s AS (
+    SELECT b.doc_id, i.i,
+           (('0x' || substring(b.hx, CAST(i.i * 2 + 1 AS INTEGER), 2))::INTEGER
+            - 128) * 256 AS v
+    FROM b, LATERAL (SELECT unnest(range(0, b.n)) AS i) i
+),
+s2 AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+    FROM s
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND CAST(v AS BIGINT) * pv < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s2 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       COALESCE(a.energy, 0) AS energy,
+       COALESCE(a.zero_crossings, 0) AS zero_crossings
+FROM b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 RAY_QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
 }
 
 # rows-only aux entry: real PNG encode->decode round trip (the decode
-# is not SQL-expressible; pytest pins pixel stats against numpy)
+# is not SQL-expressible; pytest pins pixel stats against numpy).
+# audio_stats carries a full oracle — see SQL_AUDIO_STATS.
 RAY_QUERIES_AUX = {
     "image_stats": image_stats,
+    "audio_stats": audio_stats,
+}
+
+ORACLE_SQL_AUX = {
+    "audio_stats": SQL_AUDIO_STATS,
 }
 
 ORACLE_SQL = {

@@ -96,7 +96,13 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
 
     def add_shard(t: pa.Table) -> pa.Table:
         shard = pc.cast(pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32())
-        return t.append_column("shard", shard)
+        t = t.append_column("shard", shard)
+        if done:  # resumed run: finished shards never enter the shuffle
+            t = t.filter(
+                pc.invert(pc.is_in(t["shard"],
+                                   pa.array(sorted(done), pa.int32())))
+            )
+        return t
 
     def build_and_write(group: pa.Table) -> pa.Table:
         shard = int(group["shard"][0].as_py())
@@ -213,14 +219,18 @@ class AnnSearcher:
         qs = np.concatenate([p[0] for p in parts])
         vs = np.concatenate([p[1] for p in parts])
         ss = np.concatenate([p[2] for p in parts])
+        # ONE lexsort over all candidates, then O(log n) slice lookups
+        # per query (not a full qs == qi scan per query — that merge is
+        # quadratic when the query batch is large)
+        order_all = np.lexsort((vs, -ss, qs))
+        qs, vs, ss = qs[order_all], vs[order_all], ss[order_all]
         out_q, out_v, out_s = [], [], []
         for qi in np.asarray(qids, np.int64):
-            sel = qs == qi
-            v_, s_ = vs[sel], ss[sel]
-            order = np.lexsort((v_, -s_))[:k]
-            out_q.append(np.full(order.size, qi, np.int64))
-            out_v.append(v_[order])
-            out_s.append(s_[order])
+            lo = np.searchsorted(qs, qi, side="left")
+            hi = min(np.searchsorted(qs, qi, side="right"), lo + k)
+            out_q.append(qs[lo:hi])
+            out_v.append(vs[lo:hi])
+            out_s.append(ss[lo:hi])
         return (np.concatenate(out_q) if out_q else np.empty(0, np.int64),
                 np.concatenate(out_v) if out_v else np.empty(0, np.int64),
                 np.concatenate(out_s) if out_s else np.empty(0, np.float64))
