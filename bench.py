@@ -403,11 +403,16 @@ def bench_big_dedup() -> dict:
     out: dict = {"docs": turns}
     for name in _BIG_DEDUP_OPS:
         t0 = time.monotonic()
-        res = qs[name](docs_dir)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        out[name] = round(time.monotonic() - t0, 3)
-    if out.get("dup_span_approx"):
+        try:  # one op failing must not cost the section's other numbers
+            res = qs[name](docs_dir)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            out[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            out[name] = {"error": f"{type(ex).__name__}: {ex}"}
+    if isinstance(out.get("dup_span_approx"), float) and isinstance(
+        out.get("dup_span_fraction"), float
+    ) and out["dup_span_approx"]:
         out["bloom_speedup_x"] = round(
             out["dup_span_fraction"] / out["dup_span_approx"], 2
         )

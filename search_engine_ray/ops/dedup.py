@@ -417,8 +417,26 @@ def _sizes_and_threshold(inter, sizes, threshold: float):
     return with_b.map_batches(finish, batch_format="pyarrow")
 
 
-def _bands_from_docs(t: pa.Table) -> pa.Table:
-    return _band_rows(_shingle_batch(t, hashed=True))
+def _bands_from_docs(t: pa.Table, hot_ref=None) -> pa.Table:
+    """Band rows straight off a documents batch (doc-complete by
+    construction). ``hot_ref`` (optional): a ``ray.put`` sorted int64
+    array of boilerplate shingle hashes (df > ``_DF_CAP``) to EXCLUDE
+    from signatures — the minhash analog of the ngram path's df cap.
+    Without it, a corpus whose token distribution is skewed (measured
+    on the 2.4M transcript corpus: trigrams shared by 10^4-10^5 docs)
+    makes the per-band minimum collapse to the same hot shingles for
+    docs that are NOT near-duplicates, inflating band buckets to 10^4+
+    docs and candidate pairs to ~10^9. Filtering only changes
+    CANDIDATE RECALL, never the verify: exact Jaccard downstream still
+    uses full shingle sets, so the SQL oracle is unchanged. A doc whose
+    every shingle is boilerplate emits no bands (it has no distinctive
+    content to match on)."""
+    s = _shingle_batch(t, hashed=True)
+    if hot_ref is not None:
+        hot = ray.get(hot_ref)  # zero-copy plasma read, shared per node
+        keep = ~sorted_member(hot, s["sh"].to_numpy())
+        s = s.filter(pa.array(keep))
+    return _band_rows(s)
 
 
 def _pairs_in_partition(g: pa.Table, cap: int, key: str = "band_hash") -> pa.Table:
@@ -854,7 +872,38 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     ds = _read_light(docs_path(sf_dir), columns=["doc_id", "text"])
     shingles = ds.map_batches(
         lambda t: _shingle_batch(t, hashed=True), batch_format="pyarrow"
-    ).materialize()  # consumed by the verify joins
+    ).materialize()  # consumed by the verify joins AND the df pass
+    n_sh_rows = shingles.count()
+
+    # boilerplate guard for SIGNATURES (the minhash analog of the
+    # ngram path's _DF_CAP): shingles shared by > _DF_CAP docs are
+    # excluded from the minhash permutations, because on skewed corpora
+    # the per-band minimum collapses to the same globally-hot shingles
+    # for docs that are NOT near-duplicates (measured at 2.4M docs:
+    # band buckets of 10^4-10^5 docs, ~10^9 candidate pairs, verify
+    # OOM). The hot set is sublinear and tiny (boilerplate vocabulary),
+    # so it broadcasts; if it ever exceeded the gate we'd rather band
+    # unfiltered (correct, slower) than pay a corpus-wide shuffle here.
+    # The verify below still uses FULL shingle sets — this affects
+    # candidate recall only, so the exact-Jaccard oracle is unchanged.
+    hot_ref = None
+    if n_sh_rows:
+        hot = (
+            _reduce_keyed(
+                shingles, "sh", _npart() * 8, _keyed_count_combine("sh", "df"),
+                rows_hint=n_sh_rows,
+            )
+            .map_batches(
+                lambda t: t.filter(
+                    pc.greater(t["df"], pa.scalar(_DF_CAP))
+                ).select(["sh"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_hot = hot.count()
+        if 0 < n_hot <= _BCAST_DUP_KEYS:
+            hot_ref = ray.put(collect_sorted_i64(hot, "sh"))
 
     # band rows come straight off the documents table: each input row
     # is one whole doc, so signatures always see the full shingle set
@@ -876,7 +925,10 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
     raw_pairs = (
-        ds.map_batches(_bands_from_docs, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t, _h=hot_ref: _bands_from_docs(t, hot_ref=_h),
+            batch_format="pyarrow",
+        )
         .map_batches(add_part, batch_format="pyarrow")
         .groupby(["band", "part"])
         .map_groups(

@@ -574,3 +574,49 @@ def test_nsw_graph_search_exact_on_line():
     idx, s = knn._nsw_search(v, nbr, v[0], ef=16, n_active=len(v), k=3)
     assert idx.tolist() == [0, 1, 2]
     assert np.allclose(s, np.cos(angles[:3]))
+
+
+def test_minhash_boilerplate_guard_keeps_true_pairs(ray_session, tmp_path_factory):
+    """Signature-side df-cap (the minhash analog of the ngram path's
+    _DF_CAP): a corpus where every doc shares a boilerplate sentence
+    (shingle df >> _DF_CAP, so the hot-set filter ENGAGES) but pairwise
+    Jaccard stays far below threshold must yield exactly the one true
+    near-dup pair — the guard changes candidate volume, never the
+    verified output."""
+    d = tmp_path_factory.mktemp("boiler_docs")
+    boiler = "please review the attached weekly report summary carefully"
+    texts = [
+        boiler + " " + " ".join(f"u{i}w{j}" for j in range(15))
+        for i in range(200)
+    ]
+    tail = " ".join(f"dupw{j}" for j in range(15))
+    texts.append(boiler + " " + tail + " alpha")   # doc 200
+    texts.append(boiler + " " + tail + " beta")    # doc 201: near-dup of 200
+    _write_documents(d, texts)
+    # the boilerplate trigrams really are hot (df = 202 > _DF_CAP)
+    assert len(texts) > dedup._DF_CAP
+    got = dedup.dedup_minhash_lsh(str(d), jaccard_threshold=0.5).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert pairs == {(200, 201)}
+    j = float(got["jaccard"].iloc[0])
+    assert abs(j - _exact_jaccard(texts[200], texts[201])) < 1e-6
+
+
+def test_bands_from_docs_hot_filter_drops_boilerplate_only_docs(ray_session):
+    """Mechanism unit check: a doc whose EVERY shingle is in the hot
+    set emits no band rows (nothing distinctive to match on), while an
+    unfiltered call still bands it."""
+    import ray
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon"], pa.string()),
+        }
+    )
+    all_sh = np.sort(dedup._shingle_batch(t, hashed=True)["sh"].to_numpy())
+    assert len(all_sh) > 0
+    unfiltered = dedup._bands_from_docs(t)
+    assert unfiltered.num_rows > 0
+    filtered = dedup._bands_from_docs(t, hot_ref=ray.put(all_sh))
+    assert filtered.num_rows == 0
