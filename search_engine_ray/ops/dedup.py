@@ -253,8 +253,38 @@ _BAND_BUCKET_CAP = 4096  # max docs per (band, hash) bucket for pair generation
 _ROWS = _N_PERM // _BANDS
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(4242)
-_PERM_A = (_rng.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64) >> np.uint64(32))  # < 2^29
+_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM).astype(np.uint64)  # full [1, M)
 _PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM).astype(np.uint64)
+
+
+def _perm_hash(p: int, x: np.ndarray) -> np.ndarray:
+    """(a_p * x + b_p) mod (2^61 - 1), a_p spanning the FULL modulus,
+    in pure uint64 numpy (split multiply + Mersenne fold, 2^61 ≡ 1).
+
+    The multiplier range is the point: an earlier version drew
+    a < 2^29 so ``a*x`` would fit uint64 directly — but then ``a*x``
+    spans at most ~one modulus and the "permutation" is piecewise
+    linear with ≤2 segments, so its minimum lands on the doc's
+    smallest 1-2 shingle values for EVERY perm. Measured at 2.4M docs:
+    unrelated docs sharing one small shingle agreed on ~half of all 64
+    perms (true j ~ 0.02), inflating LSH candidates to 12.8M of which
+    10 were real. With a full-range multiplier the min-match rate is
+    the textbook E[match] = jaccard. ``x`` must be < 2^32 (the low 32
+    bits of the 60-bit shingle hash; truncation collisions at 66M
+    distinct shingles are ~1e-7 per doc pair, negligible next to the
+    banding error itself)."""
+    M = np.uint64(_MERSENNE)
+    a = _PERM_A[p]
+    t1 = (a & np.uint64(0xFFFFFFFF)) * x  # a_lo * x < 2^64
+    t1 = (t1 >> np.uint64(61)) + (t1 & M)  # < 2^61 + 8
+    t2 = (a >> np.uint64(32)) * x  # a_hi * x < 2^61
+    # t2 * 2^32 mod M, via 2^61 ≡ 1: top 29 bits wrap to the bottom
+    t2 = (t2 >> np.uint64(29)) + ((t2 & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    v = t1 + t2  # < 2^62 + small
+    v = (v >> np.uint64(61)) + (v & M)
+    v = v + _PERM_B[p]  # < 2^62
+    v = (v >> np.uint64(61)) + (v & M)
+    return np.where(v >= M, v - M, v)
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -276,10 +306,14 @@ def _band_rows(t: pa.Table) -> pa.Table:
     doc, sh = doc[order], sh[order]
     uniq_docs, starts = np.unique(doc, return_index=True)
     nd = len(uniq_docs)
+    # FULL-set shingle count per doc (constant on every row, computed
+    # by _shingle_batch BEFORE any hot exclusion): rides on the band
+    # rows so pair generation can apply the exact size-ratio filter
+    # (j <= min/max) without a size join
+    nsh_doc = t["n_sh"].to_numpy(zero_copy_only=False)[order][starts].astype(np.int64)
     sig = np.empty((_N_PERM, nd), dtype=np.uint64)
     for p in range(_N_PERM):  # 64 vectorized passes, no per-doc loop
-        vals = (_PERM_A[p] * sh + _PERM_B[p]) % np.uint64(_MERSENNE)
-        sig[p] = np.minimum.reduceat(vals, starts)
+        sig[p] = np.minimum.reduceat(_perm_hash(p, sh), starts)
     band_hash = np.empty((_BANDS, nd), dtype=np.uint64)
     for b in range(_BANDS):
         acc = np.zeros(nd, dtype=np.uint64)
@@ -291,6 +325,7 @@ def _band_rows(t: pa.Table) -> pa.Table:
             "doc_id": pa.array(np.tile(uniq_docs, _BANDS), pa.int64()),
             "band": pa.array(np.repeat(np.arange(_BANDS, dtype=np.int32), nd), pa.int32()),
             "band_hash": pa.array(band_hash.reshape(-1).view(np.int64), pa.int64()),
+            "n_sh": pa.array(np.tile(nsh_doc, _BANDS), pa.int64()),
         }
     )
 
@@ -439,7 +474,8 @@ def _bands_from_docs(t: pa.Table, hot_ref=None) -> pa.Table:
     return _band_rows(s)
 
 
-def _pairs_in_partition(g: pa.Table, cap: int, key: str = "band_hash") -> pa.Table:
+def _pairs_in_partition(g: pa.Table, cap: int, key: str = "band_hash",
+                        sizes_col: str | None = None) -> pa.Table:
     """Candidate pairs for ONE hash partition of band rows, vectorized.
 
     Grouping by (band, band_hash) directly costs one Python map_groups
@@ -452,30 +488,45 @@ def _pairs_in_partition(g: pa.Table, cap: int, key: str = "band_hash") -> pa.Tab
     buckets. ``cap`` bounds per-bucket pair blowup as before.
     ``key`` names the bucket-hash column (band_hash for minhash
     banding, sh for the shared-shingle path — one pair row per run
-    preserves the per-shingle multiplicity that path counts)."""
+    preserves the per-shingle multiplicity that path counts).
+    ``sizes_col`` (optional): a per-doc set-size column to carry onto
+    the pairs as ``n_a``/``n_b`` — feeds the exact size-ratio
+    pre-filter (j = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|))."""
     h = g[key].to_numpy()
     d = g["doc_id"].to_numpy()
     order = np.lexsort((d, h))
     h, d = h[order], d[order]
+    nsh = (g[sizes_col].to_numpy(zero_copy_only=False)[order]
+           if sizes_col is not None else None)
     starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
     ends = np.concatenate([starts[1:], [len(h)]])
     sizes = ends - starts
     sel = np.flatnonzero((sizes >= 2) & (sizes <= cap))
     if sel.size == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    out_a, out_b = [], []
+        cols = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}
+        if sizes_col is not None:
+            cols["n_a"] = pa.array([], pa.int64())
+            cols["n_b"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    out_a, out_b, out_na, out_nb = [], [], [], []
     for i in sel:  # only the non-singleton buckets (rare)
         ids = d[starts[i]:ends[i]]  # ascending (lexsort secondary key)
         a, b = np.triu_indices(len(ids), k=1)
         out_a.append(ids[a])
         out_b.append(ids[b])
-    return pa.table(
-        {
-            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
-        }
-    )
+        if nsh is not None:
+            ns = nsh[starts[i]:ends[i]]
+            out_na.append(ns[a])
+            out_nb.append(ns[b])
+    cols = {
+        "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+    }
+    if nsh is not None:
+        cols["n_a"] = pa.array(np.concatenate(out_na).astype(np.int64), pa.int64())
+        cols["n_b"] = pa.array(np.concatenate(out_nb).astype(np.int64), pa.int64())
+    return pa.table(cols)
 
 
 _PAIR_MIX = np.int64(-7046029254386353131)  # 2^64 / golden ratio, signed
@@ -876,17 +927,24 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     n_sh_rows = shingles.count()
 
     # boilerplate guard for SIGNATURES (the minhash analog of the
-    # ngram path's _DF_CAP): shingles shared by > _DF_CAP docs are
+    # ngram path's _DF_CAP): shingles shared by > sig_df_cap docs are
     # excluded from the minhash permutations, because on skewed corpora
     # the per-band minimum collapses to the same globally-hot shingles
     # for docs that are NOT near-duplicates (measured at 2.4M docs:
     # band buckets of 10^4-10^5 docs, ~10^9 candidate pairs, verify
-    # OOM). The hot set is sublinear and tiny (boilerplate vocabulary),
-    # so it broadcasts; if it ever exceeded the gate we'd rather band
-    # unfiltered (correct, slower) than pay a corpus-wide shuffle here.
-    # The verify below still uses FULL shingle sets — this affects
-    # candidate recall only, so the exact-Jaccard oracle is unchanged.
+    # OOM). The cap is deliberately FIXED, not corpus-scaled: an A/B at
+    # 2.4M docs read 12.8M candidates at df>128 vs 192M at df>2400 —
+    # re-admitting moderately-hot shingles collapses band minima onto
+    # them and the candidate factory is 15x worse, so low-df exclusion
+    # is the lesser evil (residual false candidates are bounded by the
+    # full-range permutation family + the size gate below). The hot set
+    # is sublinear and tiny, so it broadcasts; if it ever exceeded the
+    # gate we'd rather band unfiltered (correct, slower) than pay a
+    # corpus-wide shuffle here. The verify below still uses FULL
+    # shingle sets — this affects candidate recall only, so the
+    # exact-Jaccard oracle is unchanged.
     hot_ref = None
+    sig_df_cap = _DF_CAP
     if n_sh_rows:
         hot = (
             _reduce_keyed(
@@ -895,7 +953,7 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
             )
             .map_batches(
                 lambda t: t.filter(
-                    pc.greater(t["df"], pa.scalar(_DF_CAP))
+                    pc.greater(t["df"], pa.scalar(sig_df_cap))
                 ).select(["sh"]),
                 batch_format="pyarrow",
             )
@@ -919,10 +977,24 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
     # vectorized (see _pairs_in_partition) instead of one Python call
     # per mostly-singleton bucket
     n_sub = _npart() * 8
+    threshold_f = float(jaccard_threshold)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = np.abs(t["band_hash"].to_numpy()) % n_sub
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
+
+    # exact size-ratio pre-filter: |A∩B| <= min and |A∪B| >= max, so
+    # j <= min(|A|,|B|)/max(|A|,|B|) — a candidate whose full-set sizes
+    # are more lopsided than the threshold can NEVER verify. Pure
+    # necessary condition (small epsilon for float slop), zero recall
+    # loss, oracle untouched; it drops banding collisions between docs
+    # of very different lengths before they reach the verify joins.
+    def size_gate(t: pa.Table, _thr=threshold_f) -> pa.Table:
+        na = t["n_a"].to_numpy().astype(np.float64)
+        nb = t["n_b"].to_numpy().astype(np.float64)
+        keep = np.minimum(na, nb) >= (_thr - 1e-9) * np.maximum(na, nb)
+        return pa.table({"doc_a": t["doc_a"].filter(pa.array(keep)),
+                         "doc_b": t["doc_b"].filter(pa.array(keep))})
 
     raw_pairs = (
         ds.map_batches(
@@ -932,9 +1004,12 @@ def dedup_minhash_lsh(sf_dir: str, jaccard_threshold: float = 0.5):
         .map_batches(add_part, batch_format="pyarrow")
         .groupby(["band", "part"])
         .map_groups(
-            lambda g: _pairs_in_partition(g, cap=_BAND_BUCKET_CAP),
+            lambda g: _pairs_in_partition(
+                g, cap=_BAND_BUCKET_CAP, sizes_col="n_sh"
+            ),
             batch_format="pyarrow",
         )
+        .map_batches(size_gate, batch_format="pyarrow")
     )
     # global distinct, partition-vectorized (near-singleton pair groups
     # make groupby([doc_a, doc_b]) pay Python per group — see

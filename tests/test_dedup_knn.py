@@ -620,3 +620,56 @@ def test_bands_from_docs_hot_filter_drops_boilerplate_only_docs(ray_session):
     assert unfiltered.num_rows > 0
     filtered = dedup._bands_from_docs(t, hot_ref=ray.put(all_sh))
     assert filtered.num_rows == 0
+
+
+def test_perm_hash_full_range_multiplier_is_unbiased():
+    """Regression for the piecewise-linear permutation defect: with
+    a < 2^29 multipliers, (a*x+b) mod (2^61-1) wraps at most once, so
+    every perm's minimum lands on a doc's smallest shingle values and
+    unrelated docs sharing one small shingle agree on ~half the perms
+    (measured at 2.4M docs: 12.8M LSH candidates, 10 real). The fixed
+    family must (1) match exact big-int modular math, (2) stay fully
+    reduced below the modulus, and (3) give E[min-match] ~ jaccard for
+    a low-jaccard pair instead of ~0.5."""
+    M = (1 << 61) - 1
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 32, size=50_000, dtype=np.uint64)
+    for p in (0, 31, 63):
+        got = dedup._perm_hash(p, x)
+        assert int(got.max()) < M
+        a, b = int(dedup._PERM_A[p]), int(dedup._PERM_B[p])
+        want = np.array([(a * int(v) + b) % M for v in x[:500]], dtype=np.uint64)
+        assert (got[:500] == want).all()
+        assert int(dedup._PERM_A[p]) >= (1 << 32)  # full-range multiplier
+    # adversarial low-j pair: shared smallest value, 1/20 true jaccard
+    shared = np.array([3], dtype=np.uint64)  # tiny shingle value
+    a_set = np.concatenate([shared, rng.integers(1 << 20, 1 << 32, 10, dtype=np.uint64)])
+    b_set = np.concatenate([shared, rng.integers(1 << 20, 1 << 32, 10, dtype=np.uint64)])
+    j = 1 / 21
+    matches = sum(
+        int(dedup._perm_hash(p, a_set).min() == dedup._perm_hash(p, b_set).min())
+        for p in range(dedup._N_PERM)
+    )
+    # E[matches] = 64*j ~ 3; the defective family read ~30+ here
+    assert matches <= 16, matches
+
+
+def test_minhash_size_gate_drops_only_impossible_pairs(ray_session, tmp_path):
+    """The size-ratio pre-filter (j <= min/max) must not change the
+    verified output: corpus with a true near-dup pair of similar sizes
+    plus a shared-shingle pair of very different sizes (which can never
+    reach the threshold and is dropped before verify)."""
+    d = tmp_path
+    base = " ".join(f"sz{i}" for i in range(20))
+    texts = [
+        base + " tail one",
+        base + " tail two",                       # near-dup of 0
+        "sz0 sz1 sz2",                            # shares shingles, tiny
+        base + " " + " ".join(f"q{i}" for i in range(60)),  # shares, huge
+    ]
+    _write_documents(d, texts)
+    got = dedup.dedup_minhash_lsh(str(d), jaccard_threshold=0.5).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert pairs == {(0, 1)}
+    j = float(got["jaccard"].iloc[0])
+    assert abs(j - _exact_jaccard(texts[0], texts[1])) < 1e-6
