@@ -461,18 +461,23 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
     meta = build_ann_index(emb_dir, idx, max_shard_rows=8_192)
     build_s = time.monotonic() - t0
     qids, qmat = _load_queries(emb_dir)
-    searcher = AnnSearcher(idx)
-    try:
-        for _ in range(3):  # warm: actor import + first plasma fetch
-            searcher.search_matrix(qids, qmat)
-        lat = []
-        for _ in range(reps):
-            t0 = time.monotonic()
-            searcher.search_matrix(qids, qmat)
-            lat.append(time.monotonic() - t0)
-    finally:
-        searcher.close()
-    return {
+
+    def steady_state(index_dir):
+        searcher = AnnSearcher(index_dir)
+        try:
+            for _ in range(3):  # warm: actor import + first plasma fetch
+                searcher.search_matrix(qids, qmat)
+            lat = []
+            for _ in range(reps):
+                t1 = time.monotonic()
+                searcher.search_matrix(qids, qmat)
+                lat.append(time.monotonic() - t1)
+        finally:
+            searcher.close()
+        return lat
+
+    lat = steady_state(idx)
+    out = {
         "n_vectors": n_vectors,
         "n_shards": meta["n_shards"],
         "build_sec": round(build_s, 3),
@@ -481,6 +486,34 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
         "query_batch5_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "query_calls": reps,
     }
+    # memory-tight store A/B: uint8 codes + graph in actor RAM, exact
+    # vectors memmapped for rerank — same graph build, so the build
+    # delta is quantize+sidecar write and the query delta is the
+    # dequantizing navigation + rerank reads
+    idx8 = os.path.join(BENCH_ROOT, f"ann-{n_vectors}-q8")
+    shutil.rmtree(idx8, ignore_errors=True)
+    t0 = time.monotonic()
+    build_ann_index(emb_dir, idx8, max_shard_rows=8_192, store="q8")
+    build8_s = time.monotonic() - t0
+    lat8 = steady_state(idx8)
+    npz_bytes = sum(
+        os.path.getsize(os.path.join(idx, f))
+        for f in os.listdir(idx) if f.endswith(".npz")
+    )
+    npz8_bytes = sum(
+        os.path.getsize(os.path.join(idx8, f))
+        for f in os.listdir(idx8) if f.endswith(".npz")
+    )
+    out["q8"] = {
+        "build_sec": round(build8_s, 3),
+        "query_batch5_p95_ms": round(float(np.percentile(lat8, 95)) * 1000, 2),
+        "query_batch5_p50_ms": round(float(np.percentile(lat8, 50)) * 1000, 2),
+        "actor_ram_bytes_f64": npz_bytes,
+        "actor_ram_bytes_q8": npz8_bytes,
+        "ram_shrink_x": round(npz_bytes / max(npz8_bytes, 1), 2),
+    }
+    shutil.rmtree(idx8, ignore_errors=True)
+    return out
 
 
 _BIG24_STORE_GB = 4.0  # object store cap for the memory-pressure run

@@ -1071,6 +1071,12 @@ def _knn_hnsw_served(sf_dir: str):
     return knn_hnsw_served(sf_dir)
 
 
+def _knn_hnsw_served_q8(sf_dir: str):
+    from ..pipelines.ann_index import knn_hnsw_served_q8
+
+    return knn_hnsw_served_q8(sf_dir)
+
+
 # rows-only aux entries (no SQL twin; recall vs brute force is
 # pytest-bounded, and the served path is pytest-pinned bit-identical
 # to the batch path)
@@ -1078,6 +1084,7 @@ RAY_QUERIES_AUX = {
     "knn_pq": knn_pq,
     "knn_hnsw": knn_hnsw,
     "knn_hnsw_served": _knn_hnsw_served,
+    "knn_hnsw_served_q8": _knn_hnsw_served_q8,
 }
 
 ORACLE_SQL = {

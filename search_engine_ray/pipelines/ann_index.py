@@ -30,11 +30,20 @@ completes the serving story:
 Scale notes (100 TB): shard files live on shared storage like the text
 index's segments; each actor holds one shard's vectors + graph
 (~(dim*8 + m*4) bytes/vector — float64 here for bit-parity with the
-exact-cosine scorer; a memory-tight deployment stores int8/PQ codes
-and reranks, see ops/knn.embedding_quantize). Queries broadcast to all
-shards; at very large shard counts a routing layer (IVF-style coarse
-centroids per shard) would prune the fan-out — that composition is
-``knn_ivf``'s probe logic over this tier's actors.
+exact-cosine scorer). The memory-tight deployment is ``store="q8"``:
+the actor's RAM holds uint8 codes (+ per-vector affine scalars, the
+``ops/knn.embedding_quantize`` scheme) and the graph — ~(dim + 16 +
+m*4) bytes/vector, 8x smaller on the vector payload — while the exact
+unit vectors stay ON DISK (one ``.vec.npy`` per shard, memmapped).
+Beam navigation runs over dequantized approximations; the final
+candidate pool (top k*refine) is reranked by O(k*refine) memmap row
+reads against the exact vectors, so reported sims remain EXACT
+cosines — quantization can only cost recall, never corrupt a score
+(pytest: sims equal brute-force cosines bitwise after rounding;
+recall >= 0.9 vs the f64 tier on clustered data). Queries broadcast
+to all shards; at very large shard counts a routing layer (IVF-style
+coarse centroids per shard) would prune the fan-out — that
+composition is ``knn_ivf``'s probe logic over this tier's actors.
 """
 
 from __future__ import annotations
@@ -57,23 +66,56 @@ def _shard_file(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, f"shard-{shard}.npz")
 
 
+def _vec_file(index_dir: str, shard: int) -> str:
+    """Exact-vector sidecar for ``store="q8"`` shards: memmapped by the
+    actor for rerank row reads, never loaded whole."""
+    return os.path.join(index_dir, f"shard-{shard}.vec.npy")
+
+
+class _Q8View:
+    """Duck-typed matrix over uint8 codes + per-row affine scalars:
+    ``view[idx]`` dequantizes just those rows, which is all
+    ``_nsw_search`` needs (``v[entry]``, ``v[neigh]``). Keeps the one
+    beam-search kernel shared between the f64 and q8 stores."""
+
+    __slots__ = ("codes", "qmin", "qscale")
+
+    def __init__(self, codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray):
+        self.codes, self.qmin, self.qscale = codes, qmin, qscale
+
+    def __getitem__(self, idx):
+        c = self.codes[idx].astype(np.float64)
+        if c.ndim == 1:
+            return c * self.qscale[idx] + self.qmin[idx]
+        return c * self.qscale[idx, None] + self.qmin[idx, None]
+
+
+_Q8_REFINE = 4  # rerank pool = k * refine approx candidates (ops/knn._PQ_REFINE)
+
+
 def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
                     m: int = _HNSW_M, ef: int = _HNSW_EF,
-                    max_shard_rows: int = _MAX_SHARD_ROWS) -> dict:
+                    max_shard_rows: int = _MAX_SHARD_ROWS,
+                    store: str = "f64") -> dict:
     """Build (or resume) the persistent NSW index over
     ``{sf_dir}/embeddings.parquet``. Graphs are written from the
     map_groups tasks (atomic tmp+rename per shard); a finished shard
     is skipped on re-run when the meta fingerprint matches. Returns
-    the meta dict."""
+    the meta dict. ``store="q8"`` writes int8-quantized codes to the
+    npz and the exact vectors to a memmap sidecar (see module
+    docstring); the graph itself is always built over the EXACT unit
+    vectors, so quantization never degrades graph topology."""
     from ..io import parquet_rows
 
+    assert store in ("f64", "q8"), store
     src = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = parquet_rows(src) or 0
     if n_shards is None:
         n_shards = hnsw_shards_for(n_rows, max_shard_rows)
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
     meta = {"kind": "nsw", "n_shards": int(n_shards), "m": int(m),
-            "ef": int(ef), "source_rows": int(n_rows), "source": src}
+            "ef": int(ef), "source_rows": int(n_rows), "source": src,
+            "store": store}
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "meta.json")
     done = set()
@@ -84,15 +126,17 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
             done = {
                 s for s in range(n_shards)
                 if os.path.exists(_shard_file(index_dir, s))
+                and (store != "q8" or os.path.exists(_vec_file(index_dir, s)))
             }
             if len(done) == n_shards:
                 return old
         else:  # config/source changed: rebuild everything
             for s in range(n_shards):
-                try:
-                    os.remove(_shard_file(index_dir, s))
-                except FileNotFoundError:
-                    pass
+                for p in (_shard_file(index_dir, s), _vec_file(index_dir, s)):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
 
     def add_shard(t: pa.Table) -> pa.Table:
         shard = pc.cast(pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32())
@@ -117,8 +161,23 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
         nbr = _nsw_build(v, m=m, ef=ef)
         path = _shard_file(index_dir, shard)
         tmp = path + f".tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:  # file object: savez appends no suffix
-            np.savez(f, vids=vids, v=v, nbr=nbr)
+        if store == "q8":
+            mn = v.min(axis=1)
+            scale = np.maximum(v.max(axis=1) - mn, 1e-12) / 255.0
+            codes = np.floor(
+                (v - mn[:, None]) / scale[:, None] + 0.5
+            ).astype(np.uint8)
+            vpath = _vec_file(index_dir, shard)
+            vtmp = vpath + f".tmp-{os.getpid()}"
+            with open(vtmp, "wb") as f:
+                np.save(f, v)  # exact vectors: rerank sidecar, memmapped
+            os.replace(vtmp, vpath)
+            with open(tmp, "wb") as f:  # file object: savez appends no suffix
+                np.savez(f, vids=vids, codes=codes, qmin=mn, qscale=scale,
+                         nbr=nbr)
+        else:
+            with open(tmp, "wb") as f:
+                np.savez(f, vids=vids, v=v, nbr=nbr)
         os.replace(tmp, path)
         return pa.table({"shard": pa.array([shard], pa.int32()),
                          "n_rows": pa.array([len(vids)], pa.int64())})
@@ -136,10 +195,20 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
     for s in range(n_shards):
         if s not in built and s not in done:
             path = _shard_file(index_dir, s)
+            empty = {"vids": np.empty(0, np.int64),
+                     "nbr": np.empty((0, m), np.int32)}
+            if store == "q8":
+                empty.update(codes=np.empty((0, 0), np.uint8),
+                             qmin=np.empty(0, np.float64),
+                             qscale=np.empty(0, np.float64))
+                vpath = _vec_file(index_dir, s)
+                with open(vpath + ".tmp", "wb") as f:
+                    np.save(f, np.empty((0, 0), np.float64))
+                os.replace(vpath + ".tmp", vpath)
+            else:
+                empty["v"] = np.empty((0, 0), np.float64)
             with open(path + ".tmp", "wb") as f:
-                np.savez(f, vids=np.empty(0, np.int64),
-                         v=np.empty((0, 0), np.float64),
-                         nbr=np.empty((0, m), np.int32))
+                np.savez(f, **empty)
             os.replace(path + ".tmp", path)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -156,12 +225,21 @@ class VecShardActor:
     DocShardActor)."""
 
     def __init__(self, index_dir: str, shard_id: int):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.ef = int(meta["ef"])
+        self.store = meta.get("store", "f64")
         z = np.load(_shard_file(index_dir, shard_id))
         self.vids = z["vids"]
-        self.v = z["v"]
         self.nbr = z["nbr"]
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            self.ef = int(json.load(f)["ef"])
+        if self.store == "q8":
+            # RAM: codes + scalars + graph; exact vectors stay on disk,
+            # memmapped for O(k*refine) rerank row reads per query
+            self.v = _Q8View(z["codes"], z["qmin"], z["qscale"])
+            self.vex = np.load(_vec_file(index_dir, shard_id), mmap_mode="r")
+        else:
+            self.v = z["v"]
+            self.vex = None
 
     def query(self, payload, k: int, exclude_self: bool = True):
         """(qids, unit-normalized query matrix) -> per-shard top-k
@@ -174,7 +252,16 @@ class VecShardActor:
         for qi_pos, qi in enumerate(q_ids):
             if n == 0:
                 continue
-            idx, sims = _nsw_search(self.v, self.nbr, q[qi_pos], self.ef, n, kk)
+            if self.store == "q8":
+                # navigate on approx sims, rerank the pool exactly
+                idx, _ = _nsw_search(self.v, self.nbr, q[qi_pos], self.ef,
+                                     n, kk * _Q8_REFINE)
+                sims = np.asarray(self.vex[idx]) @ q[qi_pos]
+                order = np.lexsort((idx, -sims))[:kk]
+                idx, sims = idx[order], sims[order]
+            else:
+                idx, sims = _nsw_search(self.v, self.nbr, q[qi_pos],
+                                        self.ef, n, kk)
             if exclude_self:
                 keep = self.vids[idx] != qi
                 idx, sims = idx[keep], sims[keep]
@@ -258,22 +345,35 @@ class AnnSearcher:
             pass
 
 
-def knn_hnsw_served(sf_dir: str):
-    """Aux gate entry: the SERVED graph-ANN path — build-once (cached
-    under /tmp keyed by source), long-lived shard actors, query
-    broadcast. Bit-identical to ``knn_hnsw`` (pytest-pinned); rows-only
-    aux like its batch twin."""
+def _served_table(sf_dir: str, store: str):
+    """Build-once (cached under /tmp keyed by source + store), serve
+    one query batch through long-lived shard actors, tear down."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{store}".encode()
     ).hexdigest()[:12]
     index_dir = os.path.join("/tmp/seray_cache", f"ann-{key}")
-    build_ann_index(sf_dir, index_dir)
+    build_ann_index(sf_dir, index_dir, store=store)
     qids, qmat = _load_queries(sf_dir)
     searcher = AnnSearcher(index_dir)
     try:
         return searcher.search_table(qids, qmat)
     finally:
         searcher.close()
+
+
+def knn_hnsw_served(sf_dir: str):
+    """Aux gate entry: the SERVED graph-ANN path — build-once, long-
+    lived shard actors, query broadcast. Bit-identical to ``knn_hnsw``
+    (pytest-pinned); rows-only aux like its batch twin."""
+    return _served_table(sf_dir, "f64")
+
+
+def knn_hnsw_served_q8(sf_dir: str):
+    """Aux gate entry: the memory-tight served path — uint8 codes in
+    actor RAM, exact vectors memmapped for rerank. Reported sims are
+    exact cosines (rerank contract); recall vs the f64 tier is
+    pytest-bounded; rows-only aux."""
+    return _served_table(sf_dir, "q8")

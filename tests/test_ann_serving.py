@@ -16,7 +16,7 @@ import pytest
 
 from search_engine_ray.ops import knn
 from search_engine_ray.pipelines.ann_index import (
-    AnnSearcher, build_ann_index, knn_hnsw_served,
+    AnnSearcher, build_ann_index, knn_hnsw_served, knn_hnsw_served_q8,
 )
 
 
@@ -138,5 +138,56 @@ def test_empty_shards_and_sparse_ids(ray_session, tmp_path):
 def test_knn_hnsw_served_gate_entry(emb_sf):
     sf_dir, _ = emb_sf
     t = knn_hnsw_served(sf_dir)
+    assert t.num_rows == 5 * 5
+    assert t.column_names == ["qid", "vec_id", "sim"]
+
+
+def test_q8_store_sims_exact_and_recall(emb_sf, tmp_path):
+    """store="q8": reported sims must be EXACT cosines of the returned
+    (query, vec) pairs (the memmap rerank contract — quantization may
+    cost recall, never corrupt a score), and recall vs the f64 tier
+    must stay high on clustered data."""
+    sf_dir, mat = emb_sf
+    idx8 = str(tmp_path / "annq8")
+    meta = build_ann_index(sf_dir, idx8, store="q8")
+    assert meta["store"] == "q8"
+
+    # RAM payload is codes, not floats: npz holds uint8 codes and no
+    # "v"; exact vectors live in the .vec.npy sidecar
+    z = np.load(os.path.join(idx8, "shard-0.npz"))
+    assert "v" not in z.files and z["codes"].dtype == np.uint8
+    assert os.path.exists(os.path.join(idx8, "shard-0.vec.npy"))
+
+    qids, qmat = knn._load_queries(sf_dir)
+    searcher = AnnSearcher(idx8)
+    try:
+        served = searcher.search_table(qids, qmat).to_pandas()
+    finally:
+        searcher.close()
+
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    for r in served.itertuples():
+        exact = float(unit[int(r.vec_id)] @ qunit[qpos[int(r.qid)]])
+        assert abs(r.sim - round(exact, 6)) < 1e-12
+
+    f64 = knn_hnsw_served(sf_dir).to_pandas()
+    got = {(int(r.qid), int(r.vec_id)) for r in served.itertuples()}
+    want = {(int(r.qid), int(r.vec_id)) for r in f64.itertuples()}
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_q8_resume_requires_sidecar(emb_sf, tmp_path):
+    """Resume treats a q8 shard as done only when BOTH the npz and the
+    vec sidecar exist; a missing sidecar rebuilds that shard."""
+    sf_dir, _ = emb_sf
+    idx8 = str(tmp_path / "annq8r")
+    build_ann_index(sf_dir, idx8, store="q8")
+    os.remove(os.path.join(idx8, "shard-1.vec.npy"))
+    build_ann_index(sf_dir, idx8, store="q8")
+    assert os.path.exists(os.path.join(idx8, "shard-1.vec.npy"))
+
+    t = knn_hnsw_served_q8(sf_dir)
     assert t.num_rows == 5 * 5
     assert t.column_names == ["qid", "vec_id", "sim"]
