@@ -1077,6 +1077,12 @@ def _knn_hnsw_served_q8(sf_dir: str):
     return knn_hnsw_served_q8(sf_dir)
 
 
+def _knn_hnsw_served_ivf(sf_dir: str):
+    from ..pipelines.ann_index import knn_hnsw_served_ivf
+
+    return knn_hnsw_served_ivf(sf_dir)
+
+
 # rows-only aux entries (no SQL twin; recall vs brute force is
 # pytest-bounded, and the served path is pytest-pinned bit-identical
 # to the batch path)
@@ -1085,6 +1091,7 @@ RAY_QUERIES_AUX = {
     "knn_hnsw": knn_hnsw,
     "knn_hnsw_served": _knn_hnsw_served,
     "knn_hnsw_served_q8": _knn_hnsw_served_q8,
+    "knn_hnsw_served_ivf": _knn_hnsw_served_ivf,
 }
 
 ORACLE_SQL = {

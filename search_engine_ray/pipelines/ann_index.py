@@ -40,10 +40,22 @@ candidate pool (top k*refine) is reranked by O(k*refine) memmap row
 reads against the exact vectors, so reported sims remain EXACT
 cosines — quantization can only cost recall, never corrupt a score
 (pytest: sims equal brute-force cosines bitwise after rounding;
-recall >= 0.9 vs the f64 tier on clustered data). Queries broadcast
-to all shards; at very large shard counts a routing layer (IVF-style
-coarse centroids per shard) would prune the fan-out — that
-composition is ``knn_ivf``'s probe logic over this tier's actors.
+recall >= 0.9 vs the f64 tier on clustered data).
+
+Fan-out: with the default ``routing="hash"`` every query broadcasts to
+all shards — fine at tens of shards, wasteful at thousands.
+``routing="ivf"`` assigns vectors to their nearest coarse centroid
+(``ops/knn.train_ivf_centroids`` — sampled distributed k-means, driver
+holds k x dim only) instead of hashing ids, persists the centroid
+matrix beside the shards, and ``AnnSearcher`` then routes each query
+to only its ``n_probe`` nearest-centroid shards: per-query work is
+O(n_probe), independent of the shard count, which is what keeps the
+tier queryable when a 100 TB corpus needs thousands of shards. The
+trade is the standard IVF one: recall depends on the probe width
+(pytest-bounded on clustered data) and cell sizes follow the data's
+cluster structure rather than being hash-balanced (a production
+deployment splits hot cells two-level; the shard-size bound here is
+advisory under ivf routing).
 """
 
 from __future__ import annotations
@@ -93,10 +105,14 @@ class _Q8View:
 _Q8_REFINE = 4  # rerank pool = k * refine approx candidates (ops/knn._PQ_REFINE)
 
 
+def _centroid_file(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.npy")
+
+
 def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
                     m: int = _HNSW_M, ef: int = _HNSW_EF,
                     max_shard_rows: int = _MAX_SHARD_ROWS,
-                    store: str = "f64") -> dict:
+                    store: str = "f64", routing: str = "hash") -> dict:
     """Build (or resume) the persistent NSW index over
     ``{sf_dir}/embeddings.parquet``. Graphs are written from the
     map_groups tasks (atomic tmp+rename per shard); a finished shard
@@ -108,6 +124,7 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
     from ..io import parquet_rows
 
     assert store in ("f64", "q8"), store
+    assert routing in ("hash", "ivf"), routing
     src = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = parquet_rows(src) or 0
     if n_shards is None:
@@ -115,7 +132,7 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
     meta = {"kind": "nsw", "n_shards": int(n_shards), "m": int(m),
             "ef": int(ef), "source_rows": int(n_rows), "source": src,
-            "store": store}
+            "store": store, "routing": routing}
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "meta.json")
     done = set()
@@ -128,6 +145,8 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
                 if os.path.exists(_shard_file(index_dir, s))
                 and (store != "q8" or os.path.exists(_vec_file(index_dir, s)))
             }
+            if routing == "ivf" and not os.path.exists(_centroid_file(index_dir)):
+                done = set()  # assignments unknowable: rebuild everything
             if len(done) == n_shards:
                 return old
         else:  # config/source changed: rebuild everything
@@ -137,9 +156,39 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
                         os.remove(p)
                     except FileNotFoundError:
                         pass
+            try:
+                os.remove(_centroid_file(index_dir))
+            except FileNotFoundError:
+                pass
+
+    cref = None
+    if routing == "ivf":
+        cpath = _centroid_file(index_dir)
+        if done and os.path.exists(cpath):
+            centroids = np.load(cpath)  # resume MUST reuse assignments
+        else:
+            from ..ops.knn import train_ivf_centroids
+
+            centroids = train_ivf_centroids(sf_dir, n_lists=n_shards)
+            if len(centroids) < n_shards:  # tiny table: pad with copies
+                pad = np.repeat(centroids[:1], n_shards - len(centroids), 0)
+                centroids = np.vstack([centroids, pad])
+            with open(cpath + ".tmp", "wb") as f:
+                np.save(f, centroids)
+            os.replace(cpath + ".tmp", cpath)
+        cref = ray.put(centroids)
 
     def add_shard(t: pa.Table) -> pa.Table:
-        shard = pc.cast(pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32())
+        if routing == "ivf":
+            v = _emb_matrix(t["embedding"])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            c = ray.get(cref)
+            shard = pa.array(np.argmax(v @ c.T, axis=1).astype(np.int32),
+                             pa.int32())
+        else:
+            shard = pc.cast(
+                pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32()
+            )
         t = t.append_column("shard", shard)
         if done:  # resumed run: finished shards never enter the shuffle
             t = t.filter(
@@ -284,25 +333,60 @@ class AnnSearcher:
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        self.centroids = (
+            np.load(_centroid_file(index_dir))
+            if self.meta.get("routing") == "ivf" else None
+        )
         self.shards = [
             VecShardActor.remote(index_dir, s)
             for s in range(int(self.meta["n_shards"]))
         ]
         ray.get([s.ping.remote() for s in self.shards])
 
+    def probe_sets(self, qnorm: np.ndarray, n_probe: int) -> list[np.ndarray]:
+        """IVF routing plan: for each shard, the query positions that
+        probe it (a query probes its ``n_probe`` nearest-centroid
+        shards). Total work is O(n_queries * n_probe), independent of
+        the shard count."""
+        assert self.centroids is not None, "probe routing needs routing='ivf'"
+        sims_c = qnorm @ self.centroids.T
+        n_probe = min(n_probe, sims_c.shape[1])
+        top = np.argpartition(-sims_c, n_probe - 1, axis=1)[:, :n_probe]
+        return [
+            np.flatnonzero((top == s).any(axis=1))
+            for s in range(len(self.shards))
+        ]
+
     def search_matrix(self, qids: np.ndarray, qmat: np.ndarray,
-                      k: int = _TOP_K, exclude_self: bool = True):
-        """Top-k per query over all shards; (qid, vec_id, sim) arrays
-        sorted (qid asc, sim desc, vec_id asc) — the exact merge the
-        batch path's ``_topk_per_qid`` finisher applies, so results are
-        bit-identical to ``knn_hnsw`` at the same build params."""
+                      k: int = _TOP_K, exclude_self: bool = True,
+                      n_probe: int | None = None):
+        """Top-k per query; (qid, vec_id, sim) arrays sorted (qid asc,
+        sim desc, vec_id asc) — the exact merge the batch path's
+        ``_topk_per_qid`` finisher applies, so hash-routed results are
+        bit-identical to ``knn_hnsw`` at the same build params. With
+        ``routing="ivf"`` and ``n_probe`` set, each query ships only to
+        its n_probe nearest-centroid shards (fan-out pruning; recall is
+        the standard IVF probe trade, pytest-bounded)."""
+        qids64 = np.asarray(qids, np.int64)
         qnorm = qmat / np.maximum(
             np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
         )
-        ref = ray.put((np.asarray(qids, np.int64), qnorm))
-        parts = ray.get([
-            s.query.remote(ref, k, exclude_self) for s in self.shards
-        ])
+        if (n_probe is not None and self.centroids is not None
+                and n_probe < len(self.shards)):
+            futs = []
+            for s, qsel in enumerate(self.probe_sets(qnorm, n_probe)):
+                if qsel.size:
+                    futs.append(self.shards[s].query.remote(
+                        (qids64[qsel], qnorm[qsel]), k, exclude_self))
+            parts = ray.get(futs) if futs else []
+        else:
+            ref = ray.put((qids64, qnorm))
+            parts = ray.get([
+                s.query.remote(ref, k, exclude_self) for s in self.shards
+            ])
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
         qs = np.concatenate([p[0] for p in parts])
         vs = np.concatenate([p[1] for p in parts])
         ss = np.concatenate([p[2] for p in parts])
@@ -323,8 +407,9 @@ class AnnSearcher:
                 np.concatenate(out_s) if out_s else np.empty(0, np.float64))
 
     def search_table(self, qids, qmat, k: int = _TOP_K,
-                     exclude_self: bool = True) -> pa.Table:
-        q, v, s = self.search_matrix(qids, qmat, k, exclude_self)
+                     exclude_self: bool = True,
+                     n_probe: int | None = None) -> pa.Table:
+        q, v, s = self.search_matrix(qids, qmat, k, exclude_self, n_probe)
         return pa.table({"qid": pa.array(q, pa.int64()),
                          "vec_id": pa.array(v, pa.int64()),
                          "sim": pa.array(s, pa.float64())})
@@ -345,21 +430,23 @@ class AnnSearcher:
             pass
 
 
-def _served_table(sf_dir: str, store: str):
-    """Build-once (cached under /tmp keyed by source + store), serve
-    one query batch through long-lived shard actors, tear down."""
+def _served_table(sf_dir: str, store: str, routing: str = "hash",
+                  n_probe: int | None = None):
+    """Build-once (cached under /tmp keyed by source + store + routing),
+    serve one query batch through long-lived shard actors, tear down."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{store}".encode()
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{store}:{routing}"
+        .encode()
     ).hexdigest()[:12]
     index_dir = os.path.join("/tmp/seray_cache", f"ann-{key}")
-    build_ann_index(sf_dir, index_dir, store=store)
+    build_ann_index(sf_dir, index_dir, store=store, routing=routing)
     qids, qmat = _load_queries(sf_dir)
     searcher = AnnSearcher(index_dir)
     try:
-        return searcher.search_table(qids, qmat)
+        return searcher.search_table(qids, qmat, n_probe=n_probe)
     finally:
         searcher.close()
 
@@ -377,3 +464,12 @@ def knn_hnsw_served_q8(sf_dir: str):
     exact cosines (rerank contract); recall vs the f64 tier is
     pytest-bounded; rows-only aux."""
     return _served_table(sf_dir, "q8")
+
+
+def knn_hnsw_served_ivf(sf_dir: str):
+    """Aux gate entry: the fan-out-pruned served path — vectors sharded
+    by nearest coarse centroid, each query probing only its n_probe
+    nearest-centroid shards (O(n_probe) per query, independent of shard
+    count — the 1000-shard deployment shape). Recall vs the broadcast
+    tier is pytest-bounded; rows-only aux."""
+    return _served_table(sf_dir, "f64", routing="ivf", n_probe=2)

@@ -16,7 +16,8 @@ import pytest
 
 from search_engine_ray.ops import knn
 from search_engine_ray.pipelines.ann_index import (
-    AnnSearcher, build_ann_index, knn_hnsw_served, knn_hnsw_served_q8,
+    AnnSearcher, build_ann_index, knn_hnsw_served, knn_hnsw_served_ivf,
+    knn_hnsw_served_q8,
 )
 
 
@@ -176,6 +177,56 @@ def test_q8_store_sims_exact_and_recall(emb_sf, tmp_path):
     got = {(int(r.qid), int(r.vec_id)) for r in served.itertuples()}
     want = {(int(r.qid), int(r.vec_id)) for r in f64.itertuples()}
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_routing_probe_plan_and_recall(emb_sf, tmp_path):
+    """routing="ivf": centroids persist beside the shards, each query's
+    probe plan touches exactly n_probe shards, and probing 2 of 4
+    shards keeps recall high on clustered data (neighbors share the
+    query's centroid cell)."""
+    sf_dir, _mat = emb_sf
+    idx = str(tmp_path / "annivf")
+    meta = build_ann_index(sf_dir, idx, routing="ivf")
+    assert meta["routing"] == "ivf"
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    assert cents.shape[0] == meta["n_shards"]
+
+    qids, qmat = knn._load_queries(sf_dir)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    searcher = AnnSearcher(idx)
+    try:
+        plan = searcher.probe_sets(qnorm, n_probe=2)
+        # every query probes exactly 2 distinct shards
+        counts = np.zeros(len(qids), np.int64)
+        for qsel in plan:
+            counts[qsel] += 1
+        assert (counts == 2).all()
+
+        pruned = searcher.search_table(qids, qmat, n_probe=2).to_pandas()
+        full = searcher.search_table(qids, qmat).to_pandas()
+    finally:
+        searcher.close()
+    got = {(int(r.qid), int(r.vec_id)) for r in pruned.itertuples()}
+    want = {(int(r.qid), int(r.vec_id)) for r in full.itertuples()}
+    assert len(want) == 5 * 5
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_resume_requires_centroids(emb_sf, tmp_path):
+    """Resume of an ivf index without its centroid file must rebuild
+    everything: shard assignments are unknowable without it."""
+    sf_dir, _ = emb_sf
+    idx = str(tmp_path / "annivfr")
+    build_ann_index(sf_dir, idx, routing="ivf")
+    m0 = os.path.getmtime(os.path.join(idx, "shard-0.npz"))
+    os.remove(os.path.join(idx, "centroids.npy"))
+    build_ann_index(sf_dir, idx, routing="ivf")
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    assert os.path.getmtime(os.path.join(idx, "shard-0.npz")) > m0
+
+    t = knn_hnsw_served_ivf(sf_dir)
+    assert t.column_names == ["qid", "vec_id", "sim"]
+    assert t.num_rows >= int(5 * 5 * 0.9)  # probe-width recall trade
 
 
 def test_q8_resume_requires_sidecar(emb_sf, tmp_path):
