@@ -462,21 +462,21 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
     build_s = time.monotonic() - t0
     qids, qmat = _load_queries(emb_dir)
 
-    def steady_state(index_dir):
+    def steady_state(index_dir, n_probe=None):
         searcher = AnnSearcher(index_dir)
         try:
             for _ in range(3):  # warm: actor import + first plasma fetch
-                searcher.search_matrix(qids, qmat)
+                searcher.search_matrix(qids, qmat, n_probe=n_probe)
             lat = []
             for _ in range(reps):
                 t1 = time.monotonic()
-                searcher.search_matrix(qids, qmat)
+                last = searcher.search_matrix(qids, qmat, n_probe=n_probe)
                 lat.append(time.monotonic() - t1)
         finally:
             searcher.close()
-        return lat
+        return lat, last
 
-    lat = steady_state(idx)
+    lat, _ = steady_state(idx)
     out = {
         "n_vectors": n_vectors,
         "n_shards": meta["n_shards"],
@@ -495,7 +495,7 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
     t0 = time.monotonic()
     build_ann_index(emb_dir, idx8, max_shard_rows=8_192, store="q8")
     build8_s = time.monotonic() - t0
-    lat8 = steady_state(idx8)
+    lat8, _ = steady_state(idx8)
     npz_bytes = sum(
         os.path.getsize(os.path.join(idx, f))
         for f in os.listdir(idx) if f.endswith(".npz")
@@ -513,6 +513,31 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
         "ram_shrink_x": round(npz_bytes / max(npz8_bytes, 1), 2),
     }
     shutil.rmtree(idx8, ignore_errors=True)
+    # fan-out-pruning A/B: centroid-routed shards, each query probing
+    # only its 2 nearest-centroid shards vs broadcasting to all 16 —
+    # the per-query cost model of the 1000-shard deployment. Recall is
+    # pruned-vs-broadcast on the same index (probe-width trade only).
+    idxv = os.path.join(BENCH_ROOT, f"ann-{n_vectors}-ivf")
+    shutil.rmtree(idxv, ignore_errors=True)
+    t0 = time.monotonic()
+    metav = build_ann_index(emb_dir, idxv, max_shard_rows=8_192,
+                            routing="ivf")
+    buildv_s = time.monotonic() - t0
+    latv, resv = steady_state(idxv, n_probe=2)
+    _, resb = steady_state(idxv)  # broadcast baseline on the same index
+    pruned = {(int(a), int(b)) for a, b in zip(resv[0], resv[1])}
+    full = {(int(a), int(b)) for a, b in zip(resb[0], resb[1])}
+    out["ivf_routing"] = {
+        "n_shards": metav["n_shards"],
+        "n_probe": 2,
+        "build_sec": round(buildv_s, 3),
+        "query_batch5_p95_ms": round(float(np.percentile(latv, 95)) * 1000, 2),
+        "query_batch5_p50_ms": round(float(np.percentile(latv, 50)) * 1000, 2),
+        "recall_vs_broadcast": round(
+            len(pruned & full) / max(len(full), 1), 4
+        ),
+    }
+    shutil.rmtree(idxv, ignore_errors=True)
     return out
 
 
