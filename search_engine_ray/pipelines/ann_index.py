@@ -350,7 +350,10 @@ class AnnSearcher:
         the shard count."""
         assert self.centroids is not None, "probe routing needs routing='ivf'"
         sims_c = qnorm @ self.centroids.T
-        n_probe = min(n_probe, sims_c.shape[1])
+        # clamp: a negative argpartition kth silently selects from the
+        # END of the sim order (the FARTHEST shards), so n_probe < 1
+        # must never reach it
+        n_probe = max(1, min(n_probe, sims_c.shape[1]))
         top = np.argpartition(-sims_c, n_probe - 1, axis=1)[:, :n_probe]
         return [
             np.flatnonzero((top == s).any(axis=1))
