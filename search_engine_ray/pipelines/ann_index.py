@@ -48,14 +48,18 @@ all shards — fine at tens of shards, wasteful at thousands.
 (``ops/knn.train_ivf_centroids`` — sampled distributed k-means, driver
 holds k x dim only) instead of hashing ids, persists the centroid
 matrix beside the shards, and ``AnnSearcher`` then routes each query
-to only its ``n_probe`` nearest-centroid shards: per-query work is
+to only its ``n_probe`` nearest-centroid cells: per-query work is
 O(n_probe), independent of the shard count, which is what keeps the
 tier queryable when a 100 TB corpus needs thousands of shards. The
 trade is the standard IVF one: recall depends on the probe width
-(pytest-bounded on clustered data) and cell sizes follow the data's
-cluster structure rather than being hash-balanced (a production
-deployment splits hot cells two-level; the shard-size bound here is
-advisory under ivf routing).
+(pytest-bounded on clustered data). Cell sizes follow the data's
+cluster structure, so the shard-size bound is enforced two-level: a
+cell whose EXACT row count (one pruned counting scan) exceeds
+``max_shard_rows`` splits into vec_id-hashed sub-shards, each bounded;
+probing a cell probes all its sub-shards, so splitting bounds build
+task time and actor memory under cluster skew without ever narrowing
+the candidate set (pytest: skewed corpus, per-shard bound + sub-shard
+union + recall pinned).
 """
 
 from __future__ import annotations
@@ -109,6 +113,46 @@ def _centroid_file(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids.npy")
 
 
+def _sub_shard(vid: np.ndarray, nsub_of_cell: np.ndarray) -> np.ndarray:
+    """Sub-shard offset within a split cell: a raw ``vid % nsub`` would
+    inherit any stride structure in the id space (ids assigned
+    round-robin across sources land on one residue), so mix first
+    (splitmix64 multiply-shift), then mod."""
+    h = (vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return (h % nsub_of_cell.astype(np.uint64)).astype(np.int64)
+
+
+def _cell_counts(sf_dir: str, centroids: np.ndarray) -> np.ndarray:
+    """EXACT per-cell row counts (one pruned scan of the embeddings
+    table; each batch returns a partial bincount, reduced by a tiny
+    k-row groupby) — the sampled k-means counts are approximate and a
+    skew-proof shard-size bound needs the real ones. Driver holds
+    O(n_cells), never the table."""
+    from ray.data.aggregate import Sum
+
+    k = len(centroids)
+    cref = ray.put(centroids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _emb_matrix(t["embedding"])
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        bc = np.bincount(np.argmax(v @ ray.get(cref).T, axis=1), minlength=k)
+        return pa.table({"cell": pa.array(range(k), pa.int32()),
+                         "n": pa.array(bc.astype(np.int64), pa.int64())})
+
+    rows = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # O(n_cells) tiny rows
+    counts = np.zeros(k, np.int64)
+    for r in rows:
+        counts[int(r["cell"])] = int(r["n"])
+    return counts
+
+
 def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
                     m: int = _HNSW_M, ef: int = _HNSW_EF,
                     max_shard_rows: int = _MAX_SHARD_ROWS,
@@ -132,40 +176,37 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
     meta = {"kind": "nsw", "n_shards": int(n_shards), "m": int(m),
             "ef": int(ef), "source_rows": int(n_rows), "source": src,
-            "store": store, "routing": routing}
+            "store": store, "routing": routing,
+            "max_shard_rows": int(max_shard_rows)}
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "meta.json")
-    done = set()
+    old = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
-        if {k: old.get(k) for k in meta} == meta:
-            done = {
-                s for s in range(n_shards)
-                if os.path.exists(_shard_file(index_dir, s))
-                and (store != "q8" or os.path.exists(_vec_file(index_dir, s)))
-            }
-            if routing == "ivf" and not os.path.exists(_centroid_file(index_dir)):
-                done = set()  # assignments unknowable: rebuild everything
-            if len(done) == n_shards:
-                return old
-        else:  # config/source changed: rebuild everything
-            for s in range(n_shards):
-                for p in (_shard_file(index_dir, s), _vec_file(index_dir, s)):
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass
-            try:
-                os.remove(_centroid_file(index_dir))
-            except FileNotFoundError:
-                pass
 
     cref = None
     if routing == "ivf":
+        # Two-level layout: n_shards is the CELL count; a cell whose
+        # exact row count exceeds max_shard_rows splits into
+        # ceil(count / max_shard_rows) vec_id-hashed sub-shards, so the
+        # per-shard build task and actor memory stay bounded under
+        # cluster skew (the hash tier's guarantee, kept here). Probing
+        # a cell probes all its sub-shards — the candidate set is
+        # identical to the unsplit cell's, so splitting never costs
+        # recall. Layout is computed BEFORE the meta fingerprint
+        # because the total shard count is data-dependent.
         cpath = _centroid_file(index_dir)
-        if done and os.path.exists(cpath):
-            centroids = np.load(cpath)  # resume MUST reuse assignments
+        fixed = {k: meta[k] for k in ("kind", "source_rows", "source",
+                                      "routing", "max_shard_rows")}
+        reuse = (
+            old is not None and os.path.exists(cpath)
+            and {k: old.get(k) for k in fixed} == fixed
+            and old.get("n_cells") == n_shards and "cell_sub" in old
+        )
+        if reuse:  # resume MUST reuse assignments
+            centroids = np.load(cpath)
+            nsub = np.asarray(old["cell_sub"], np.int64)
         else:
             from ..ops.knn import train_ivf_centroids
 
@@ -173,18 +214,59 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
             if len(centroids) < n_shards:  # tiny table: pad with copies
                 pad = np.repeat(centroids[:1], n_shards - len(centroids), 0)
                 centroids = np.vstack([centroids, pad])
+            counts = _cell_counts(sf_dir, centroids)
+            # 12.5% headroom: sub-shard membership is hash-split, so
+            # the per-shard bound is statistical — sizing to 7/8 of the
+            # cap keeps hash-balance deviation inside max_shard_rows
+            nsub = np.maximum(
+                1, -(-counts // max(1, max_shard_rows * 7 // 8))
+            )
             with open(cpath + ".tmp", "wb") as f:
                 np.save(f, centroids)
             os.replace(cpath + ".tmp", cpath)
-        cref = ray.put(centroids)
+        base = np.concatenate(([0], np.cumsum(nsub)))[:-1]
+        meta["n_cells"] = int(n_shards)
+        meta["n_shards"] = int(nsub.sum())
+        meta["cell_sub"] = [int(x) for x in nsub]
+        cref = ray.put((centroids, base, nsub))
+    n_total = int(meta["n_shards"])
+
+    done = set()
+    if old is not None:
+        if {k: old.get(k) for k in meta} == meta:
+            done = {
+                s for s in range(n_total)
+                if os.path.exists(_shard_file(index_dir, s))
+                and (store != "q8" or os.path.exists(_vec_file(index_dir, s)))
+            }
+            if routing == "ivf" and not reuse:
+                # shards on disk were assigned by a centroid file that
+                # no longer exists; a retrain (even a deterministic
+                # one) cannot vouch for them — rebuild everything
+                done = set()
+            if len(done) == n_total:
+                return old
+        else:  # config/source changed: rebuild everything (the centroid
+            # file is NOT removed — it was just validated or rewritten)
+            for s in range(max(n_total, int(old.get("n_shards", 0)))):
+                for p in (_shard_file(index_dir, s), _vec_file(index_dir, s)):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
 
     def add_shard(t: pa.Table) -> pa.Table:
         if routing == "ivf":
             v = _emb_matrix(t["embedding"])
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            c = ray.get(cref)
-            shard = pa.array(np.argmax(v @ c.T, axis=1).astype(np.int32),
-                             pa.int32())
+            c, b, ns = ray.get(cref)
+            cell = np.argmax(v @ c.T, axis=1)
+            vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            shard = pa.array(
+                (b[cell] + _sub_shard(vid, ns[cell])).astype(np.int32),
+                pa.int32(),
+            )
         else:
             shard = pc.cast(
                 pc.bit_wise_and(t["vec_id"], n_shards - 1), pa.int32()
@@ -241,7 +323,7 @@ def build_ann_index(sf_dir: str, index_dir: str, *, n_shards: int | None = None,
     built = {int(r["shard"]) for r in stats}
     # shards with NO vectors (sparse id space) still need a file so the
     # actor tier can start uniformly
-    for s in range(n_shards):
+    for s in range(n_total):
         if s not in built and s not in done:
             path = _shard_file(index_dir, s)
             empty = {"vids": np.empty(0, np.int64),
@@ -337,6 +419,13 @@ class AnnSearcher:
             np.load(_centroid_file(index_dir))
             if self.meta.get("routing") == "ivf" else None
         )
+        if self.centroids is not None:
+            # shard -> owning cell (identity when no cell ever split)
+            nsub = np.asarray(
+                self.meta.get("cell_sub", [1] * len(self.centroids)),
+                np.int64,
+            )
+            self.cell_of_shard = np.repeat(np.arange(len(nsub)), nsub)
         self.shards = [
             VecShardActor.remote(index_dir, s)
             for s in range(int(self.meta["n_shards"]))
@@ -345,18 +434,19 @@ class AnnSearcher:
 
     def probe_sets(self, qnorm: np.ndarray, n_probe: int) -> list[np.ndarray]:
         """IVF routing plan: for each shard, the query positions that
-        probe it (a query probes its ``n_probe`` nearest-centroid
-        shards). Total work is O(n_queries * n_probe), independent of
-        the shard count."""
+        probe it. A query probes its ``n_probe`` nearest-centroid CELLS
+        — every sub-shard of a split (hot) cell, so splitting never
+        narrows the candidate set. Per-query work is O(n_probe cells),
+        independent of the total shard count."""
         assert self.centroids is not None, "probe routing needs routing='ivf'"
         sims_c = qnorm @ self.centroids.T
         # clamp: a negative argpartition kth silently selects from the
-        # END of the sim order (the FARTHEST shards), so n_probe < 1
+        # END of the sim order (the FARTHEST cells), so n_probe < 1
         # must never reach it
         n_probe = max(1, min(n_probe, sims_c.shape[1]))
         top = np.argpartition(-sims_c, n_probe - 1, axis=1)[:, :n_probe]
         return [
-            np.flatnonzero((top == s).any(axis=1))
+            np.flatnonzero((top == self.cell_of_shard[s]).any(axis=1))
             for s in range(len(self.shards))
         ]
 
@@ -375,7 +465,7 @@ class AnnSearcher:
             np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
         )
         if (n_probe is not None and self.centroids is not None
-                and n_probe < len(self.shards)):
+                and n_probe < len(self.centroids)):
             futs = []
             for s, qsel in enumerate(self.probe_sets(qnorm, n_probe)):
                 if qsel.size:

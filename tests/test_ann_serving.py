@@ -229,6 +229,88 @@ def test_ivf_resume_requires_centroids(emb_sf, tmp_path):
     assert t.num_rows >= int(5 * 5 * 0.9)  # probe-width recall trade
 
 
+def test_ivf_hot_cell_splits_bounded(ray_session, tmp_path):
+    """Cluster skew: one cluster holds ~87% of the corpus, so its cell
+    must split into vec_id-hashed sub-shards. Every shard stays within
+    max_shard_rows (the hash tier's bound, kept under ivf routing), a
+    query probing the hot cell fans out to ALL its sub-shards (the
+    candidate set never narrows), and recall vs brute force holds."""
+    d = tmp_path / "skew"
+    d.mkdir()
+    rng = np.random.default_rng(41)
+    dim, n_hot, n_cold = 16, 700, 100
+    centers = rng.standard_normal((5, dim)) * 4
+    hot = centers[0] + rng.standard_normal((n_hot, dim)) * 0.5
+    cold = (
+        centers[1 + np.arange(n_cold) % 4]
+        + rng.standard_normal((n_cold, dim)) * 0.05
+    )
+    mat = np.vstack([hot, cold]).astype(np.float32)
+    # planted EXACT duplicates: identical vectors always share a cell,
+    # but their differing vec_ids may hash to DIFFERENT sub-shards of
+    # it — the probe must still find them (cell = union of sub-shards)
+    twins = [(0, 351), (1, 353), (2, 355), (3, 407), (4, 409), (5, 411)]
+    for a, b in twins:
+        mat[b] = mat[a]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    idx = str(tmp_path / "annskew")
+    cap = 128
+    meta = build_ann_index(str(d), idx, n_shards=4, routing="ivf",
+                           max_shard_rows=cap)
+    nsub = np.asarray(meta["cell_sub"])
+    assert nsub.max() >= 2, "the hot cell must have split"
+    assert meta["n_shards"] == int(nsub.sum()) > meta["n_cells"] == 4
+    for s in range(meta["n_shards"]):  # the bound held for EVERY shard
+        z = np.load(os.path.join(idx, f"shard-{s}.npz"))
+        assert len(z["vids"]) <= cap
+
+    searcher = AnnSearcher(idx)
+    try:
+        # a hot-cluster query must probe every sub-shard of its cell
+        q = (hot[:1] / np.linalg.norm(hot[:1])).astype(np.float64)
+        plan = searcher.probe_sets(q, n_probe=1)
+        probed = [s for s, qsel in enumerate(plan) if qsel.size]
+        cents = np.load(os.path.join(idx, "centroids.npy"))
+        hot_cell = int(np.argmax(q[0] @ cents.T))
+        want = np.flatnonzero(searcher.cell_of_shard == hot_cell)
+        assert sorted(probed) == sorted(want.tolist())
+        assert len(probed) == nsub[hot_cell]
+
+        qids = np.array([a for a, _ in twins], np.int64)
+        res = searcher.search_table(
+            qids, mat[qids].astype(np.float64), k=5, n_probe=1
+        ).to_pandas()
+    finally:
+        searcher.close()
+    # every planted duplicate is recovered at sim 1.0 through the probe
+    got = {(int(r.qid), int(r.vec_id)) for r in res.itertuples()}
+    sims = {(int(r.qid), int(r.vec_id)): float(r.sim) for r in res.itertuples()}
+    for a, b in twins:
+        assert (a, b) in got, f"duplicate {b} of query {a} not recovered"
+        assert sims[(a, b)] == 1.0
+    # the union property was actually exercised: at least one twin pair
+    # landed in different sub-shards of the same (split) cell
+    from search_engine_ray.pipelines.ann_index import _sub_shard
+
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    cell = np.argmax(unit @ cents.T, axis=1)
+    base = np.concatenate(([0], np.cumsum(nsub)))[:-1]
+    vids = np.arange(len(mat), dtype=np.int64)
+    shard_of = base[cell] + _sub_shard(vids, nsub[cell])
+    assert any(shard_of[a] != shard_of[b] for a, b in twins)
+
+
 def test_q8_resume_requires_sidecar(emb_sf, tmp_path):
     """Resume treats a q8 shard as done only when BOTH the npz and the
     vec sidecar exist; a missing sidecar rebuilds that shard."""
