@@ -9,7 +9,7 @@
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
     python -m search_engine_ray prep   --source DOCS --out DIR
     python -m search_engine_ray mixture --source DOCS --out DIR
-    python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N] [--replicas R]
+    python -m search_engine_ray serve  --index DIR [--port 8080] [--shards N] [--replicas R] [--ann-index DIR]
 
 Owns the Ray session (the only places allowed to: CLI, bench.py, test
 fixture — never library code / __ray_entry__.py).
@@ -141,7 +141,8 @@ def cmd_compact(a) -> int:
 def cmd_serve(a) -> int:
     from .serve import serve
 
-    serve(a.index, port=a.port, n_shards=a.shards, n_replicas=a.replicas)
+    serve(a.index, port=a.port, n_shards=a.shards, n_replicas=a.replicas,
+          ann_dir=a.ann_index)
     return 0
 
 
@@ -255,6 +256,8 @@ def main(argv=None) -> int:
     sv.add_argument("--shards", type=int, default=4)
     sv.add_argument("--replicas", type=int, default=1,
                     help="shard-set replicas (QPS lever when actors saturate)")
+    sv.add_argument("--ann-index", default=None,
+                    help="build_ann_index output dir; mounts GET/POST /knn")
     sv.set_defaults(fn=cmd_serve)
 
     a = p.parse_args(argv)

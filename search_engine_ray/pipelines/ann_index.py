@@ -405,6 +405,24 @@ class VecShardActor:
         return (np.concatenate(out_q), np.concatenate(out_v),
                 np.concatenate(out_s))
 
+    def get_vecs(self, ids):
+        """Point-get of EXACT unit vectors by vec_id (searchsorted over
+        the shard's sorted vids) — the /knn HTTP route's query-by-id
+        lookup. O(len(ids) * log shard) work, O(hits * dim) returned."""
+        ids = np.asarray(ids, np.int64)
+        n = len(self.vids)
+        if n == 0 or ids.size == 0:
+            return (np.empty(0, np.int64),
+                    np.empty((0, 0), np.float64))
+        pos = np.searchsorted(self.vids, ids)
+        ok = (pos < n) & (self.vids[np.minimum(pos, n - 1)] == ids)
+        sel = pos[ok]
+        if self.store == "q8":  # exact vectors live in the memmap
+            vecs = np.asarray(self.vex[sel], np.float64)
+        else:
+            vecs = np.asarray(self.v[sel], np.float64)
+        return ids[ok], vecs
+
     def ping(self) -> bool:
         return True
 
@@ -498,6 +516,21 @@ class AnnSearcher:
         return (np.concatenate(out_q) if out_q else np.empty(0, np.int64),
                 np.concatenate(out_v) if out_v else np.empty(0, np.int64),
                 np.concatenate(out_s) if out_s else np.empty(0, np.float64))
+
+    def get_vectors(self, vec_ids):
+        """(found_ids, exact unit-vector matrix) for the given ids.
+        Broadcast id probe: under ivf routing a vector's shard is a
+        function of its VALUE, so by-id lookup asks every shard —
+        each answers a searchsorted miss in O(log shard)."""
+        ids = np.asarray(vec_ids, np.int64)
+        parts = ray.get([s.get_vecs.remote(ids) for s in self.shards])
+        found = [p for p in parts if p[0].size]
+        if not found:
+            return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+        fids = np.concatenate([p[0] for p in found])
+        mats = np.vstack([p[1] for p in found])
+        order = np.argsort(fids, kind="stable")
+        return fids[order], mats[order]
 
     def search_table(self, qids, qmat, k: int = _TOP_K,
                      exclude_self: bool = True,

@@ -133,6 +133,27 @@ def _positions_enabled(index_dir: str) -> bool:
         return bool(json.load(f)["config"].get("positions", False))
 
 
+def _knn_payload(ann, vec_id, qmat, k, n_probe, *, exclude_self):
+    """Shared /knn response body: run one query vector through the
+    AnnSearcher and shape neighbors like /search results. The query id
+    0 is a placeholder — with exclude_self=False it never filters."""
+    qid = np.asarray([vec_id if vec_id is not None else 0], np.int64)
+    _, vids, sims = ann.search_matrix(
+        qid, qmat, k=k, exclude_self=exclude_self, n_probe=n_probe
+    )
+    payload = {
+        "neighbors": [
+            {"rank": r + 1, "vec_id": int(v), "sim": float(s)}
+            for r, (v, s) in enumerate(zip(vids, sims))
+        ]
+    }
+    if vec_id is not None:
+        payload["vec_id"] = vec_id
+    if n_probe is not None:
+        payload["n_probe"] = n_probe
+    return payload
+
+
 class SearchServer:
     """``GET /search?query=...&k=...&mode=AND|OR`` -> JSON
     ``{"query": ..., "results": [{rank, doc_id, score, conv_id,
@@ -141,10 +162,14 @@ class SearchServer:
     `Search.java:340-341`); ``GET /phrase?query=...&k=...`` -> the
     same result shape via exact-phrase matching over the stored
     positions (no spellcheck — a phrase query is exact by contract);
-    ``GET /healthz`` -> ok."""
+    ``GET /healthz`` -> ok. With an ``ann`` (AnnSearcher) attached,
+    ``GET /knn?vec_id=...&k=...[&n_probe=...]`` returns the nearest
+    neighbors of an indexed vector and ``POST /knn`` accepts
+    ``{"vector": [...], "k": ...}`` for a raw query vector — the
+    vector tier served through the same frontend as text search."""
 
     def __init__(self, index_dir: str, searcher=None, port: int = 0,
-                 spellcheck: bool = True):
+                 spellcheck: bool = True, ann=None):
         if searcher is None:
             from .pipelines.search import DocShardedSearcher
 
@@ -154,6 +179,7 @@ class SearchServer:
                 index_dir, load_positions=_positions_enabled(index_dir)
             )
         self.searcher = searcher
+        self.ann = ann  # optional AnnSearcher: enables GET/POST /knn
         self._index_dir = index_dir
         self._spellcheck = spellcheck
         self.docs = DocStore(index_dir)
@@ -274,6 +300,38 @@ class SearchServer:
                     ]
                     self._json(200, {"query": query, "results": results})
                     return
+                if u.path == "/knn":
+                    # nearest neighbors of an INDEXED vector, by id —
+                    # the vector tier's twin of /search (vector
+                    # fetched from the shard actors, never a client
+                    # payload; POST /knn takes a raw vector instead)
+                    if outer.ann is None:
+                        self._json(501, {"error": "no ANN index attached"})
+                        return
+                    qs = parse_qs(u.query)
+                    try:
+                        vec_id = int((qs.get("vec_id") or [""])[0])
+                        k = int((qs.get("k") or [DEFAULT_TOP_K])[0])
+                        n_probe = qs.get("n_probe")
+                        n_probe = int(n_probe[0]) if n_probe else None
+                    except ValueError:
+                        self._json(
+                            400,
+                            {"error": "vec_id, k, n_probe must be integers"},
+                        )
+                        return
+                    if not 1 <= k <= MAX_K:
+                        self._json(400, {"error": f"k must be in [1, {MAX_K}]"})
+                        return
+                    ids, mat = outer.ann.get_vectors([vec_id])
+                    if ids.size == 0:
+                        self._json(404, {"error": f"vec_id {vec_id} not indexed"})
+                        return
+                    self._json(200, _knn_payload(
+                        outer.ann, vec_id, mat, k, n_probe,
+                        exclude_self=True,
+                    ))
+                    return
                 if u.path != "/search":
                     self._json(404, {"error": "unknown route"})
                     return
@@ -339,6 +397,31 @@ class SearchServer:
 
             def _route_post(self):
                 u = urlparse(self.path)
+                if u.path == "/knn":
+                    # nearest neighbors of a CLIENT-SUPPLIED vector
+                    if outer.ann is None:
+                        self._json(501, {"error": "no ANN index attached"})
+                        return
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        req = json.loads(self.rfile.read(n))
+                        vec = np.asarray(req["vector"], np.float64)
+                        k = int(req.get("k", DEFAULT_TOP_K))
+                        n_probe = req.get("n_probe")
+                        n_probe = int(n_probe) if n_probe is not None else None
+                        if vec.ndim != 1 or vec.size == 0:
+                            raise ValueError("vector must be a flat list")
+                        if not 1 <= k <= MAX_K:
+                            raise ValueError(f"k must be in [1, {MAX_K}]")
+                    except (KeyError, TypeError, ValueError,
+                            json.JSONDecodeError) as ex:
+                        self._json(400, {"error": f"bad knn request: {ex}"})
+                        return
+                    self._json(200, _knn_payload(
+                        outer.ann, None, vec[None, :], k, n_probe,
+                        exclude_self=False,
+                    ))
+                    return
                 if u.path != "/batch":
                     self._json(404, {"error": "unknown route"})
                     return
@@ -412,10 +495,17 @@ class SearchServer:
 
 
 def serve(index_dir: str, port: int = 8080, n_shards: int = 4,
-          n_replicas: int = 1):
-    """Blocking entry point: build the sharded searcher and serve."""
+          n_replicas: int = 1, ann_dir: str | None = None):
+    """Blocking entry point: build the sharded searcher and serve.
+    ``ann_dir`` (a ``build_ann_index`` output) additionally mounts the
+    vector tier's GET/POST ``/knn`` routes."""
     from .pipelines.search import DocShardedSearcher
 
+    ann = None
+    if ann_dir is not None:
+        from .pipelines.ann_index import AnnSearcher
+
+        ann = AnnSearcher(ann_dir)
     srv = SearchServer(
         index_dir,
         DocShardedSearcher(
@@ -423,6 +513,7 @@ def serve(index_dir: str, port: int = 8080, n_shards: int = 4,
             n_replicas=n_replicas,
         ),
         port,
+        ann=ann,
     )
     print(f"serving index {index_dir} on http://127.0.0.1:{srv.port}/search")
     try:

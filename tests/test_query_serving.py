@@ -948,3 +948,101 @@ def test_named_refresh_uses_new_generation_names(ray_session, tmp_path):
         assert ids.size >= 0  # serving still works through gen-1 actors
     finally:
         s.close()
+
+
+def test_http_knn_endpoint(index_dir, tmp_path_factory):
+    """GET /knn (neighbors of an indexed vec_id) and POST /knn (raw
+    vector) serve through the same HTTP frontend as text search and
+    match AnnSearcher directly; without an attached ANN index the
+    routes answer 501."""
+    import json as json_
+    import urllib.error
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.pipelines.ann_index import (
+        AnnSearcher, build_ann_index,
+    )
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    root = tmp_path_factory.mktemp("knnserve")
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 8)) * 3
+    mat = (
+        centers[np.arange(60) % 4] + rng.standard_normal((60, 8)) * 0.05
+    ).astype(np.float32)
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(root / "embeddings.parquet"),
+    )
+    idx = str(root / "ann")
+    build_ann_index(str(root), idx)
+    ann = AnnSearcher(idx)
+    srv = SearchServer(
+        index_dir, DocShardedSearcher(index_dir, n_shards=2),
+        spellcheck=False, ann=ann,
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(f"{base}/knn?vec_id=7&k=5") as resp:
+            assert resp.status == 200
+            payload = json_.loads(resp.read())
+        _, vids, sims = ann.search_matrix(
+            np.array([7], np.int64), mat[7:8].astype(np.float64), k=5
+        )
+        assert [n["vec_id"] for n in payload["neighbors"]] == vids.tolist()
+        assert np.allclose([n["sim"] for n in payload["neighbors"]], sims)
+        assert payload["vec_id"] == 7
+        assert 7 not in [n["vec_id"] for n in payload["neighbors"]]
+
+        req = urllib.request.Request(
+            f"{base}/knn",
+            data=json_.dumps(
+                {"vector": mat[7].tolist(), "k": 3}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            posted = json_.loads(resp.read())
+        # raw-vector search does NOT exclude: vec 7 itself leads at 1.0
+        assert posted["neighbors"][0]["vec_id"] == 7
+        assert posted["neighbors"][0]["sim"] == 1.0
+        assert len(posted["neighbors"]) == 3
+
+        for bad, code in (
+            ("/knn?vec_id=999999&k=5", 404),
+            ("/knn?vec_id=abc&k=5", 400),
+            ("/knn?vec_id=7&k=0", 400),
+        ):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"expected {code} for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+    finally:
+        srv.stop()
+        ann.close()
+
+    bare = SearchServer(
+        index_dir, DocShardedSearcher(index_dir, n_shards=2),
+        spellcheck=False,
+    ).start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{bare.port}/knn?vec_id=1&k=5"
+        )
+        raise AssertionError("expected 501 without an ANN index")
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+    finally:
+        bare.stop()
