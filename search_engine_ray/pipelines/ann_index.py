@@ -431,6 +431,7 @@ class AnnSearcher:
     """Driver-side scatter-gather over the persistent vector shards."""
 
     def __init__(self, index_dir: str):
+        self._index_dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.centroids = (
@@ -540,6 +541,34 @@ class AnnSearcher:
                          "vec_id": pa.array(v, pa.int64()),
                          "sim": pa.array(s, pa.float64())})
 
+    def refresh(self) -> None:
+        """Blue-green pickup of on-disk index changes (an
+        ``extend_ann_index``): spawn a FULL fresh actor set from the
+        current files, then retire the old one — concurrent queries
+        see old-or-new shards, never a partial mix (the text tier's
+        ``DocShardedSearcher.refresh`` contract)."""
+        old = self.shards
+        with open(os.path.join(self._index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("routing") == "ivf":
+            self.centroids = np.load(_centroid_file(self._index_dir))
+            nsub = np.asarray(
+                self.meta.get("cell_sub", [1] * len(self.centroids)),
+                np.int64,
+            )
+            self.cell_of_shard = np.repeat(np.arange(len(nsub)), nsub)
+        fresh = [
+            VecShardActor.remote(self._index_dir, s)
+            for s in range(int(self.meta["n_shards"]))
+        ]
+        ray.get([s.ping.remote() for s in fresh])
+        self.shards = fresh
+        for a in old:
+            try:
+                ray.kill(a)
+            except Exception:  # noqa: BLE001 - actor may already be dead
+                pass
+
     def close(self) -> None:
         for a in self.shards:
             try:
@@ -554,6 +583,129 @@ class AnnSearcher:
             self.shards = []
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
+
+
+def extend_ann_index(index_dir: str, delta_sf_dir: str) -> dict:
+    """Incremental vector indexing: add ``{delta_sf_dir}/
+    embeddings.parquet`` to an existing index, rebuilding ONLY the
+    shards that receive new vectors (the vector twin of the text
+    tier's ``extend_index``, `pipelines/build_index.py:181`).
+
+    Because graph builds insert in sorted-vec_id order, rebuilding a
+    touched shard from the union of its old and new rows is
+    BIT-IDENTICAL to a full rebuild over the combined corpus at the
+    same layout (pytest-pinned) — extend trades build time, never
+    result quality. Layout (shard count, centroids, cell splits) is
+    FROZEN from the existing meta: under ivf routing a hot delta can
+    push a cell past its size headroom, so like the text tier, heavy
+    extension ends in a periodic full ``build_ann_index`` (the
+    compaction analog). New vec_ids must not collide with indexed ones
+    (validated per shard). After an extension, a ``build_ann_index``
+    call with the ORIGINAL source sees a changed fingerprint and
+    rebuilds from that source alone — keep maintaining an extended
+    index through this function."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta.get("kind") == "nsw", meta
+    from ..io import parquet_rows
+
+    store = meta.get("store", "f64")
+    routing = meta.get("routing", "hash")
+    m, ef = int(meta["m"]), int(meta["ef"])
+    n_total = int(meta["n_shards"])
+    if routing == "ivf":
+        centroids = np.load(_centroid_file(index_dir))
+        nsub = np.asarray(meta["cell_sub"], np.int64)
+        base = np.concatenate(([0], np.cumsum(nsub)))[:-1]
+        cref = ray.put((centroids, base, nsub))
+    n_hash = int(meta.get("n_cells", n_total)) if routing == "ivf" else n_total
+
+    def assign(t: pa.Table) -> pa.Table:
+        if routing == "ivf":
+            v = _emb_matrix(t["embedding"])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            c, b, ns = ray.get(cref)
+            cell = np.argmax(v @ c.T, axis=1)
+            vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            shard = pa.array(
+                (b[cell] + _sub_shard(vid, ns[cell])).astype(np.int32),
+                pa.int32(),
+            )
+        else:
+            shard = pc.cast(
+                pc.bit_wise_and(t["vec_id"], n_hash - 1), pa.int32()
+            )
+        return t.append_column("shard", shard)
+
+    def rebuild_shard(group: pa.Table) -> pa.Table:
+        shard = int(group["shard"][0].as_py())
+        new_vids = group["vec_id"].to_numpy()
+        new_v = _emb_matrix(group["embedding"])
+        z = np.load(_shard_file(index_dir, shard))
+        old_vids = z["vids"]
+        if np.intersect1d(old_vids, new_vids).size:
+            raise ValueError(
+                f"shard {shard}: delta vec_ids collide with indexed ones"
+            )
+        if store == "q8":  # exact olds live in the sidecar
+            old_v = np.load(_vec_file(index_dir, shard))
+        else:
+            old_v = z["v"]
+        new_v = new_v / np.maximum(
+            np.linalg.norm(new_v, axis=1, keepdims=True), 1e-12
+        )
+        vids = np.concatenate([old_vids, new_vids])
+        if old_v.size == 0:  # previously-empty shard: adopt delta dim
+            old_v = old_v.reshape(0, new_v.shape[1])
+        v = np.vstack([old_v, new_v])
+        order = np.argsort(vids, kind="stable")  # = full-rebuild order
+        vids, v = vids[order], v[order]
+        nbr = _nsw_build(v, m=m, ef=ef)
+        path = _shard_file(index_dir, shard)
+        tmp = path + f".tmp-{os.getpid()}"
+        if store == "q8":
+            mn = v.min(axis=1)
+            scale = np.maximum(v.max(axis=1) - mn, 1e-12) / 255.0
+            codes = np.floor(
+                (v - mn[:, None]) / scale[:, None] + 0.5
+            ).astype(np.uint8)
+            vpath = _vec_file(index_dir, shard)
+            vtmp = vpath + f".tmp-{os.getpid()}"
+            with open(vtmp, "wb") as f:
+                np.save(f, v)
+            os.replace(vtmp, vpath)
+            with open(tmp, "wb") as f:
+                np.savez(f, vids=vids, codes=codes, qmin=mn, qscale=scale,
+                         nbr=nbr)
+        else:
+            with open(tmp, "wb") as f:
+                np.savez(f, vids=vids, v=v, nbr=nbr)
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_new": pa.array([len(new_vids)], pa.int64())})
+
+    stats = (
+        _read_emb(delta_sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rebuild_shard, batch_format="pyarrow")
+        .take_all()
+    )  # O(touched shards) tiny rows
+    delta_src = os.path.join(delta_sf_dir, "embeddings.parquet")
+    meta["source_rows"] = int(meta["source_rows"]) + int(
+        parquet_rows(delta_src) or 0
+    )
+    meta.setdefault("extends", []).append(delta_src)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return {
+        "touched_shards": sorted(int(r["shard"]) for r in stats),
+        "new_rows": int(sum(r["n_new"] for r in stats)),
+    }
 
 
 def _served_table(sf_dir: str, store: str, routing: str = "hash",

@@ -324,3 +324,112 @@ def test_q8_resume_requires_sidecar(emb_sf, tmp_path):
     t = knn_hnsw_served_q8(sf_dir)
     assert t.num_rows == 5 * 5
     assert t.column_names == ["qid", "vec_id", "sim"]
+
+
+def _write_emb(path, ids, mat):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in np.asarray(mat, np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        os.path.join(path, "embeddings.parquet"),
+    )
+
+
+@pytest.mark.parametrize("store", ["f64", "q8"])
+def test_extend_ann_index_bit_identical_to_full_rebuild(
+    ray_session, tmp_path, store
+):
+    """extend_ann_index rebuilds only the touched shards, and because
+    graph inserts run in sorted-vec_id order, the extended index is
+    BIT-IDENTICAL (files and served results) to a full build over the
+    combined corpus at the same layout."""
+    from search_engine_ray.pipelines.ann_index import extend_ann_index
+
+    rng = np.random.default_rng(77)
+    dim = 12
+    centers = rng.standard_normal((4, dim)) * 3
+    old_ids = list(range(80))
+    old = centers[np.arange(80) % 4] + rng.standard_normal((80, dim)) * 0.1
+    new_ids = list(range(100, 112))  # sparse: only some shards touched
+    new = centers[np.arange(12) % 4] + rng.standard_normal((12, dim)) * 0.1
+
+    d_old = tmp_path / "old"; d_old.mkdir()
+    d_new = tmp_path / "new"; d_new.mkdir()
+    d_all = tmp_path / "all"; d_all.mkdir()
+    _write_emb(str(d_old), old_ids, old)
+    _write_emb(str(d_new), new_ids, new)
+    _write_emb(str(d_all), old_ids + new_ids, np.vstack([old, new]))
+
+    idx_ext = str(tmp_path / "ext")
+    build_ann_index(str(d_old), idx_ext, n_shards=4, store=store)
+    before = {
+        s: os.path.getmtime(os.path.join(idx_ext, f"shard-{s}.npz"))
+        for s in range(4)
+    }
+    res = extend_ann_index(idx_ext, str(d_new))
+    assert res["new_rows"] == 12
+    touched = set(res["touched_shards"])
+    assert touched  # something was extended
+    for s in range(4):  # untouched shards were not rewritten
+        mt = os.path.getmtime(os.path.join(idx_ext, f"shard-{s}.npz"))
+        assert (mt > before[s]) == (s in touched)
+
+    idx_full = str(tmp_path / "full")
+    build_ann_index(str(d_all), idx_full, n_shards=4, store=store)
+    for s in range(4):  # per-shard file payloads are bit-identical
+        ze = np.load(os.path.join(idx_ext, f"shard-{s}.npz"))
+        zf = np.load(os.path.join(idx_full, f"shard-{s}.npz"))
+        assert sorted(ze.files) == sorted(zf.files)
+        for key in ze.files:
+            np.testing.assert_array_equal(ze[key], zf[key])
+
+    qids = np.array([0, 1, 100], np.int64)
+    qmat = np.vstack([old[:2], new[:1]]).astype(np.float64)
+    se, sf = AnnSearcher(idx_ext), AnnSearcher(idx_full)
+    try:
+        te = se.search_table(qids, qmat).to_pandas()
+        tf = sf.search_table(qids, qmat).to_pandas()
+    finally:
+        se.close(); sf.close()
+    assert te.equals(tf)
+    # extended vectors are served (qid 100 self-excludes, but other
+    # delta ids rank for it and for the old queries)
+    assert (te["vec_id"] >= 100).any()
+
+
+def test_extend_ann_index_rejects_collisions_and_refresh(
+    ray_session, tmp_path
+):
+    from search_engine_ray.pipelines.ann_index import extend_ann_index
+
+    rng = np.random.default_rng(3)
+    d0 = tmp_path / "s0"; d0.mkdir()
+    d1 = tmp_path / "s1"; d1.mkdir()
+    _write_emb(str(d0), list(range(40)), rng.standard_normal((40, 8)))
+    _write_emb(str(d1), [8, 200], rng.standard_normal((2, 8)))  # 8 collides
+    idx = str(tmp_path / "idx")
+    build_ann_index(str(d0), idx, n_shards=4)
+    with pytest.raises(Exception, match="collide"):
+        extend_ann_index(idx, str(d1))
+
+    # refresh(): a live searcher picks up an extension blue-green
+    d2 = tmp_path / "s2"; d2.mkdir()
+    newv = rng.standard_normal((1, 8))
+    _write_emb(str(d2), [300], newv)
+    searcher = AnnSearcher(idx)
+    try:
+        extend_ann_index(idx, str(d2))
+        searcher.refresh()
+        t = searcher.search_table(
+            np.array([300], np.int64), newv.astype(np.float64),
+            k=3, exclude_self=False,
+        ).to_pandas()
+    finally:
+        searcher.close()
+    assert int(t.iloc[0]["vec_id"]) == 300 and t.iloc[0]["sim"] == 1.0
