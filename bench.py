@@ -513,6 +513,44 @@ def bench_ann(n_vectors: int = 131_072, dim: int = 64, reps: int = 50) -> dict:
         "ram_shrink_x": round(npz_bytes / max(npz8_bytes, 1), 2),
     }
     shutil.rmtree(idx8, ignore_errors=True)
+    # incremental maintenance: a 6.25% delta must cost a small fraction
+    # of the full build (touched-shards-only rebuild; result parity
+    # with a full rebuild is pytest-pinned, not re-proven here)
+    from search_engine_ray.pipelines.ann_index import extend_ann_index
+
+    delta_dir = os.path.join(BENCH_ROOT, f"emb-delta-{n_vectors}")
+    delta_file = os.path.join(delta_dir, "embeddings.parquet")
+    n_delta = n_vectors // 16
+    if not os.path.exists(delta_file):
+        os.makedirs(delta_dir, exist_ok=True)
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((256, dim)) * 2.0
+        dvecs = (
+            centers[np.arange(n_delta) % 256]
+            + rng.standard_normal((n_delta, dim)) * 0.3
+        ).astype(np.float32)
+        pq_.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        range(n_vectors, n_vectors + n_delta), pa.int64()
+                    ),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(dvecs.reshape(-1), pa.float32()), dim
+                    ),
+                }
+            ),
+            delta_file,
+        )
+    t0 = time.monotonic()
+    ext = extend_ann_index(idx, delta_dir)
+    extend_s = time.monotonic() - t0
+    out["extend"] = {
+        "delta_vectors": n_delta,
+        "extend_sec": round(extend_s, 3),
+        "touched_shards": len(ext["touched_shards"]),
+        "extend_vs_build_x": round(build_s / max(extend_s, 1e-9), 2),
+    }
     # fan-out-pruning A/B: centroid-routed shards, each query probing
     # only its 2 nearest-centroid shards vs broadcasting to all 16 —
     # the per-query cost model of the 1000-shard deployment. Recall is

@@ -961,7 +961,8 @@ def _nsw_search(v: np.ndarray, nbr: np.ndarray, q: np.ndarray, ef: int,
             np.asarray([s for s, _ in out], np.float64))
 
 
-def _nsw_build(v: np.ndarray, m: int = _HNSW_M, ef: int = _HNSW_EF) -> np.ndarray:
+def _nsw_build(v: np.ndarray, m: int = _HNSW_M, ef: int = _HNSW_EF,
+               *, nbr0: np.ndarray | None = None) -> np.ndarray:
     """Sequential NSW construction (Malkov et al.): insert points in
     order, link each to its beam-searched m nearest, add pruned
     back-links (replace the worst neighbor when the new node is
@@ -969,10 +970,20 @@ def _nsw_build(v: np.ndarray, m: int = _HNSW_M, ef: int = _HNSW_EF) -> np.ndarra
     logarithmic-ish and the HNSW hierarchy adds constant factor only.
     O(n * ef * m * dim) sequential — the DISTRIBUTION axis is sharding
     (one independent graph per vec_id hash shard), not parallel insert,
-    which is also how production ANN services scale graphs."""
+    which is also how production ANN services scale graphs.
+
+    ``nbr0`` warm-starts from an existing graph over ``v[:len(nbr0)]``:
+    because construction is a pure function of insert order, continuing
+    the loop at ``len(nbr0)`` yields BIT-IDENTICAL output to a from-
+    scratch build over all of ``v`` — inserting an append-only delta
+    costs O(delta), not O(shard) (``extend_ann_index``'s fast path)."""
     n = len(v)
     nbr = np.full((n, m), -1, np.int32)
-    for i in range(1, n):
+    start = 1
+    if nbr0 is not None:
+        start = max(1, len(nbr0))
+        nbr[: len(nbr0)] = nbr0
+    for i in range(start, n):
         cand, sims = _nsw_search(v, nbr, v[i], ef, n_active=i, k=m)
         nbr[i, : cand.size] = cand
         for j, s in zip(cand.tolist(), sims.tolist()):

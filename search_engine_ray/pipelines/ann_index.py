@@ -591,11 +591,14 @@ def extend_ann_index(index_dir: str, delta_sf_dir: str) -> dict:
     shards that receive new vectors (the vector twin of the text
     tier's ``extend_index``, `pipelines/build_index.py:181`).
 
-    Because graph builds insert in sorted-vec_id order, rebuilding a
-    touched shard from the union of its old and new rows is
-    BIT-IDENTICAL to a full rebuild over the combined corpus at the
-    same layout (pytest-pinned) — extend trades build time, never
-    result quality. Layout (shard count, centroids, cell splits) is
+    Because graph builds insert in sorted-vec_id order, the extended
+    index is BIT-IDENTICAL to a full rebuild over the combined corpus
+    at the same layout (pytest-pinned) — extend never trades result
+    quality. Cost per touched shard: when the delta's vec_ids all sort
+    after the shard's existing ones (the append-only stream shape, the
+    text tier's same constraint), the saved graph warm-starts the
+    insert loop and extension costs O(delta) inserts; interleaved ids
+    fall back to an O(shard) re-sorted rebuild of just that shard. Layout (shard count, centroids, cell splits) is
     FROZEN from the existing meta: under ivf routing a hot delta can
     push a cell past its size headroom, so like the text tier, heavy
     extension ends in a periodic full ``build_ann_index`` (the
@@ -656,13 +659,26 @@ def extend_ann_index(index_dir: str, delta_sf_dir: str) -> dict:
         new_v = new_v / np.maximum(
             np.linalg.norm(new_v, axis=1, keepdims=True), 1e-12
         )
-        vids = np.concatenate([old_vids, new_vids])
         if old_v.size == 0:  # previously-empty shard: adopt delta dim
             old_v = old_v.reshape(0, new_v.shape[1])
-        v = np.vstack([old_v, new_v])
-        order = np.argsort(vids, kind="stable")  # = full-rebuild order
-        vids, v = vids[order], v[order]
-        nbr = _nsw_build(v, m=m, ef=ef)
+        order_new = np.argsort(new_vids, kind="stable")
+        new_vids, new_v = new_vids[order_new], new_v[order_new]
+        if old_vids.size == 0 or new_vids[0] > old_vids[-1]:
+            # append-only delta (old vids are stored sorted): continue
+            # the insert loop from the saved graph — O(delta) inserts,
+            # bit-identical to a from-scratch build (nbr0 contract)
+            vids = np.concatenate([old_vids, new_vids])
+            v = np.vstack([old_v, new_v])
+            nbr = _nsw_build(v, m=m, ef=ef,
+                             nbr0=z["nbr"] if old_vids.size else None)
+        else:
+            # interleaved ids: the full-rebuild insert order differs
+            # from any warm start, so re-sort and rebuild the shard
+            vids = np.concatenate([old_vids, new_vids])
+            v = np.vstack([old_v, new_v])
+            order = np.argsort(vids, kind="stable")
+            vids, v = vids[order], v[order]
+            nbr = _nsw_build(v, m=m, ef=ef)
         path = _shard_file(index_dir, shard)
         tmp = path + f".tmp-{os.getpid()}"
         if store == "q8":

@@ -433,3 +433,36 @@ def test_extend_ann_index_rejects_collisions_and_refresh(
     finally:
         searcher.close()
     assert int(t.iloc[0]["vec_id"]) == 300 and t.iloc[0]["sim"] == 1.0
+
+
+def test_extend_ann_index_interleaved_ids_still_identical(
+    ray_session, tmp_path
+):
+    """A delta whose vec_ids sort BELOW existing ones can't warm-start
+    the insert loop — that shard re-sorts and rebuilds — but the result
+    must still be bit-identical to a full build over the union."""
+    from search_engine_ray.pipelines.ann_index import extend_ann_index
+
+    rng = np.random.default_rng(15)
+    old_ids = [i for i in range(60) if i != 20]
+    old = rng.standard_normal((len(old_ids), 8))
+    new_ids = [20, 300]  # 20 interleaves below 59; 300 appends
+    new = rng.standard_normal((2, 8))
+
+    d_old = tmp_path / "o"; d_old.mkdir()
+    d_new = tmp_path / "n"; d_new.mkdir()
+    d_all = tmp_path / "a"; d_all.mkdir()
+    _write_emb(str(d_old), old_ids, old)
+    _write_emb(str(d_new), new_ids, new)
+    _write_emb(str(d_all), old_ids + new_ids, np.vstack([old, new]))
+
+    idx_ext = str(tmp_path / "e")
+    build_ann_index(str(d_old), idx_ext, n_shards=4)
+    extend_ann_index(idx_ext, str(d_new))
+    idx_full = str(tmp_path / "f")
+    build_ann_index(str(d_all), idx_full, n_shards=4)
+    for s in range(4):
+        ze = np.load(os.path.join(idx_ext, f"shard-{s}.npz"))
+        zf = np.load(os.path.join(idx_full, f"shard-{s}.npz"))
+        for key in ze.files:
+            np.testing.assert_array_equal(ze[key], zf[key])
