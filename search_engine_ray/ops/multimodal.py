@@ -1,4 +1,5 @@
-"""Multimodal (binary-payload) stages — real Ray plumbing, REAL PNG codec.
+"""Multimodal (binary-payload) stages — real Ray plumbing, REAL codecs
+for all three modalities (PNG image, RIFF/PCM WAV audio, RIFF/AVI video).
 
 Large-scale training-data pipelines treat image/audio/video as opaque
 ``binary`` columns with typed metadata; the decode / feature-extract /
@@ -23,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.avi import decode_avi, encode_avi
 from ..functions.png import PNG_MAGIC, decode_png, encode_png, parse_ihdr
 from ..functions.wav import decode_wav, encode_wav
 from ..io import read_parquet_light
@@ -368,6 +370,131 @@ FROM b LEFT JOIN agg a USING (doc_id)
 """
 
 
+_VID_FPS = 10    # synthesized video frame rate
+_VID_EVERY = 2   # video_stats samples every k-th decoded frame
+
+
+def _video_dims(n: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, n_frames) for a synthesized video
+    of an ``n``-byte document — small enough that the per-doc pixel
+    walk stays SQL-expressible at gate scale."""
+    return n % 8 + 1, (n // 8) % 8 + 1, n % 5 + 2
+
+
+class AviEncoder:
+    """Actor-pool video encode stage: each document's text bytes become
+    a deterministic uncompressed 24-bit AVI (dimensions and frame count
+    from n_bytes; frame ``k``'s flat pixel ``i`` is byte ``(i+k) % n``,
+    so every frame is a distinct rotation of the byte stream). Per-row
+    loop is inherent to a codec; the DIB packing inside is numpy."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for s in texts:
+            b = np.frombuffer(("" if s is None else s).encode(), np.uint8)
+            n = b.size
+            w, h, f = _video_dims(n)
+            if n == 0:
+                frames = np.zeros((f, h, w, 3), np.uint8)
+            else:
+                i = np.arange(w * h * 3, dtype=np.int64)
+                k = np.arange(f, dtype=np.int64)[:, None]
+                frames = b[(i[None, :] + k) % n].reshape(f, h, w, 3)
+            payloads.append(encode_avi(frames, fps=_VID_FPS))
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "payload": pa.array(payloads, pa.large_binary())}
+        )
+
+
+class VideoStatsExtractor:
+    """Actor-pool REAL video-decode stage: every payload goes through
+    the actual RIFF/AVI parser (``functions/avi.py`` — header walk, DIB
+    unpadding, bottom-up flip, BGR->RGB) and out comes one row per
+    SAMPLED frame (every ``_VID_EVERY``-th) with its pixel sum — the
+    decode + frame-sample work a 100 TB video pipeline pays before any
+    model sees a frame. Batches stay small: decoded frames, not the
+    compressed payloads, are the memory hot spot."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy()
+        out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+               "n_frames": [], "fps": [], "px_sum": []}
+        for d, p in zip(doc_ids, payloads):
+            frames, fps = decode_avi(bytes(p))
+            n, h, w, _ = frames.shape
+            kept = np.arange(0, n, _VID_EVERY, dtype=np.int64)
+            sums = frames[kept].reshape(kept.size, -1).astype(np.int64).sum(axis=1)
+            out["doc_id"].extend([int(d)] * kept.size)
+            out["frame_idx"].extend(kept.tolist())
+            out["width"].extend([w] * kept.size)
+            out["height"].extend([h] * kept.size)
+            out["n_frames"].extend([n] * kept.size)
+            out["fps"].extend([fps] * kept.size)
+            out["px_sum"].extend(sums.tolist())
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def video_stats(sf_dir: str):
+    """End-to-end REAL video codec round trip inside Ray: text bytes ->
+    deterministic uncompressed AVI (encode actor pool) -> per-sampled-
+    frame pixel statistics (decode actor pool). Aux entry WITH a full
+    oracle: the synthesized pixels are a pure function of the text
+    bytes (frame k pixel i = byte (i+k) mod n), so the sampled frames'
+    pixel sums are SQL-expressible over the byte stream — fine at gate
+    scale, the Ray side is the one built for volume."""
+    ds = read_parquet_light(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    encoded = ds.map_batches(
+        AviEncoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return encoded.map_batches(
+        VideoStatsExtractor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+# The AVI round trip is exactly recoverable in SQL: frame k's flat
+# pixel i equals byte (i+k) mod n of the UTF-8 stream, dimensions and
+# frame count are fixed functions of n, and the sampler keeps every
+# _VID_EVERY-th frame. DuckDB walks the sampled frames' pixels with
+# two LATERAL ranges (<= ~600 byte lookups per doc at these dims).
+SQL_VIDEO_STATS = f"""
+WITH b AS (
+    SELECT doc_id, hex(CAST(coalesce(text, '') AS BLOB)) AS hx,
+           octet_length(CAST(coalesce(text, '') AS BLOB)) AS n
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, hx, n,
+           n % 8 + 1 AS w, (n // 8) % 8 + 1 AS h, n % 5 + 2 AS f
+    FROM b
+),
+fr AS (
+    SELECT d.*, k.k AS frame_idx
+    FROM dims d, LATERAL (SELECT unnest(range(0, d.f, {_VID_EVERY})) AS k) k
+),
+px AS (
+    SELECT fr.doc_id, fr.frame_idx,
+           SUM(CASE WHEN fr.n = 0 THEN 0
+               ELSE ('0x' || substring(fr.hx,
+                        CAST(((i.i + fr.frame_idx) % fr.n) * 2 + 1 AS INTEGER),
+                        2))::INTEGER END) AS px_sum
+    FROM fr, LATERAL (SELECT unnest(range(0, fr.w * fr.h * 3)) AS i) i
+    GROUP BY fr.doc_id, fr.frame_idx
+)
+SELECT fr.doc_id,
+       CAST(fr.frame_idx AS BIGINT) AS frame_idx,
+       CAST(fr.w AS BIGINT) AS width,
+       CAST(fr.h AS BIGINT) AS height,
+       CAST(fr.f AS BIGINT) AS n_frames,
+       CAST({_VID_FPS} AS BIGINT) AS fps,
+       CAST(px.px_sum AS BIGINT) AS px_sum
+FROM fr JOIN px USING (doc_id, frame_idx)
+"""
+
+
 RAY_QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
@@ -379,10 +506,12 @@ RAY_QUERIES = {
 RAY_QUERIES_AUX = {
     "image_stats": image_stats,
     "audio_stats": audio_stats,
+    "video_stats": video_stats,
 }
 
 ORACLE_SQL_AUX = {
     "audio_stats": SQL_AUDIO_STATS,
+    "video_stats": SQL_VIDEO_STATS,
 }
 
 ORACLE_SQL = {
