@@ -64,6 +64,20 @@ STOPWORD_PENALTY = 0.05
 # a distributed fast-hash run.
 FAST_CONTENT_HASH = os.environ.get("SERAY_FAST_HASH", "") == "1"
 
+# On-disk parquet codec for engine-written index stores (docs store,
+# posting segments, dictionary). zstd level 1 measured the 2.4M index
+# 1.52x smaller end-to-end than parquet's default snappy (460 -> 303
+# MB) with equal-or-faster encode AND decode (BASELINE.md round-5
+# notes): fewer bytes through the disk on the build's widest write and
+# on every serving row-group fetch — the 24M serving tail is
+# postings-fetch-bound, so payload bytes on disk are the p95 lever.
+# Env-overridable (read at worker import, like SERAY_FAST_HASH) so
+# codec A/Bs are scriptable; parquet is self-describing, so indexes
+# written under either codec read interchangeably.
+PARQUET_CODEC = os.environ.get("SERAY_PARQUET_CODEC", "zstd")
+PARQUET_CODEC_LEVEL = int(os.environ.get("SERAY_PARQUET_CODEC_LEVEL", "1"))
+PARQUET_ARGS = {"compression": PARQUET_CODEC, "compression_level": PARQUET_CODEC_LEVEL}
+
 
 @dataclass(frozen=True)
 class IndexConfig:

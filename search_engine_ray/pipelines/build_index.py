@@ -43,7 +43,7 @@ import ray.data
 
 from ..io import read_parquet_clean
 
-from ..config import IndexConfig
+from ..config import PARQUET_ARGS, IndexConfig
 from ..stages.doc_ids import assign_doc_ids, assign_doc_ids_files_to
 from ..stages.index_build import PartialIndexBuilder, build_partials_task
 from ..stages.merge import merge_partials
@@ -168,7 +168,7 @@ def build_index(
                     else source
                 )
                 ids = assign_doc_ids(ds, cfg)
-                ids.write_parquet(ck.tmp)
+                ids.write_parquet(ck.tmp, **PARQUET_ARGS)
                 n_docs, sum_dl = _count_docs_files(ck.tmp)
             ck.commit(N=n_docs, sum_doclen=sum_dl)
         timings["docs"] = round(time.monotonic() - t0, 3)
@@ -251,7 +251,7 @@ def extend_index(
             ids = assign_doc_ids(
                 read_parquet_clean(new_files), cfg, offset=n_old
             )
-            ids.write_parquet(stage)
+            ids.write_parquet(stage, **PARQUET_ARGS)
             n_new, sum_new = _count_docs_files(stage)
         staged = sorted(_glob.glob(os.path.join(stage, "*.parquet")))
         for i, f in enumerate(staged):
@@ -458,7 +458,7 @@ def _finish_build(
         merged = merge_partials(partials)
         wave_tmp = os.path.join(seg_root, "_wave.tmp")
         shutil.rmtree(wave_tmp, ignore_errors=True)
-        merged.write_parquet(wave_tmp, partition_cols=["part"])
+        merged.write_parquet(wave_tmp, partition_cols=["part"], **PARQUET_ARGS)
         wave_s = round(time.monotonic() - t0, 3)
         for k, group_files in new_parts:
             src = os.path.join(wave_tmp, f"part={k}")
@@ -532,7 +532,7 @@ def _finish_build(
                     }
                 )
             with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
-                pq.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"))
+                pq.write_table(dict_t, os.path.join(ck.tmp, "dictionary.parquet"), **PARQUET_ARGS)
                 ck.commit()
         else:
             # vocabulary-sized group count: partition-vectorized (one
@@ -545,7 +545,7 @@ def _finish_build(
             )
             dictionary = _reduce_keyed(seg_ds, "term", _npart() * 8, _dict_part)
             with atomic_dir(dict_dir, dict_fp, stage="dictionary") as ck:
-                dictionary.write_parquet(ck.tmp)
+                dictionary.write_parquet(ck.tmp, **PARQUET_ARGS)
                 ck.commit()
         timings["dictionary"] = round(time.monotonic() - t0, 3)
 

@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import IndexConfig
+from ..config import PARQUET_ARGS, IndexConfig
 from ..functions.analysis import count_tokens_arrow
 
 
@@ -150,7 +150,7 @@ def _file_write_ids(
     import pyarrow.parquet as pq
 
     t = _add_ids_local(pq.read_table(path), offset, cfg, compute_doclen)
-    pq.write_table(t, out_path)
+    pq.write_table(t, out_path, **PARQUET_ARGS)
     sum_dl = (
         int(np.sum(t["doclen"].to_numpy(), dtype=np.int64)) if compute_doclen else 0
     )
