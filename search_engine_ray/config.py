@@ -76,7 +76,9 @@ FAST_CONTENT_HASH = os.environ.get("SERAY_FAST_HASH", "") == "1"
 # written under either codec read interchangeably.
 PARQUET_CODEC = os.environ.get("SERAY_PARQUET_CODEC", "zstd")
 PARQUET_CODEC_LEVEL = int(os.environ.get("SERAY_PARQUET_CODEC_LEVEL", "1"))
-PARQUET_ARGS = {"compression": PARQUET_CODEC, "compression_level": PARQUET_CODEC_LEVEL}
+PARQUET_ARGS = {"compression": PARQUET_CODEC}
+if PARQUET_CODEC in ("zstd", "gzip", "brotli"):  # snappy/lz4 take no level
+    PARQUET_ARGS["compression_level"] = PARQUET_CODEC_LEVEL
 
 
 @dataclass(frozen=True)
