@@ -100,7 +100,9 @@ def _coerce(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def _detect(path: str) -> str:
+def _detect(path: str) -> tuple[str, str | None]:
+    """(format, compression) from the file extension chain; a trailing
+    ``.gz`` means gzip-compressed text (``turns.jsonl.gz``)."""
     p = path
     if os.path.isdir(path):
         hits = sorted(_glob.glob(os.path.join(path, "*")))
@@ -116,7 +118,12 @@ def _detect(path: str) -> str:
         if not files:
             raise ValueError(f"no data files under {path}")
         p = files[0]
-    ext = os.path.splitext(p)[1].lower()
+    stem, ext = os.path.splitext(p)
+    ext = ext.lower()
+    compression = None
+    if ext == ".gz":
+        compression = "gzip"
+        ext = os.path.splitext(stem)[1].lower()
     fmt = {
         ".parquet": "parquet",
         ".json": "jsonl", ".jsonl": "jsonl", ".ndjson": "jsonl",
@@ -127,20 +134,38 @@ def _detect(path: str) -> str:
             f"cannot detect transcript format from {p!r} — pass "
             "format='parquet'|'jsonl'|'csv'"
         )
-    return fmt
+    if fmt == "parquet" and compression:
+        raise ValueError(
+            f"{p!r}: parquet is internally compressed — outer .gz "
+            "wrapping is not supported"
+        )
+    return fmt, compression
 
 
 def read_transcripts(path, format: str | None = None) -> "ray.data.Dataset":
     """Streaming Dataset of transcript turns in the canonical schema.
     ``format``: 'parquet' | 'jsonl' | 'csv'; auto-detected from the
-    file extension when omitted."""
-    fmt = format or _detect(path if isinstance(path, str) else path[0])
+    file extension when omitted. Gzip-compressed text sources
+    (``*.jsonl.gz`` / ``*.csv.gz``) are detected from the extension
+    chain and streamed through Arrow's gzip-decompressing input stream
+    inside each read task — no driver-side decompress, no temp files."""
+    probe = path if isinstance(path, str) else path[0]
+    if format is None:
+        fmt, compression = _detect(probe)
+    else:
+        # explicit format: never fail on an exotic extension, but still
+        # honor a .gz suffix on the path we can see
+        fmt = format
+        compression = (
+            "gzip" if str(probe).lower().endswith(".gz") else None
+        )
+    open_args = {"compression": compression} if compression else {}
     if fmt == "parquet":
         ds = read_parquet_clean(path)
     elif fmt == "jsonl":
-        ds = ray.data.read_json(path)
+        ds = ray.data.read_json(path, arrow_open_stream_args=open_args)
     elif fmt == "csv":
-        ds = ray.data.read_csv(path)
+        ds = ray.data.read_csv(path, arrow_open_stream_args=open_args)
     else:
         raise ValueError(f"unknown transcript format {fmt!r}")
     return ds.map_batches(_coerce, batch_format="pyarrow")

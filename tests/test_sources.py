@@ -117,6 +117,46 @@ def test_detect_skips_metadata_files(tmp_path):
     pq.write_table(pa.table({"x": pa.array([1])}), str(tmp_path / "aa11_shard.parquet"))
     (tmp_path / "_MANIFEST.json").write_text("{}")
     (tmp_path / "_SUCCESS").write_text("")
-    assert _detect(str(tmp_path)) == "parquet"
+    assert _detect(str(tmp_path)) == ("parquet", None)
     with _pytest.raises(ValueError, match="cannot detect"):
         _detect("dump.tsv")
+
+
+def test_detect_gzip_extension_chain():
+    """``.gz`` marks gzip compression; the inner extension carries the
+    format. Parquet is internally compressed, so outer .gz is refused
+    loudly instead of handing Arrow an unreadable stream."""
+    import pytest as _pytest
+
+    from search_engine_ray.sources.transcripts import _detect
+
+    assert _detect("turns.jsonl.gz") == ("jsonl", "gzip")
+    assert _detect("turns.ndjson.gz") == ("jsonl", "gzip")
+    assert _detect("turns.csv.gz") == ("csv", "gzip")
+    assert _detect("turns.csv") == ("csv", None)
+    with _pytest.raises(ValueError, match="internally compressed"):
+        _detect("turns.parquet.gz")
+    with _pytest.raises(ValueError, match="cannot detect"):
+        _detect("turns.gz")
+
+
+def test_gzip_jsonl_and_csv_match_plain(corpus, tmp_path_factory):
+    """Gzip-wrapped jsonl/csv stream through Arrow's decompressing
+    input inside each read task and coerce to the identical table."""
+    import gzip
+
+    root = tmp_path_factory.mktemp("gz")
+    for fmt in ("jsonl", "csv"):
+        src = corpus / fmt / f"part-0.{fmt}"
+        gdir = root / fmt
+        gdir.mkdir()
+        with open(src, "rb") as fin, gzip.open(
+            gdir / f"part-0.{fmt}.gz", "wb"
+        ) as fout:
+            fout.write(fin.read())
+        plain = read_transcripts(str(corpus / fmt)).to_pandas()
+        gz = read_transcripts(str(gdir)).to_pandas()
+        key = ["conv_id", "turn_idx"]
+        assert gz.sort_values(key).reset_index(drop=True).equals(
+            plain.sort_values(key).reset_index(drop=True)
+        ), fmt
