@@ -298,8 +298,9 @@ def _band_rows(t: pa.Table) -> pa.Table:
     signatures. ``_bands_from_docs`` guarantees this by banding
     straight off the documents table (one input row = one whole doc);
     do not map this over a re-blocked shingle dataset."""
-    # low 32 bits of the 60-bit shingle hash: keeps a*x+b inside uint64
-    # (a < 2^29, x < 2^32 -> a*x < 2^61, + b < 2^62 < 2^64)
+    # low 32 bits of the 60-bit shingle hash: _perm_hash's split
+    # multiply needs x < 2^32 (see its docstring for the collision
+    # budget at this truncation)
     sh = t["sh"].to_numpy().astype(np.uint64) & np.uint64(0xFFFFFFFF)
     doc = t["doc_id"].to_numpy()
     order = np.argsort(doc, kind="mergesort")

@@ -131,6 +131,92 @@ FROM documents
 """
 
 
+# ---- prefix autocomplete (suggest-as-you-type over the corpus
+#      vocabulary: top-k terms by df per prefix; the batch twin of the
+#      serving tier's dictionary-backed /suggest route,
+#      serve.py + functions/suggest.py) ----
+
+# probe prefixes chosen against the synthetic corpus vocabulary so
+# each has MANY completions (top-k competition + tie-breaks exercised;
+# 'w' additionally matches the long low-df w#### worker-token tail)
+_SUGGEST_PREFIXES = ("s", "c", "qu", "f", "b", "w")
+_SUGGEST_K = 10
+
+
+def suggest_prefix(sf_dir: str, k: int = _SUGGEST_K):
+    """For each probe prefix, the ``k`` highest-df vocabulary terms
+    extending it (tie-break df desc, term asc — the order
+    ``PrefixSuggester`` serves live). Built on the fully-reduced
+    ``term_stats`` dataset, so each term appears exactly once: the
+    per-batch local top-k is a correct combiner (batches are
+    term-disjoint) and the final per-prefix merge sees at most
+    ``k * n_blocks`` candidate rows. The groupby key space is the
+    fixed prefix list (bounded), so the native groupby is the cheap
+    shape here."""
+    stats = term_stats(sf_dir)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        dfs = t["df"].to_numpy()
+        parts = []
+        for p in _SUGGEST_PREFIXES:
+            m = pc.starts_with(t["term"], pattern=p).to_numpy(
+                zero_copy_only=False
+            )
+            if not m.any():
+                continue
+            ts, ds = terms[m], dfs[m]
+            sel = np.lexsort((ts, -ds))[:k]
+            parts.append(pa.table({
+                "prefix": pa.array([p] * len(sel), pa.string()),
+                "term": pa.array(ts[sel], pa.string()),
+                "df": pa.array(ds[sel], pa.int64()),
+            }))
+        if not parts:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        ts = g["term"].to_numpy(zero_copy_only=False)
+        ds = g["df"].to_numpy()
+        sel = np.lexsort((ts, -ds))[:k]
+        n = len(sel)
+        return pa.table({
+            "prefix": pa.array([g["prefix"][0].as_py()] * n, pa.string()),
+            "term": pa.array(ts[sel], pa.string()),
+            "df": pa.array(ds[sel], pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        ("prefix", pa.string()), ("term", pa.string()),
+        ("df", pa.int64()), ("rank", pa.int64()),
+    ])
+    return empty_dataset(out_schema).union(
+        stats.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("prefix")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+_SUGGEST_VALUES = ", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)
+
+SQL_SUGGEST_PREFIX = f"""
+WITH {_TOKS_CTE},
+df_t AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+ranked AS (
+    SELECT p.prefix AS prefix, d.term AS term, d.df AS df,
+           row_number() OVER (PARTITION BY p.prefix
+                              ORDER BY d.df DESC, d.term ASC) AS rank
+    FROM (VALUES {_SUGGEST_VALUES}) p(prefix)
+    JOIN df_t d ON d.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, df, rank FROM ranked WHERE rank <= {_SUGGEST_K}
+"""
+
+
 # ---- quality scoring (length / character-class ratios) ----
 
 def text_quality(sf_dir: str):
@@ -1250,5 +1336,14 @@ ORACLE_SQL = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+}
+
+# auxiliary entries (after the 50-entry driver window)
+RAY_QUERIES_AUX = {
+    "suggest_prefix": suggest_prefix,
+}
+
+ORACLE_SQL_AUX = {
+    "suggest_prefix": SQL_SUGGEST_PREFIX,
 }
 

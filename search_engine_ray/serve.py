@@ -162,6 +162,8 @@ class SearchServer:
     `Search.java:340-341`); ``GET /phrase?query=...&k=...`` -> the
     same result shape via exact-phrase matching over the stored
     positions (no spellcheck — a phrase query is exact by contract);
+    ``GET /suggest?q=...&k=...`` -> prefix autocomplete from the index
+    dictionary (top-k by df; ``functions/suggest.py``);
     ``GET /healthz`` -> ok. With an ``ann`` (AnnSearcher) attached,
     ``GET /knn?vec_id=...&k=...[&n_probe=...]`` returns the nearest
     neighbors of an indexed vector and ``POST /knn`` accepts
@@ -188,6 +190,13 @@ class SearchServer:
             from .functions.spellcheck import SpellChecker
 
             self.speller = SpellChecker.from_index(index_dir)
+        # autocomplete shares the dictionary's availability with
+        # spellcheck (both are corpus-derived query aids)
+        self.suggester = None
+        if spellcheck:
+            from .functions.suggest import PrefixSuggester
+
+            self.suggester = PrefixSuggester.from_index(index_dir)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -331,6 +340,31 @@ class SearchServer:
                         outer.ann, vec_id, mat, k, n_probe,
                         exclude_self=True,
                     ))
+                    return
+                if u.path == "/suggest":
+                    qs = parse_qs(u.query)
+                    q = (qs.get("q") or qs.get("query") or [""])[0]
+                    if not q.strip():
+                        self._json(400, {"error": "missing q parameter"})
+                        return
+                    try:
+                        k = int((qs.get("k") or [10])[0])
+                    except ValueError:
+                        self._json(400, {"error": "k must be an integer"})
+                        return
+                    if not 1 <= k <= MAX_K:
+                        self._json(400, {"error": f"k must be in [1, {MAX_K}]"})
+                        return
+                    if outer.suggester is None:
+                        self._json(501, {"error": "suggestions disabled"})
+                        return
+                    self._json(200, {
+                        "q": q,
+                        "suggestions": [
+                            {"term": t, "df": d}
+                            for t, d in outer.suggester.suggest(q, k)
+                        ],
+                    })
                     return
                 if u.path != "/search":
                     self._json(404, {"error": "unknown route"})
@@ -489,8 +523,10 @@ class SearchServer:
         self.docs = DocStore(self._index_dir)
         if self._spellcheck:
             from .functions.spellcheck import SpellChecker
+            from .functions.suggest import PrefixSuggester
 
             self.speller = SpellChecker.from_index(self._index_dir)
+            self.suggester = PrefixSuggester.from_index(self._index_dir)
         return True
 
 

@@ -136,6 +136,28 @@ def test_empty_shards_and_sparse_ids(ray_session, tmp_path):
     assert q.size == 3 and (v != 0).all()
 
 
+def test_vec_shard_actor_restart_serves_identically(emb_sf, tmp_path):
+    """VecShardActor declares max_restarts/max_task_retries and plain
+    (index_dir, shard_id) constructor args so a crashed actor restarts
+    from disk — kill one shard and the next query batch must come back
+    bit-identical (the DocShardActor restart contract, extended to the
+    vector tier)."""
+    import ray as ray_
+
+    sf_dir, _ = emb_sf
+    idx = str(tmp_path / "annrestart")
+    build_ann_index(sf_dir, idx)
+    qids, qmat = knn._load_queries(sf_dir)
+    searcher = AnnSearcher(idx)
+    try:
+        before = searcher.search_table(qids, qmat).to_pandas()
+        ray_.kill(searcher.shards[0], no_restart=False)
+        after = searcher.search_table(qids, qmat).to_pandas()
+    finally:
+        searcher.close()
+    assert before.equals(after)
+
+
 def test_knn_hnsw_served_gate_entry(emb_sf):
     sf_dir, _ = emb_sf
     t = knn_hnsw_served(sf_dir)
