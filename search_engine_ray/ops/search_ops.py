@@ -405,6 +405,86 @@ def bm25_topk_or(sf_dir: str):
     return _bm25(sf_dir, "OR")
 
 
+# ---- NOT-term (exclusion) retrieval: 'a b -c' drops every doc
+#      containing c before the top-k cut (boolean-NOT widening of the
+#      engine's AND/OR surface; exclusions are parsed by
+#      LocalIndex._split_exclusions and ride the doc_filter pushdown,
+#      so they distribute shard-locally over DocShardedSearcher) ----
+
+_NOT_QUERIES = [
+    (0, "hash join -window"),
+    (1, "scan vector -merge"),
+    (2, "data stream -customer"),
+    (3, "merge batch -filter -sort"),
+]
+
+
+def bm25_topk_not(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, q in _NOT_QUERIES:
+        ids, scores = li.search(q, k=10**9, mode="OR")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_not_sql() -> str:
+    pos_vals, neg_vals = [], []
+    for qid, q in _NOT_QUERIES:
+        for w in q.split():
+            (neg_vals if w.startswith("-") else pos_vals).append(
+                f"({qid}, '{w.lstrip('-')}')"
+            )
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term) AS (VALUES {", ".join(pos_vals)}),
+nterms(query_id, term) AS (VALUES {", ".join(neg_vals)}),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+excl AS (
+    SELECT DISTINCT n.query_id, t.doc_id
+    FROM nterms n JOIN toks_idx t ON n.term = t.term
+),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rn
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM excl e
+                      WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 def _bm25_sql(conjunctive: bool) -> str:
     values = ", ".join(
         f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
@@ -1163,10 +1243,12 @@ ORACLE_SQL = {
     "conv_dedup": SQL_CONV_DEDUP,
 }
 
-# past the driver's 50-entry window; tools_verify still checks it
+# past the driver's 50-entry window; tools_verify still checks them
 RAY_QUERIES_AUX = {
     "train_val_test_split": train_val_test_split,
+    "bm25_topk_not": bm25_topk_not,
 }
 ORACLE_SQL_AUX = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST,
+    "bm25_topk_not": _bm25_not_sql(),
 }

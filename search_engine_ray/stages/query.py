@@ -379,7 +379,11 @@ class LocalIndex:
 
     def search(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND",
                doc_filter=None, result_cache: bool = True):
-        """Returns (doc_ids, scores) of the top-k. ``doc_filter``: an
+        """Returns (doc_ids, scores) of the top-k. Query tokens
+        starting with ``-`` are EXCLUSIONS ('hash -join': docs
+        containing any analyzed exclusion term are dropped before the
+        top-k cut; scores of survivors are unchanged).
+        ``doc_filter``: an
         optional vectorized predicate ``ndarray[int64] -> ndarray[bool]``
         applied to candidate doc_ids BEFORE the top-k cut (faceted /
         metadata-restricted retrieval); scores of surviving docs are
@@ -412,7 +416,59 @@ class LocalIndex:
             return ids_sc[0].copy(), ids_sc[1].copy()
         return ids_sc
 
+    @staticmethod
+    def _split_exclusions(query: str) -> tuple[str, str]:
+        """``'hash join -window'`` -> ``('hash join', 'window')``: a
+        whitespace token starting with ``-`` is an exclusion. Hyphens
+        INSIDE words ('state-of-the-art') are untouched — the
+        analyzer's non-alphanumeric split owns those; a bare '-' is
+        ignored."""
+        pos, neg = [], []
+        for w in query.split():
+            (neg if (w.startswith("-") and len(w) > 1) else pos).append(w)
+        return " ".join(pos), " ".join(w[1:] for w in neg)
+
+    def _exclusion_filter(self, neg_q: str, base):
+        """doc_filter dropping every doc that contains ANY excluded
+        term, composed over ``base``. Exclusion terms run through the
+        same analyzer as positives (stemming etc.), so they match the
+        index's vocabulary; the excluded-id set is this index's own
+        posting lists — on a doc-range shard that set is exactly the
+        shard's slice, which is why '-term' distributes over
+        DocShardedSearcher with no driver-side coordination."""
+        neg_terms, _ = analyze_query(neg_q, self.cfg)
+        ids_list = []
+        for t in neg_terms:
+            ts = self.terms.get(t)
+            if ts is not None:
+                ids_list.append(ts.decode()[0])
+        ids_list = [a for a in ids_list if a.size]
+        if not ids_list:
+            return base
+        ex = (np.unique(np.concatenate(ids_list))
+              if len(ids_list) > 1 else ids_list[0])
+
+        def flt(ids, _ex=ex, _base=base):
+            pos = np.searchsorted(_ex, ids)
+            member = (pos < _ex.size) & (
+                _ex[np.minimum(pos, _ex.size - 1)] == ids
+            )
+            keep = ~member
+            if _base is not None:
+                keep &= _base(ids)
+            return keep
+
+        return flt
+
     def _search_uncached(self, query: str, k: int, mode: str, doc_filter):
+        query, neg_q = self._split_exclusions(query)
+        if neg_q:
+            # exclusions ride the doc_filter pushdown: scores of
+            # surviving docs are unchanged, so 'a -b' equals dropping
+            # b's docs from the full 'a' ranking. The result cache in
+            # search() keys on the RAW query string (exclusions
+            # included), so cached exclusion queries stay correct.
+            doc_filter = self._exclusion_filter(neg_q, doc_filter)
         terms, stopword_only = analyze_query(query, self.cfg)
         contributions = []
         for t in terms:
@@ -566,6 +622,8 @@ class LocalIndex:
         most this"; an individual shard whose local volume misses the
         DENSE_* gate still falls back to sorted-merge at decode time
         (same shared constants, evaluated on actual decoded size)."""
+        query, neg_q = self._split_exclusions(query)
+        neg_terms = analyze_query(neg_q, self.cfg)[0] if neg_q else []
         terms, stopword_only = analyze_query(query, self.cfg)
         out_terms = []
         for t in terms:
@@ -613,7 +671,7 @@ class LocalIndex:
                 else "sorted-merge-accumulate"
             )
         )
-        return {
+        out = {
             "query": query,
             "mode": mode,
             "terms": out_terms,
@@ -622,6 +680,13 @@ class LocalIndex:
             "N": self.N,
             "avgdl": round(self.avgdl, 3),
         }
+        if neg_terms:
+            out["excluded_terms"] = [
+                {"term": t,
+                 "df": int(ts.df) if (ts := self.terms.get(t)) else 0}
+                for t in neg_terms
+            ]
+        return out
 
     def search_df(self, query: str, k: int = DEFAULT_TOP_K, mode: str = "AND"):
         import pandas as pd

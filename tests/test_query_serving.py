@@ -105,6 +105,78 @@ def test_phrase_search(ray_session, tmp_path):
     assert ids4.tolist() == []
 
 
+def test_exclusion_queries(index_dir):
+    """'-term' exclusion semantics: 'a -b' equals the full 'a' ranking
+    minus every doc containing an analyzed 'b' term, with survivors'
+    scores unchanged; exclusion-only and all-excluded queries return
+    empty; the result cache keys on the raw query string so repeat
+    exclusion queries hit bit-identically; hyphens inside words stay
+    ordinary tokens."""
+    local = LocalIndex(index_dir)
+    full_ids, full_sc = local.search("running", 10**9, mode="OR")
+    ex_ids, ex_sc = local.search("running -meetings", 10**9, mode="OR")
+    meet_ids, _m = local.search("meetings", 10**9, mode="OR")
+    banned = set(meet_ids.tolist())
+    assert banned, "fixture corpus must contain 'meetings'"
+    # exactly the unexcluded survivors, scores unchanged
+    keep = [i for i, d in enumerate(full_ids.tolist()) if d not in banned]
+    assert ex_ids.tolist() == [full_ids[i] for i in keep]
+    assert ex_sc.tolist() == [full_sc[i] for i in keep]
+    assert set(ex_ids.tolist()).isdisjoint(banned)
+    assert len(ex_ids) < len(full_ids)
+
+    # multiple exclusions = union of banned docs
+    two_ids, _t = local.search("running -meetings -ponies", 10**9, mode="OR")
+    pony_ids, _p = local.search("ponies", 10**9, mode="OR")
+    assert set(two_ids.tolist()) == (
+        set(full_ids.tolist()) - banned - set(pony_ids.tolist())
+    )
+
+    # degenerate shapes
+    assert local.search("-running", 50)[0].size == 0  # exclusion-only
+    assert local.search("running -running", 50)[0].size == 0
+    # a lone '-' is ignored, not an exclusion
+    ids_dash, _d = local.search("running -", 50, mode="OR")
+    ids_plain, _q = local.search("running", 50, mode="OR")
+    assert ids_dash.tolist() == ids_plain.tolist()
+    # in-word hyphens split to ordinary OR terms, nothing excluded
+    ids_hy, _h = local.search("running-meetings", 10**9, mode="OR")
+    assert set(ids_hy.tolist()) >= banned
+
+    # result-cache hit is bit-identical to the cold computation
+    c1_ids, c1_sc = local.search("running -meetings", 50, mode="OR")
+    c2_ids, c2_sc = local.search("running -meetings", 50, mode="OR")
+    assert c1_ids.tolist() == c2_ids.tolist()
+    assert c1_sc.tolist() == c2_sc.tolist()
+    assert c1_ids.tolist() == ex_ids[:50].tolist()
+
+    # explain surfaces the exclusion terms
+    exp = local.explain("running -meetings", mode="OR")
+    assert [e["term"] for e in exp["excluded_terms"]] and all(
+        e["df"] >= 0 for e in exp["excluded_terms"]
+    )
+
+
+def test_exclusion_sharded_bit_identical(index_dir):
+    """Exclusions are shard-local (each doc-range shard drops its own
+    slice of the excluded ids), so the sharded tier must equal
+    LocalIndex bitwise with no driver coordination."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir)
+    sharded = DocShardedSearcher(index_dir, n_shards=3)
+    try:
+        for q in ["running -meetings", "the of -and", "runs -w0017",
+                  "-running", "running -zzznope"]:
+            for mode in ("OR", "AND"):
+                ids_l, sc_l = local.search(q, 50, mode=mode)
+                ids_s, sc_s = sharded.search(q, 50, mode=mode)
+                assert ids_l.tolist() == ids_s.tolist(), (q, mode)
+                assert sc_l.tolist() == sc_s.tolist(), (q, mode)
+    finally:
+        sharded.close()
+
+
 def test_doc_sharded_matches_local(index_dir):
     """Doc-range-sharded scatter-gather must equal unsharded
     evaluation exactly (global stats; deterministic merge)."""
