@@ -403,14 +403,28 @@ class SearchServer:
                     # correctly-spelled word ("Search", "don't" ->
                     # don, t) must not miss it and get miscorrected
                     # (reference parity: Search.java spellchecks the
-                    # analyzed words)
-                    words = [
-                        w for w in re.split(_SPLIT_PATTERN, query.lower()) if w
-                    ]
-                    fixed, changed = outer.speller.correct_query(words)
-                    if changed:
-                        corrected = fixed
-                        run_query = " ".join(fixed)
+                    # analyzed words). Corrections are applied PER
+                    # whitespace token so a '-term' exclusion keeps
+                    # its '-' through the rewrite — a naive re-join of
+                    # the analyzed words would silently flip a
+                    # corrected exclusion into a positive term.
+                    fixed_tokens: list[str] = []
+                    changed_any = False
+                    for tok in query.split():
+                        neg = tok.startswith("-") and len(tok) > 1
+                        body = tok[1:] if neg else tok
+                        parts = [
+                            w for w in re.split(_SPLIT_PATTERN, body.lower())
+                            if w
+                        ]
+                        fixed, changed = outer.speller.correct_query(parts)
+                        changed_any = changed_any or changed
+                        fixed_tokens.extend(
+                            ("-" + w) if neg else w for w in fixed
+                        )
+                    if changed_any:
+                        corrected = fixed_tokens
+                        run_query = " ".join(fixed_tokens)
                 ids, scores = outer.searcher.search(run_query, k=k, mode=mode)
                 meta = outer.docs.lookup(ids)
                 results = [

@@ -110,6 +110,20 @@ def test_from_index_and_endpoint(ray_session, tmp_path):
         assert "spellcheck" not in payload
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
 
+        # a corrected EXCLUSION keeps its '-' through the rewrite: the
+        # correction must not flip '-meetngs' into a positive term
+        url = (f"http://127.0.0.1:{srv.port}/search"
+               f"?query=running+-meetngs&k=50&mode=OR")
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert payload["spellcheck"] == ["running", "-meetings"]
+        want_ids, _x = local.search("running -meetings", k=50, mode="OR")
+        banned, _b = local.search("meetings", k=10**9, mode="OR")
+        assert banned.size  # fixture corpus contains the term
+        got_ids = [r["doc_id"] for r in payload["results"]]
+        assert got_ids == want_ids.tolist()
+        assert not set(got_ids) & set(banned.tolist())
+
         # malformed / non-positive k -> clean 400, not a 500
         import urllib.error
 
