@@ -271,6 +271,82 @@ GROUP BY term, doc_id
 """
 
 
+# ---- faceted result counts: per-facet histogram over a query's FULL
+#      match set (role/tool chips on the result page) ----
+
+_FACET_LABELS = ["user", "assistant", "search", "hash"]
+_FACET_QUERIES = [(0, "hash join"), (1, "scan window vector"),
+                  (2, "data stream"), (3, "merge batch filter")]
+
+
+def facet_counts(sf_dir: str):
+    """For each query, how many of its OR-mode matches contain each
+    facet token, through the role/tool-indexed build (roles and tools
+    ride in the token stream, so facet membership is a posting-list
+    intersection — counted shard-locally in the serving tier,
+    ``stages/query.py facet_counts``)."""
+    idx = ensure_index(sf_dir, "roletool")
+    li = LocalIndex(idx)
+    qid_out, facet_out, n_out = [], [], []
+    for qid, q in _FACET_QUERIES:
+        fc = li.facet_counts(q, _FACET_LABELS, mode="OR")
+        for f in _FACET_LABELS:
+            qid_out.append(qid)
+            facet_out.append(f)
+            n_out.append(fc[f])
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "facet": pa.array(facet_out, pa.string()),
+            "n": pa.array(n_out, pa.int64()),
+        }
+    )
+
+
+def _facet_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{term}')" for qid, q in _FACET_QUERIES for term in q.split()
+    )
+    fvals = ", ".join(f"('{f}')" for f in _FACET_LABELS)
+    return f"""
+WITH tr0 AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+tr AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+           role || ' ' || tool || ' ' || text AS rt_text
+    FROM tr0
+),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(substr(rt_text, 1, 10000)), '[^0-9a-z]+')) AS term
+    FROM tr
+),
+toks_idx AS (
+    SELECT * FROM toks
+    WHERE term <> '' AND length(term) <= 20 AND term NOT IN ({_SKIP_SQL})
+),
+qterms(query_id, term) AS (VALUES {qvals}),
+facets(facet) AS (VALUES {fvals}),
+cand AS (
+    SELECT DISTINCT q.query_id, t.doc_id
+    FROM qterms q JOIN toks_idx t USING (term)
+),
+hit AS (
+    SELECT DISTINCT c.query_id, f.facet, c.doc_id
+    FROM cand c
+    JOIN toks_idx t2 ON t2.doc_id = c.doc_id
+    JOIN facets f ON t2.term = f.facet
+),
+agg AS (
+    SELECT query_id, facet, COUNT(*) AS n FROM hit GROUP BY query_id, facet
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id, f.facet,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT query_id FROM qterms) q
+CROSS JOIN facets f
+LEFT JOIN agg a ON a.query_id = q.query_id AND a.facet = f.facet
+"""
+
+
 # ---- incremental indexing (extend_index) as a checkable op ----
 
 _EXT_FRAC = 0.6  # share of conversations in the base build
@@ -1247,8 +1323,10 @@ ORACLE_SQL = {
 RAY_QUERIES_AUX = {
     "train_val_test_split": train_val_test_split,
     "bm25_topk_not": bm25_topk_not,
+    "facet_counts": facet_counts,
 }
 ORACLE_SQL_AUX = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST,
     "bm25_topk_not": _bm25_not_sql(),
+    "facet_counts": _facet_sql(),
 }

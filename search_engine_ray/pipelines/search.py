@@ -198,6 +198,9 @@ class DocShardActor:
     def explain(self, query: str, mode: str):
         return self.index.explain(query, mode=mode)
 
+    def facet_counts(self, query: str, facet_terms: list, mode: str):
+        return self.index.facet_counts(query, facet_terms, mode=mode)
+
     def reload(self, global_df: dict | None = None) -> bool:
         """Swap in the current on-disk state (after extend_index /
         compact_index): re-reads this shard's layout file and rebuilds
@@ -553,6 +556,24 @@ class DocShardedSearcher:
                     "note": "no shards (empty index or closed searcher)"}
         out = ray.get(self.shards[0].explain.remote(query, mode))
         out["note"] = "per-term doc_range is shard-0-local; stats are global"
+        return out
+
+    def facet_counts(self, query: str, facet_terms, mode: str = "OR"):
+        """Facet histogram over the query's full match set, summed
+        across doc-range shards. Doc ranges partition the corpus, so
+        per-shard partial counts sum EXACTLY to the unsharded
+        ``LocalIndex.facet_counts`` — each shard ships O(n_facets)
+        ints, never ids."""
+        self._reap_retired()
+        shards = self._pick_shards(query)
+        parts = ray.get([
+            s.facet_counts.remote(query, list(facet_terms), mode)
+            for s in shards
+        ])
+        out = {f: 0 for f in facet_terms}
+        for p in parts:
+            for f, c in p.items():
+                out[f] += c
         return out
 
     def phrase(self, phrase: str, k: int = DEFAULT_TOP_K):

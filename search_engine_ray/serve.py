@@ -341,6 +341,36 @@ class SearchServer:
                         exclude_self=True,
                     ))
                     return
+                if u.path == "/facets":
+                    # facet histogram over the query's FULL match set
+                    # (comma-separated facet labels) — the result-page
+                    # chip counts, O(n_facets) ints from each shard
+                    qs = parse_qs(u.query)
+                    query = (qs.get("query") or [""])[0]
+                    raw = (qs.get("facets") or [""])[0]
+                    facets = [f.strip() for f in raw.split(",") if f.strip()]
+                    if not query or not facets:
+                        self._json(
+                            400,
+                            {"error": "need query and facets parameters"},
+                        )
+                        return
+                    if len(facets) > 64:
+                        self._json(400, {"error": "at most 64 facets"})
+                        return
+                    mode = (qs.get("mode") or ["OR"])[0].upper()
+                    if mode not in ("AND", "OR"):
+                        self._json(400, {"error": "mode must be AND or OR"})
+                        return
+                    fc = getattr(outer.searcher, "facet_counts", None)
+                    if fc is None:
+                        self._json(
+                            501, {"error": "searcher has no facet support"}
+                        )
+                        return
+                    self._json(200, {"query": query, "mode": mode,
+                                     "facets": fc(query, facets, mode=mode)})
+                    return
                 if u.path == "/suggest":
                     qs = parse_qs(u.query)
                     q = (qs.get("q") or qs.get("query") or [""])[0]

@@ -460,6 +460,42 @@ class LocalIndex:
 
         return flt
 
+    def facet_counts(self, query: str, facet_terms, mode: str = "OR"):
+        """Per-facet match counts over the FULL candidate set of
+        ``query`` (not the top-k): for each facet label, how many
+        matching docs also contain that label's analyzed term(s) — the
+        result-page facet histogram (role/tool chips on an
+        ``index_role_tool`` build) without materializing any doc. A
+        multi-word facet label counts docs containing ANY of its
+        analyzed terms. Returns ``{facet_label: count}``.
+
+        On a doc-range shard the counts are shard-local partials and
+        ``DocShardedSearcher.facet_counts`` sums them — O(n_facets)
+        ints per shard on the wire, never doc ids."""
+        ids, _scores = self.search(query, k=10**9, mode=mode,
+                                   result_cache=False)
+        if ids.size:
+            ids = np.sort(ids)
+        out: dict[str, int] = {}
+        for label in facet_terms:
+            terms, _sw = analyze_query(label, self.cfg)
+            cnt = 0
+            if ids.size and terms:
+                member = np.zeros(ids.size, dtype=bool)
+                for t in terms:
+                    ts = self.terms.get(t)
+                    if ts is None:
+                        continue
+                    fids = ts.decode()[0]
+                    pos = np.searchsorted(ids, fids)
+                    ok = (pos < ids.size) & (
+                        ids[np.minimum(pos, ids.size - 1)] == fids
+                    )
+                    member[pos[ok]] = True
+                cnt = int(member.sum())
+            out[label] = cnt
+        return out
+
     def _search_uncached(self, query: str, k: int, mode: str, doc_filter):
         query, neg_q = self._split_exclusions(query)
         if neg_q:

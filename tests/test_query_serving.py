@@ -177,6 +177,65 @@ def test_exclusion_sharded_bit_identical(index_dir):
         sharded.close()
 
 
+def test_facet_counts_local_and_sharded(index_dir):
+    """Facet histogram: per-facet counts over the FULL match set equal
+    a brute-force intersection of the query's candidate ids with the
+    facet's postings; sharded partial counts sum exactly to the local
+    numbers (doc ranges partition the corpus)."""
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    local = LocalIndex(index_dir)
+    facets = ["running", "meetings", "zzznope", "running meetings"]
+    fc = local.facet_counts("the", facets, mode="OR")
+    ids, _s = local.search("the", 10**9, mode="OR")
+    cand = set(ids.tolist())
+    run_ids, _r = local.search("running", 10**9, mode="OR")
+    meet_ids, _m = local.search("meetings", 10**9, mode="OR")
+    assert fc["running"] == len(cand & set(run_ids.tolist()))
+    assert fc["meetings"] == len(cand & set(meet_ids.tolist()))
+    assert fc["zzznope"] == 0
+    # multi-word label counts docs containing ANY of its terms
+    assert fc["running meetings"] == len(
+        cand & (set(run_ids.tolist()) | set(meet_ids.tolist()))
+    )
+    # no-match query -> all-zero histogram
+    assert set(local.facet_counts("zzznope", facets).values()) == {0}
+
+    sharded = DocShardedSearcher(index_dir, n_shards=3)
+    try:
+        assert sharded.facet_counts("the", facets, mode="OR") == fc
+    finally:
+        sharded.close()
+
+
+def test_http_facets_route(index_dir):
+    import json as json_
+    import urllib.error
+    import urllib.request
+
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    local = LocalIndex(index_dir)
+    srv = SearchServer(index_dir,
+                       DocShardedSearcher(index_dir, n_shards=2)).start()
+    try:
+        url = (f"http://127.0.0.1:{srv.port}/facets"
+               f"?query=the&facets=running,meetings&mode=OR")
+        with urllib.request.urlopen(url) as resp:
+            assert resp.status == 200
+            payload = json_.loads(resp.read())
+        want = local.facet_counts("the", ["running", "meetings"], mode="OR")
+        assert payload["facets"] == want
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/facets?query=the"
+            )
+        assert ei.value.code == 400
+    finally:
+        srv.stop()
+
+
 def test_doc_sharded_matches_local(index_dir):
     """Doc-range-sharded scatter-gather must equal unsharded
     evaluation exactly (global stats; deterministic merge)."""
