@@ -5,7 +5,8 @@
 
     python -m search_engine_ray build  --source DIR --index DIR [-p N]
     python -m search_engine_ray extend --source DIR --index DIR [-p N]
-    python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR]
+    python -m search_engine_ray query  --index DIR "free text" [-k 10] [--mode OR] [--facets a,b]
+    python -m search_engine_ray suggest --index DIR "prefi" [-k 10]
     python -m search_engine_ray batch  --index DIR --queries q.parquet --out o.parquet
     python -m search_engine_ray prep   --source DOCS --out DIR
     python -m search_engine_ray mixture --source DOCS --out DIR
@@ -82,6 +83,30 @@ def cmd_query(a) -> int:
     )
     out = materialize_results(a.index, topk)
     print(out.to_string(index=False, max_colwidth=60))
+    if a.facets:
+        fc = getattr(searcher, "facet_counts", None)
+        if fc is None:
+            print("--facets requires the doc-sharded tier (the default)")
+            return 2
+        labels = [f.strip() for f in a.facets.split(",") if f.strip()]
+        print(json.dumps(
+            {"facets": fc(a.text, labels, mode=a.mode)}, indent=1
+        ))
+    return 0
+
+
+def cmd_suggest(a) -> int:
+    """Autocomplete probe straight off the dictionary files — no Ray
+    work beyond the session the CLI owns anyway."""
+    from .functions.suggest import PrefixSuggester
+
+    s = PrefixSuggester.from_index(a.index)
+    print(json.dumps(
+        {"q": a.prefix,
+         "suggestions": [{"term": t, "df": d}
+                         for t, d in s.suggest(a.prefix, a.k)]},
+        indent=1,
+    ))
     return 0
 
 
@@ -215,6 +240,9 @@ def main(argv=None) -> int:
                    help="exact-phrase match over stored positions")
     q.add_argument("--doc-sharded", action="store_true",
                    help=argparse.SUPPRESS)  # no-op compat: now the default
+    q.add_argument("--facets", default=None,
+                   help="comma-separated facet labels: also print the "
+                        "per-facet histogram of the query's full match set")
     q.add_argument("--term-sharded", action="store_true",
                    help="term-range shards (reference analog; ships O(df) "
                         "posting bytes per query — study only, not serving)")
@@ -248,6 +276,14 @@ def main(argv=None) -> int:
 
     st = sub.add_parser("stats", help="index lineage + per-partition metrics")
     st.add_argument("index")
+
+    sg = sub.add_parser(
+        "suggest", help="prefix autocomplete from the index dictionary"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("prefix")
+    sg.add_argument("-k", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
     st.set_defaults(fn=cmd_stats)
 
     sv = sub.add_parser("serve", help="HTTP /search endpoint over doc shards")

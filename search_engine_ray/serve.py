@@ -341,6 +341,9 @@ class SearchServer:
                         exclude_self=True,
                     ))
                     return
+                if u.path == "/stats":
+                    self._json(200, outer.stats())
+                    return
                 if u.path == "/facets":
                     # facet histogram over the query's FULL match set
                     # (comma-separated facet labels) — the result-page
@@ -553,6 +556,51 @@ class SearchServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+    def stats(self) -> dict:
+        """Operational snapshot for ``GET /stats``: corpus stats from
+        the index meta, vocabulary size from parquet FOOTERS (row
+        counts only — no column data read), on-disk bytes per store,
+        and the serving-tier shape. Computed per request so it tracks
+        extend/compact without a refresh; everything here is O(files),
+        never O(corpus)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        with open(os.path.join(self._index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        vocab = 0
+        for p in _glob.glob(
+            os.path.join(self._index_dir, "dictionary", "*.parquet")
+        ):
+            vocab += _pq.ParquetFile(p).metadata.num_rows
+
+        def _du(sub: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(
+                os.path.join(self._index_dir, sub)
+            ):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:  # file swapped mid-walk
+                        pass
+            return total
+
+        return {
+            "index_dir": self._index_dir,
+            "N": int(meta["N"]),
+            "avgdl": round(float(meta["avgdl"]), 3),
+            "vocab_terms": int(vocab),
+            "bytes": {s: _du(s) for s in ("segments", "docs", "dictionary")},
+            "config": meta.get("config", {}),
+            "n_shards": getattr(self.searcher, "n_shards", None),
+            "n_replicas": getattr(self.searcher, "n_replicas", None),
+            "spellcheck": self.speller is not None,
+            "suggest": self.suggester is not None,
+            "ann": self.ann.meta if self.ann is not None else None,
+        }
 
     def refresh(self) -> bool:
         """Pick up on-disk index changes across the WHOLE serving

@@ -38,6 +38,19 @@ def test_cli_build_query_compact(tmp_path, fmt):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "doc_id" in r.stdout
 
+    r = run("query", "--index", idx, "running -meetings", "-k", "5",
+            "--facets", "running,meetings")
+    assert r.returncode == 0, r.stderr[-2000:]
+    fc = json.loads(r.stdout[r.stdout.index('{\n "facets"'):])
+    assert fc["facets"]["running"] > 0 and fc["facets"]["meetings"] == 0
+
+    r = run("suggest", "--index", idx, "run", "-k", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    sg = json.loads(r.stdout[r.stdout.index("{"):])
+    assert sg["q"] == "run"
+    assert any(s["term"].startswith("run") and s["df"] > 0
+               for s in sg["suggestions"])
+
     r = run("compact", "--index", idx, "-p", "1")
     assert r.returncode == 0, r.stderr[-2000:]
     meta = json.loads(r.stdout[r.stdout.index("{"):])

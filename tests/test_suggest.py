@@ -107,6 +107,30 @@ def test_http_suggest_route(index_dir):
         srv.stop()
 
 
+def test_http_stats_route(index_dir):
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    srv = SearchServer(index_dir,
+                       DocShardedSearcher(index_dir, n_shards=2)).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats"
+        ) as resp:
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+        assert payload["N"] == 400  # 80 convs x 5 turns
+        assert payload["avgdl"] > 0
+        assert payload["vocab_terms"] > 0
+        assert payload["n_shards"] == 2 and payload["n_replicas"] == 1
+        assert payload["spellcheck"] and payload["suggest"]
+        assert payload["ann"] is None
+        assert all(payload["bytes"][s] > 0
+                   for s in ("segments", "docs", "dictionary"))
+    finally:
+        srv.stop()
+
+
 def test_suggest_prefix_op_matches_oracle(ray_session, sf_dir=SF_DIR):
     """The batch gate op reproduces its DuckDB oracle bit-for-bit
     (tools_verify runs the same comparison over the full gate; this
