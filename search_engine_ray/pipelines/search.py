@@ -672,6 +672,7 @@ class FrontendAttachedSearcher:
     _pick_shards = DocShardedSearcher._pick_shards
     search = DocShardedSearcher.search
     search_many = DocShardedSearcher.search_many
+    facet_counts = DocShardedSearcher.facet_counts
 
     def _reap_retired(self, force: bool = False) -> None:
         pass  # owner-managed actors: nothing to reap here

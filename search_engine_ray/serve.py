@@ -46,19 +46,34 @@ _FRONTEND = """<!doctype html>
 </style></head>
 <body>
 <h1>transcript search</h1>
-<form id="f"><input type="text" id="q" placeholder="query" autofocus>
+<form id="f"><input type="text" id="q" placeholder="query" autofocus
+ list="sugg" autocomplete="off">
+<datalist id="sugg"></datalist>
 <button>Search</button></form>
 <div id="spell" class="spell"></div><div id="out"></div>
 <script>
+const esc = s => String(s).replace(/[&<>"']/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+const qEl = document.getElementById('q');
+qEl.addEventListener('input', async () => {
+  // complete the word being typed via the dictionary-backed /suggest
+  // route ('-exclusions' are left alone)
+  const tail = qEl.value.split(/\\s+/).pop();
+  if (!tail || tail.startsWith('-')) return;
+  const r = await fetch('/suggest?q=' + encodeURIComponent(tail) + '&k=8');
+  if (!r.ok) return;
+  const j = await r.json();
+  const head = qEl.value.slice(0, qEl.value.length - tail.length);
+  document.getElementById('sugg').innerHTML = (j.suggestions || []).map(s =>
+    '<option value="' + esc(head + s.term) + '">').join('');
+});
 document.getElementById('f').addEventListener('submit', async (ev) => {
   ev.preventDefault();
-  const q = document.getElementById('q').value;
+  const q = qEl.value;
   const r = await fetch('/search?query=' + encodeURIComponent(q) + '&k=20');
   const j = await r.json();
   document.getElementById('spell').textContent =
     j.spellcheck ? 'searched instead for: ' + j.spellcheck.join(' ') : '';
-  const esc = s => String(s).replace(/[&<>"']/g,
-    c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
   document.getElementById('out').innerHTML = (j.results || []).map(h =>
     '<div class="hit"><div class="meta">#' + esc(h.rank) + ' doc ' + esc(h.doc_id) +
     ' (' + esc(h.conv_id || '') + ' / turn ' + esc(h.turn_idx ?? '') + ') score ' +
