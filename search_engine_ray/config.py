@@ -50,6 +50,14 @@ DEFAULT_TOP_K = 200
 # (Search.java:24 stopword_penalty, :209-214)
 STOPWORD_PENALTY = 0.05
 
+# Wildcard ('prefix*') query terms expand to at most this many
+# dictionary terms, chosen by (df desc, term asc) — the deterministic
+# analog of Lucene's multi-term rewrite cap. Bounds per-query decode
+# work on short prefixes at any corpus size; selection uses the GLOBAL
+# dictionary, so doc-range shards pick identical expansion sets and
+# sharded results stay bit-identical to unsharded evaluation.
+WILDCARD_MAX_EXPANSIONS = 64
+
 # Content hashing for dedup/shingling. False (default) = md5-60, bit-
 # identical to the DuckDB oracle twin — every gate entry relies on it.
 # True = polars' vectorized xxhash64 (no per-string Python loop) for

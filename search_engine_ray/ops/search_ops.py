@@ -561,6 +561,136 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- wildcard (prefix*) retrieval: each 'p*' token is a GROUP of
+#      dictionary expansions (cap WILDCARD_MAX_EXPANSIONS by df desc /
+#      term asc, stopwords never re-admitted — the engine's multi-term
+#      rewrite, LocalIndex.expand_prefix). AND mode: every literal AND
+#      >= 1 expansion per group; matched terms score once each. The
+#      't*' probe exercises the stopword drop ('the' never expands). ----
+
+_WC_QUERIES = [
+    # (query_id, [literal terms], [group prefixes])
+    (0, ["hash"], ["j"]),
+    (1, ["merge"], ["s"]),
+    (2, ["data"], ["v"]),
+    (3, ["query"], ["t"]),
+    (4, ["order"], ["c", "f"]),
+]
+
+
+def bm25_topk_wildcard(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, lits, prefs in _WC_QUERIES:
+        q = " ".join(lits + [p + "*" for p in prefs])
+        ids, scores = li.search(q, k=10**9, mode="AND")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_wildcard_sql() -> str:
+    from ..config import STOPWORDS, WILDCARD_MAX_EXPANSIONS
+
+    # SQL-escape: the reference stoplist contains "it's"
+    stop_sql = ",".join("'{}'".format(w.replace("'", "''")) for w in sorted(STOPWORDS))
+    lit_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, lits, _p in _WC_QUERIES for t in lits
+    )
+    nlit_vals = ", ".join(f"({qid}, {len(lits)})" for qid, lits, _p in _WC_QUERIES)
+    grp_vals = ", ".join(
+        f"({qid}, {gi}, '{p}')"
+        for qid, _l, prefs in _WC_QUERIES
+        for gi, p in enumerate(prefs)
+    )
+    ngrp_vals = ", ".join(f"({qid}, {len(prefs)})" for qid, _l, prefs in _WC_QUERIES)
+    return f"""
+WITH {_TR_CTE},
+qlit(query_id, term) AS (VALUES {lit_vals}),
+nlit(query_id, n) AS (VALUES {nlit_vals}),
+qgrp(query_id, gid, prefix) AS (VALUES {grp_vals}),
+ngrp(query_id, n) AS (VALUES {ngrp_vals}),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+expansions AS (
+    SELECT query_id, gid, term FROM (
+        SELECT q.query_id, q.gid, d.term,
+               row_number() OVER (PARTITION BY q.query_id, q.gid
+                                  ORDER BY d.df DESC, d.term ASC) AS rn
+        FROM qgrp q JOIN df d ON d.term LIKE q.prefix || '%'
+        WHERE d.term NOT IN ({stop_sql})
+    ) WHERE rn <= {WILDCARD_MAX_EXPANSIONS}
+),
+lit_hits AS (
+    SELECT l.query_id, t.doc_id, COUNT(DISTINCT l.term) AS c
+    FROM qlit l JOIN toks_idx t ON l.term = t.term
+    GROUP BY l.query_id, t.doc_id
+),
+lit_ok AS (
+    SELECT h.query_id, h.doc_id
+    FROM lit_hits h JOIN nlit n ON n.query_id = h.query_id AND h.c = n.n
+),
+grp_hits AS (
+    SELECT DISTINCT e.query_id, e.gid, t.doc_id
+    FROM expansions e JOIN toks_idx t ON e.term = t.term
+),
+grp_ok AS (
+    SELECT g.query_id, g.doc_id
+    FROM (SELECT query_id, doc_id, COUNT(DISTINCT gid) AS c
+          FROM grp_hits GROUP BY query_id, doc_id) g
+    JOIN ngrp n ON n.query_id = g.query_id AND g.c = n.n
+),
+cand AS (
+    SELECT l.query_id, l.doc_id
+    FROM lit_ok l JOIN grp_ok g
+      ON g.query_id = l.query_id AND g.doc_id = l.doc_id
+),
+terms_all AS (
+    SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, term FROM qlit
+        UNION ALL
+        SELECT query_id, term FROM expansions
+    )
+),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM terms_all q
+    JOIN toks_idx t ON q.term = t.term
+    JOIN cand c ON c.query_id = q.query_id AND c.doc_id = t.doc_id
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 def _bm25_sql(conjunctive: bool) -> str:
     values = ", ".join(
         f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
@@ -1323,10 +1453,12 @@ ORACLE_SQL = {
 RAY_QUERIES_AUX = {
     "train_val_test_split": train_val_test_split,
     "bm25_topk_not": bm25_topk_not,
+    "bm25_topk_wildcard": bm25_topk_wildcard,
     "facet_counts": facet_counts,
 }
 ORACLE_SQL_AUX = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST,
     "bm25_topk_not": _bm25_not_sql(),
+    "bm25_topk_wildcard": _bm25_wildcard_sql(),
     "facet_counts": _facet_sql(),
 }

@@ -31,7 +31,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..config import IndexConfig, DEFAULT_TOP_K, STOPWORD_PENALTY
+from ..config import (
+    IndexConfig,
+    DEFAULT_TOP_K,
+    STOPWORD_PENALTY,
+    STOPWORDS,
+    WILDCARD_MAX_EXPANSIONS,
+)
 from ..functions import scoring
 from ..functions import varbyte as vb
 from ..functions.analysis import analyze_query
@@ -355,6 +361,9 @@ class LocalIndex:
         self._tscores = self._memo
         self._index_dir = index_dir
         self._doclen: np.ndarray | None = None
+        # wildcard-expansion vocabulary (sorted terms + aligned dfs),
+        # built lazily on the first 'prefix*' query
+        self._wc_vocab: tuple[np.ndarray, np.ndarray] | None = None
 
     @property
     def doclen(self) -> np.ndarray:
@@ -428,6 +437,158 @@ class LocalIndex:
             (neg if (w.startswith("-") and len(w) > 1) else pos).append(w)
         return " ".join(pos), " ".join(w[1:] for w in neg)
 
+    @staticmethod
+    def _split_wildcards(query: str) -> tuple[str, list[str]]:
+        """``'merge vec*'`` -> ``('merge', ['vec'])``: a whitespace
+        token ending in ``*`` is a wildcard (prefix) term. The prefix
+        is normalized like any query token (lowercase, alphanumerics
+        only); a bare ``*`` or a prefix that normalizes to empty is
+        dropped. Everything else passes through to the analyzer."""
+        rest, prefixes = [], []
+        for w in query.split():
+            if w.endswith("*") and len(w) > 1:
+                p = "".join(c for c in w[:-1].lower() if c.isalnum())
+                if p:
+                    prefixes.append(p)
+                continue
+            if w == "*":
+                continue
+            rest.append(w)
+        return " ".join(rest), prefixes
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Dictionary terms starting with ``prefix``, the engine's
+        multi-term rewrite (the batch analog is
+        ``ops.search_ops.bm25_topk_wildcard``'s SQL twin). Stopwords
+        are never re-admitted (the analyzer drops them from mixed
+        queries, so a wildcard must not smuggle them back), and the
+        set is capped at ``WILDCARD_MAX_EXPANSIONS`` by (df desc,
+        term asc). Expansion runs over the GLOBAL dictionary when one
+        is installed (doc-range shards), so every shard derives the
+        SAME expansion set even when the cap binds — the
+        sharded == unsharded bit-identity contract holds."""
+        if self._wc_vocab is None:
+            src = (
+                self._global_df
+                if self._global_df is not None
+                else {t: ts.df for t, ts in self.terms.items()}
+            )
+            terms = np.array(sorted(src), dtype=object)
+            dfs = np.fromiter(
+                (src[t] for t in terms), dtype=np.int64, count=len(terms)
+            )
+            self._wc_vocab = (terms, dfs)
+        terms, dfs = self._wc_vocab
+        lo = np.searchsorted(terms, prefix)
+        hi = np.searchsorted(terms, prefix + chr(0x10FFFF))
+        cand, cdf = terms[lo:hi], dfs[lo:hi]
+        keep = np.fromiter(
+            (t not in STOPWORDS for t in cand), dtype=bool, count=len(cand)
+        )
+        cand, cdf = cand[keep], cdf[keep]
+        if len(cand) > WILDCARD_MAX_EXPANSIONS:
+            # deterministic rewrite cap: highest-df first, term asc on
+            # ties (cand is term-sorted, so stable argsort on -df is
+            # exactly that order)
+            order = np.argsort(-cdf, kind="stable")[:WILDCARD_MAX_EXPANSIONS]
+            cand = cand[order]
+        return sorted(cand.tolist())
+
+    def _search_wildcard(self, lit_q: str, prefixes: list[str], k: int,
+                         mode: str, doc_filter):
+        """Wildcard retrieval: each ``prefix*`` token is a GROUP of
+        dictionary expansions. AND mode: a doc must contain every
+        literal term and >= 1 expansion of every group (a group with
+        no dictionary match means no doc can satisfy it -> empty).
+        OR mode: literals and all expansions accumulate as usual.
+        Matched terms score once each (first mention wins across
+        literals/groups), summed through ``score_decoded_terms``'s
+        OR branch on candidate-restricted postings — same formula,
+        rounding and tie-break as every other path. The stopword-only
+        penalty never applies here (a wildcard group is never a
+        stopword, so the query is not stopword-only by construction).
+
+        Distribution: expansion sets come from the global dictionary
+        (see ``expand_prefix``) and candidate logic uses only local
+        postings, so ``DocShardedSearcher`` needs no coordination —
+        each shard's wildcard result is exactly its slice of the
+        unsharded ranking."""
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        lit_terms, _sw_only = analyze_query(lit_q, self.cfg) if lit_q else ([], False)
+        groups = [self.expand_prefix(p) for p in prefixes]
+        if mode == "AND" and any(not g for g in groups):
+            return empty
+
+        # candidate set (AND only): literals intersect; each group
+        # contributes the union of its locally-present expansions
+        cand = None
+        if mode == "AND":
+            for t in lit_terms:
+                ts = self.terms.get(t)
+                if ts is None:
+                    return empty
+                ids = ts.decode()[0]
+                cand = ids if cand is None else _intersect_sorted(cand, ids)
+                if cand is not None and cand.size == 0:
+                    return empty
+            for g in groups:
+                arrs = []
+                for t in g:
+                    ts = self.terms.get(t)
+                    if ts is not None:
+                        arrs.append(ts.decode()[0])
+                arrs = [a for a in arrs if a.size]
+                if not arrs:
+                    return empty
+                u = (np.unique(np.concatenate(arrs))
+                     if len(arrs) > 1 else arrs[0])
+                cand = u if cand is None else _intersect_sorted(cand, u)
+                if cand.size == 0:
+                    return empty
+            if doc_filter is not None and cand is not None:
+                cand = cand[doc_filter(cand)]
+                if cand.size == 0:
+                    return empty
+
+        # fixed scoring order: literals in analyzer order, then groups
+        # in query order with expansions lexicographic; each distinct
+        # term contributes once (dedup depends only on global sets, so
+        # shards agree)
+        term_order: list[str] = []
+        seen: set[str] = set()
+        for t in lit_terms:
+            if t not in seen:
+                seen.add(t)
+                term_order.append(t)
+        for g in groups:
+            for t in g:
+                if t not in seen:
+                    seen.add(t)
+                    term_order.append(t)
+
+        decoded = []
+        for t in term_order:
+            ts = self.terms.get(t)
+            if ts is None:
+                continue
+            ids, tfs, dls = ts.decode()
+            if cand is not None:
+                loc = np.searchsorted(ids, cand)
+                ok = (loc < ids.size) & (ids[np.minimum(loc, ids.size - 1)] == cand)
+                sel = loc[ok]
+                ids, tfs, dls = cand[ok], tfs[sel], dls[sel]
+            elif doc_filter is not None:
+                keep = doc_filter(ids)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if ids.size:
+                decoded.append((t, ids, tfs, dls, ts.df))
+        if not decoded:
+            return empty
+        # restricted postings must not feed the full-array score memo
+        return score_decoded_terms(
+            decoded, self.N, self.avgdl, self.cfg, k, "OR", False
+        )
+
     def _exclusion_filter(self, neg_q: str, base):
         """doc_filter dropping every doc that contains ANY excluded
         term, composed over ``base``. Exclusion terms run through the
@@ -435,8 +596,20 @@ class LocalIndex:
         index's vocabulary; the excluded-id set is this index's own
         posting lists — on a doc-range shard that set is exactly the
         shard's slice, which is why '-term' distributes over
-        DocShardedSearcher with no driver-side coordination."""
-        neg_terms, _ = analyze_query(neg_q, self.cfg)
+        DocShardedSearcher with no driver-side coordination.
+        ``-prefix*`` composes: the exclusion expands through the same
+        global-dictionary rewrite as positive wildcards, dropping docs
+        containing ANY expansion."""
+        neg_lit, neg_prefixes = self._split_wildcards(neg_q)
+        if neg_prefixes:
+            neg_terms, _ = (
+                analyze_query(neg_lit, self.cfg) if neg_lit else ([], False)
+            )
+            neg_terms = list(neg_terms)
+            for p in neg_prefixes:
+                neg_terms.extend(self.expand_prefix(p))
+        else:
+            neg_terms, _ = analyze_query(neg_q, self.cfg)
         ids_list = []
         for t in neg_terms:
             ts = self.terms.get(t)
@@ -505,6 +678,9 @@ class LocalIndex:
             # search() keys on the RAW query string (exclusions
             # included), so cached exclusion queries stay correct.
             doc_filter = self._exclusion_filter(neg_q, doc_filter)
+        lit_q, wc_prefixes = self._split_wildcards(query)
+        if wc_prefixes:
+            return self._search_wildcard(lit_q, wc_prefixes, k, mode, doc_filter)
         terms, stopword_only = analyze_query(query, self.cfg)
         contributions = []
         for t in terms:
@@ -660,6 +836,15 @@ class LocalIndex:
         (same shared constants, evaluated on actual decoded size)."""
         query, neg_q = self._split_exclusions(query)
         neg_terms = analyze_query(neg_q, self.cfg)[0] if neg_q else []
+        query, wc_prefixes = self._split_wildcards(query)
+        wc_groups = [
+            {"prefix": p, "expansions": [
+                {"term": t,
+                 "df": int(ts.df) if (ts := self.terms.get(t)) else 0}
+                for t in self.expand_prefix(p)
+            ]}
+            for p in wc_prefixes
+        ]
         terms, stopword_only = analyze_query(query, self.cfg)
         out_terms = []
         for t in terms:
@@ -689,6 +874,8 @@ class LocalIndex:
         # upgrade from sorted-merge to dense/maxscore at decode time.
         total_df = sum(t["df"] for t in out_terms)
         strategy = (
+            # wildcard queries take their own group-candidate path
+            "wildcard-groups" if wc_groups else
             # AND with ANY missing term short-circuits to empty in
             # search() before range skipping can run — label it so
             "empty" if (n_present == 0
@@ -716,6 +903,8 @@ class LocalIndex:
             "N": self.N,
             "avgdl": round(self.avgdl, 3),
         }
+        if wc_groups:
+            out["wildcard_groups"] = wc_groups
         if neg_terms:
             out["excluded_terms"] = [
                 {"term": t,

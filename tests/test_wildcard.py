@@ -1,0 +1,205 @@
+"""Wildcard ('prefix*') query expansion: semantics, cap, sharding.
+
+The engine's multi-term rewrite (Lucene-style prefix query): a
+``prefix*`` token expands against the GLOBAL dictionary to at most
+WILDCARD_MAX_EXPANSIONS terms by (df desc, term asc), stopwords never
+re-admitted. AND mode treats each wildcard as a group (doc must match
+>= 1 expansion per group plus every literal); OR mode accumulates all.
+Doc-range shards derive identical expansion sets from the global
+dictionary, so sharded results are bit-identical to unsharded.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import IndexConfig, WILDCARD_MAX_EXPANSIONS
+from search_engine_ray.corpus import write_transcripts
+from search_engine_ray.pipelines.build_index import build_index
+from search_engine_ray.pipelines.search import DocShardedSearcher
+from search_engine_ray.stages.query import LocalIndex
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wc")
+    src = str(root / "transcripts")
+    write_transcripts(src, n_convs=100, turns_per_conv=5, seed=11, n_files=4)
+    d = str(root / "index")
+    # stemming off: expansion semantics are transparent (the dictionary
+    # holds raw tokens only)
+    build_index(src, d, IndexConfig(stemming=False, doc_bucket_size=512),
+                n_partitions=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def prefix_heavy_index(ray_session, tmp_path_factory):
+    """71 terms sharing prefix 'qq' with a strict df ladder:
+    qq00 in 71 docs, qq01 in 70, ... qq70 in 1 — the 64-term cap must
+    select qq00..qq63. Every doc also contains 'anchor'."""
+    root = tmp_path_factory.mktemp("wc_cap")
+    src = root / "src"
+    src.mkdir()
+    n = 71
+    texts = [
+        "anchor " + " ".join(f"qq{i:02d}" for i in range(j + 1))
+        for j in range(n)
+    ]  # doc j contains qq00..qqj  ->  df(qq_i) = n - i
+    pq.write_table(
+        pa.table({
+            "conv_id": pa.array([f"conv-{i:08d}" for i in range(n)]),
+            "turn_idx": pa.array(np.zeros(n, dtype="int32"), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(np.zeros(n, dtype="datetime64[us]"),
+                           pa.timestamp("us")),
+        }),
+        str(src / "part-0.parquet"),
+    )
+    d = str(root / "index")
+    build_index(str(src), d, IndexConfig(stemming=False), n_partitions=1)
+    return d
+
+
+def _brute_or(li: LocalIndex, terms, k):
+    """Reference: OR-query over an explicit term list (stemming=False
+    index, so analyzer terms == dictionary terms)."""
+    return li.search(" ".join(terms), k, mode="OR", result_cache=False)
+
+
+def test_or_equals_expansion_or(index_dir):
+    li = LocalIndex(index_dir)
+    exp = li.expand_prefix("run")
+    assert exp, "fixture corpus must contain run-prefixed terms"
+    a_ids, a_sc = li.search("run*", 10**9, mode="OR")
+    b_ids, b_sc = _brute_or(li, exp, 10**9)
+    assert a_ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_mixed_literal_and_wildcard_or(index_dir):
+    li = LocalIndex(index_dir)
+    exp = li.expand_prefix("meet")
+    a_ids, a_sc = li.search("running meet*", 10**9, mode="OR")
+    b_ids, b_sc = _brute_or(li, ["running"] + exp, 10**9)
+    assert a_ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_and_group_semantics(index_dir):
+    """'lit wc*' AND = docs containing lit AND >=1 expansion; scores =
+    sum of all matched terms' contributions (equal to the OR ranking
+    restricted to qualifying docs)."""
+    li = LocalIndex(index_dir)
+    exp = li.expand_prefix("meet")
+    lit_ids, _ = li.search("running", 10**9, mode="OR")
+    grp_ids = set()
+    for t in exp:
+        grp_ids.update(li.term_postings(t)[0].tolist())
+    want = sorted(set(lit_ids.tolist()) & grp_ids)
+    a_ids, a_sc = li.search("running meet*", 10**9, mode="AND")
+    assert sorted(a_ids.tolist()) == want
+    # scores equal the OR-mode scores of the same docs
+    o_ids, o_sc = li.search("running meet*", 10**9, mode="OR")
+    pos = {d: i for i, d in enumerate(o_ids.tolist())}
+    for d, s in zip(a_ids.tolist(), a_sc.tolist()):
+        assert s == o_sc[pos[d]]
+
+
+def test_wildcard_no_match(index_dir):
+    li = LocalIndex(index_dir)
+    assert li.search("zzznope*", 50, mode="OR")[0].size == 0
+    assert li.search("zzznope*", 50, mode="AND")[0].size == 0
+    # AND: an unmatchable group empties the result even with a live literal
+    assert li.search("running zzznope*", 50, mode="AND")[0].size == 0
+    # OR: the dead group contributes nothing, the literal survives
+    a_ids, a_sc = li.search("running zzznope*", 10**9, mode="OR")
+    b_ids, b_sc = li.search("running", 10**9, mode="OR")
+    assert a_ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_duplicate_terms_score_once(index_dir):
+    """A term reachable both literally and via expansion contributes
+    exactly once."""
+    li = LocalIndex(index_dir)
+    exp = li.expand_prefix("run")
+    assert "running" in exp
+    a_ids, a_sc = li.search("running run*", 10**9, mode="OR")
+    b_ids, b_sc = _brute_or(li, exp, 10**9)
+    assert a_ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_exclusion_wildcard(index_dir):
+    """'-prefix*' drops every doc containing ANY expansion; survivors'
+    scores unchanged."""
+    li = LocalIndex(index_dir)
+    full_ids, full_sc = li.search("meetings", 10**9, mode="OR")
+    ex_ids, ex_sc = li.search("meetings -run*", 10**9, mode="OR")
+    banned = set()
+    for t in li.expand_prefix("run"):
+        banned.update(li.term_postings(t)[0].tolist())
+    keep = [i for i, d in enumerate(full_ids.tolist()) if d not in banned]
+    assert ex_ids.tolist() == [full_ids[i] for i in keep]
+    assert ex_sc.tolist() == [full_sc[i] for i in keep]
+
+
+def test_expansion_cap_df_desc_term_asc(prefix_heavy_index):
+    li = LocalIndex(prefix_heavy_index)
+    exp = li.expand_prefix("qq")
+    assert len(exp) == WILDCARD_MAX_EXPANSIONS
+    # df ladder: highest-df 64 are qq00..qq63 (returned sorted)
+    assert exp == [f"qq{i:02d}" for i in range(WILDCARD_MAX_EXPANSIONS)]
+    # docs 64..70 contain qq64+ (outside the cap) AND qq00..qq63, so
+    # they still match; every doc matches via qq00
+    ids, _ = li.search("qq*", 10**9, mode="OR")
+    assert ids.size == 71
+
+
+def test_expansion_drops_stopwords(index_dir):
+    li = LocalIndex(index_dir)
+    # 'the' is in the fixture vocabulary; 'th*' must not expand to it
+    assert "the" in li.terms
+    assert "the" not in li.expand_prefix("th")
+
+
+def test_sharded_bit_identical_with_cap(prefix_heavy_index):
+    """Doc-range shards expand against the global dictionary, so the
+    binding 64-term cap picks the SAME set on every shard."""
+    li = LocalIndex(prefix_heavy_index)
+    sh = DocShardedSearcher(prefix_heavy_index, n_shards=3)
+    try:
+        for q, mode in [("qq*", "OR"), ("anchor qq*", "AND"),
+                        ("qq0* qq1*", "AND"), ("anchor -qq6*", "OR")]:
+            a_ids, a_sc = li.search(q, 200, mode=mode, result_cache=False)
+            b_ids, b_sc = sh.search(q, 200, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+    finally:
+        sh.close()
+
+
+def test_sharded_bit_identical_fixture(index_dir):
+    li = LocalIndex(index_dir)
+    sh = DocShardedSearcher(index_dir, n_shards=3)
+    try:
+        for q, mode in [("run*", "OR"), ("running meet*", "AND"),
+                        ("meetings -run*", "OR"), ("zz* running", "OR")]:
+            a_ids, a_sc = li.search(q, 100, mode=mode, result_cache=False)
+            b_ids, b_sc = sh.search(q, 100, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+    finally:
+        sh.close()
+
+
+def test_result_cache_hit_bit_identical(index_dir):
+    li = LocalIndex(index_dir)
+    c1 = li.search("run* meetings", 50, mode="OR")
+    c2 = li.search("run* meetings", 50, mode="OR")
+    assert c1[0].tolist() == c2[0].tolist()
+    assert c1[1].tolist() == c2[1].tolist()
