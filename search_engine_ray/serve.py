@@ -459,6 +459,13 @@ class SearchServer:
                     fixed_tokens: list[str] = []
                     changed_any = False
                     for tok in query.split():
+                        if tok.endswith("*"):
+                            # wildcard tokens are intentionally
+                            # partial words — never "correct" the
+                            # prefix (and never let a rebuild drop
+                            # the '*')
+                            fixed_tokens.append(tok)
+                            continue
                         neg = tok.startswith("-") and len(tok) > 1
                         body = tok[1:] if neg else tok
                         parts = [

@@ -203,3 +203,42 @@ def test_result_cache_hit_bit_identical(index_dir):
     c2 = li.search("run* meetings", 50, mode="OR")
     assert c1[0].tolist() == c2[0].tolist()
     assert c1[1].tolist() == c2[1].tolist()
+
+
+def test_http_wildcard_passthrough_and_spellcheck(index_dir):
+    """HTTP /search: a wildcard query reaches the engine intact, and
+    the spellcheck rewrite never touches (or drops) a 'prefix*' token
+    even when another token gets corrected."""
+    import json as json_
+    import urllib.parse
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+
+    li = LocalIndex(index_dir)
+
+    class LocalSearcher:  # avoid actor startup for this test
+        def search(self, q, k, mode):
+            return li.search(q, k, mode=mode)
+
+    srv = SearchServer(index_dir, LocalSearcher()).start()
+    try:
+        q = urllib.parse.quote("run* meetings")
+        url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        want_ids, _ = li.search("run* meetings", k=20, mode="OR")
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+        assert "spellcheck" not in payload
+
+        # misspelled literal + wildcard: the literal corrects, the
+        # wildcard token survives verbatim
+        q = urllib.parse.quote("meetngs run*")
+        url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert payload["spellcheck"] == ["meetings", "run*"]
+        want_ids, _ = li.search("meetings run*", k=20, mode="OR")
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+    finally:
+        srv.stop()
