@@ -1254,6 +1254,103 @@ FROM events GROUP BY 1
 """
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-active week
+    (their cohort), counted per week-offset they return in — the
+    classic growth-analytics rollup.
+
+    Distributed shape (one shuffle): per-batch distinct (user, week)
+    pairs -> hash-partition by user_id (every row of a user
+    co-locates) -> ONE vectorized pass per partition computes each
+    user's cohort week (min) and the partition's (cohort, offset)
+    partial counts -> small bounded-key groupby sums partials.
+    Weeks are bounded by calendar time, so the final key space is
+    O(weeks^2) regardless of corpus size; per-partition memory is the
+    partition's distinct (user, week) pairs, which ``_events_nsub``'s
+    row-scaled sizing bounds."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def week_user(t: pa.Table) -> pa.Table:
+        # per-batch distinct: the shuffle moves each batch's unique
+        # (user, week) pairs, not every event row
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "week": pc.floor_temporal(t["ts"], unit="week"),
+            }
+        ).group_by(["user_id", "week"]).aggregate([])
+
+    def retention_part(g: pa.Table) -> pa.Table:
+        w = (
+            g["week"].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global per-user dedupe (a pair seen in two batches lands here)
+        new = np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        u, w = u[new], w[new]
+        ustarts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        per_user = np.diff(np.concatenate([ustarts, [len(u)]]))
+        cohort = np.repeat(w[ustarts], per_user)  # w asc within user
+        off = (w - cohort) // _WEEK_US
+        korder = np.lexsort((off, cohort))
+        cohort, off = cohort[korder], off[korder]
+        kstarts = np.flatnonzero(
+            np.concatenate([[True], (cohort[1:] != cohort[:-1]) | (off[1:] != off[:-1])])
+        )
+        counts = np.diff(np.concatenate([kstarts, [len(cohort)]]))
+        return pa.table(
+            {
+                "cohort_week": pa.array(cohort[kstarts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "week_offset": pa.array(off[kstarts], pa.int64()),
+                "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    n_sub = _events_nsub()
+    combined = empty_dataset(
+        pa.schema([
+            ("cohort_week", pa.timestamp("us")),
+            ("week_offset", pa.int64()),
+            ("n_part", pa.int64()),
+        ])
+    ).union(
+        ds.map_batches(week_user, batch_format="pyarrow")
+        .map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(retention_part, batch_format="pyarrow")
+    )
+    return _coalesced_groupby(combined, ["cohort_week", "week_offset"]).aggregate(
+        Sum("n_part", alias_name="n_users")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH wk AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM wk w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 # ============================================================
 # Consolidated gate entries. The driver's correctness gate evaluates at
 # most 50 queries() entries, so closely-related operators share one
@@ -1642,6 +1739,7 @@ RAY_QUERIES_AUX = {
     "flame_join_hash": flame_join_hash,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -1660,6 +1758,7 @@ ORACLE_SQL_AUX = {
     "flame_join_hash": SQL_JOIN_HASH,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

@@ -1,0 +1,72 @@
+"""Cohort retention triangle (events_retention): handcrafted truth +
+degenerate shapes. Oracle parity runs in the gate (tools_verify)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_engine_ray.ops import relational
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (user_id, iso_ts_string)."""
+    n = len(rows)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime([ts for _, ts in rows]).astype("datetime64[us]"),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_retention_handcrafted(ray_session, tmp_path):
+    """Two cohorts; weeks start Monday (2026-01-05 is a Monday).
+    Cohort A (users 1, 2) first active in week of Jan 5:
+      u1 returns week+1 and week+2; u2 returns week+1 only.
+    Cohort B (user 3) first active week of Jan 12, returns week+2.
+    Duplicate events inside a (user, week) must not double-count."""
+    sf = _write_events(tmp_path, [
+        (1, "2026-01-05 10:00:00"),   # A offset 0
+        (1, "2026-01-07 09:00:00"),   # same week dup
+        (2, "2026-01-09 23:59:59"),   # A offset 0 (Fri of week Jan 5)
+        (1, "2026-01-12 00:00:00"),   # A offset 1
+        (2, "2026-01-14 12:00:00"),   # A offset 1
+        (1, "2026-01-19 08:00:00"),   # A offset 2
+        (3, "2026-01-12 11:00:00"),   # B offset 0
+        (3, "2026-01-26 11:00:00"),   # B offset 2
+    ])
+    df = relational.events_retention(sf).to_pandas()
+    df["cohort_week"] = df["cohort_week"].astype("datetime64[us]")
+    got = {
+        (str(r.cohort_week.date()), int(r.week_offset)): int(r.n_users)
+        for r in df.itertuples()
+    }
+    assert got == {
+        ("2026-01-05", 0): 2,
+        ("2026-01-05", 1): 2,
+        ("2026-01-05", 2): 1,
+        ("2026-01-12", 0): 1,
+        ("2026-01-12", 2): 1,
+    }
+
+
+def test_retention_empty_events(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    assert relational.events_retention(sf).count() == 0
+
+
+def test_retention_single_user_single_week(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [(7, "2026-03-03 00:00:00"),
+                                  (7, "2026-03-04 00:00:00")])
+    df = relational.events_retention(sf).to_pandas()
+    assert len(df) == 1
+    assert int(df["week_offset"].iloc[0]) == 0
+    assert int(df["n_users"].iloc[0]) == 1
