@@ -442,6 +442,25 @@ class SearchServer:
                     # semantically wrong results with no signal
                     self._json(400, {"error": "mode must be AND or OR"})
                     return
+                # pagination: offset skips the first N ranks. The
+                # deterministic ranking (and the result cache keying on
+                # (query, k, mode)) makes page N+1 consistent with page
+                # N — same ordering, no duplicates across pages. The
+                # depth bound applies to offset+k: one deep page costs
+                # what one big-k request would, never more.
+                try:
+                    offset = int((qs.get("offset") or ["0"])[0])
+                except ValueError:
+                    self._json(400, {"error": "offset must be an integer"})
+                    return
+                if offset < 0:
+                    self._json(400, {"error": "offset must be >= 0"})
+                    return
+                if offset + k > MAX_K:
+                    self._json(
+                        400, {"error": f"offset + k must be <= {MAX_K}"}
+                    )
+                    return
                 corrected = None
                 run_query = query
                 if outer.speller is not None:
@@ -480,11 +499,14 @@ class SearchServer:
                     if changed_any:
                         corrected = fixed_tokens
                         run_query = " ".join(fixed_tokens)
-                ids, scores = outer.searcher.search(run_query, k=k, mode=mode)
+                ids, scores = outer.searcher.search(
+                    run_query, k=offset + k, mode=mode
+                )
+                ids, scores = ids[offset:], scores[offset:]
                 meta = outer.docs.lookup(ids)
                 results = [
                     {
-                        "rank": r + 1,
+                        "rank": offset + r + 1,
                         "doc_id": int(d),
                         "score": float(s),
                         **meta.get(int(d), {}),

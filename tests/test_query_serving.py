@@ -1177,3 +1177,42 @@ def test_http_knn_endpoint(index_dir, tmp_path_factory):
         assert e.code == 501
     finally:
         bare.stop()
+
+
+def test_http_pagination_offset(index_dir):
+    """offset skips ranks deterministically: page 2 equals the tail of
+    one deep request; bad offsets 400; depth bound covers offset+k."""
+    import json as json_
+    import urllib.error
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer, MAX_K
+    from search_engine_ray.stages.query import LocalIndex
+
+    li = LocalIndex(index_dir)
+
+    class LocalSearcher:
+        def search(self, q, k, mode):
+            return li.search(q, k, mode=mode)
+
+    srv = SearchServer(index_dir, LocalSearcher()).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}/search?query=running&mode=OR"
+        with urllib.request.urlopen(base + "&k=10") as resp:
+            full = json_.loads(resp.read())["results"]
+        with urllib.request.urlopen(base + "&k=5&offset=5") as resp:
+            page2 = json_.loads(resp.read())["results"]
+        assert page2 == full[5:10]
+        assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
+        # offset past the end of the match set (fixture corpus has far
+        # fewer than 900 'running' matches): empty page, not an error
+        with urllib.request.urlopen(base + "&k=5&offset=900") as resp:
+            assert json_.loads(resp.read())["results"] == []
+        for bad in ("abc", "-1", str(MAX_K)):
+            try:
+                urllib.request.urlopen(base + f"&k=10&offset={bad}")
+                raise AssertionError(f"offset={bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad, e.code)
+    finally:
+        srv.stop()
