@@ -1334,6 +1334,73 @@ def events_retention(sf_dir: str):
     )
 
 
+def events_lag(sf_dir: str):
+    """Per-user window functions over the event stream: each event's
+    rank within its user's timeline (row_number, ordered by ts then
+    event_id) and the gap in microseconds since the user's previous
+    event (-1 for the first — kept integer on both sides so the
+    oracle's value hash never sees a NULL/NaN dtype divergence).
+
+    Distributed shape: ONE user-hash shuffle co-locates each user's
+    events; a single vectorized pass per partition (lexsort + diff)
+    computes every rank and gap — no per-user Python, no driver
+    state. Output is row-per-event and streams straight through."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def lag_part(g: pa.Table) -> pa.Table:
+        ts = (
+            g["ts"].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        u = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        ustarts = np.flatnonzero(first)
+        # rank = position since the user's first row
+        ranks = np.arange(len(u), dtype=np.int64) - np.repeat(
+            ustarts, np.diff(np.concatenate([ustarts, [len(u)]]))
+        ) + 1
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[first] = -1
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ev_rank": pa.array(ranks, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    n_sub = _events_nsub()
+    return empty_dataset(
+        pa.schema([
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ev_rank", pa.int64()),
+            ("gap_us", pa.int64()),
+        ])
+    ).union(
+        ds.map_batches(lambda t: _add_upart(t, n_sub), batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(lag_part, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS ev_rank,
+       COALESCE(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts), -1) AS gap_us
+FROM events
+"""
+
+
 SQL_EVENTS_RETENTION = """
 WITH wk AS (
     SELECT DISTINCT user_id,
@@ -1740,6 +1807,7 @@ RAY_QUERIES_AUX = {
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_lag": events_lag,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -1759,6 +1827,7 @@ ORACLE_SQL_AUX = {
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_lag": SQL_EVENTS_LAG,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

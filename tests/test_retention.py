@@ -70,3 +70,25 @@ def test_retention_single_user_single_week(ray_session, tmp_path):
     assert len(df) == 1
     assert int(df["week_offset"].iloc[0]) == 0
     assert int(df["n_users"].iloc[0]) == 1
+
+
+def test_events_lag_handcrafted(ray_session, tmp_path):
+    """Per-user rank + gap: ranks restart per user; first event gap is
+    -1; equal timestamps tie-break by event_id."""
+    sf = _write_events(tmp_path, [
+        (1, "2026-01-05 10:00:00"),
+        (1, "2026-01-05 10:00:01"),
+        (2, "2026-01-05 09:00:00"),
+        (1, "2026-01-05 10:00:01"),   # same ts as event 1: ties on eid
+        (2, "2026-01-06 09:00:00"),
+    ])
+    df = (relational.events_lag(sf).to_pandas()
+          .sort_values(["user_id", "ev_rank"]).reset_index(drop=True))
+    assert df["event_id"].tolist() == [0, 1, 3, 2, 4]
+    assert df["ev_rank"].tolist() == [1, 2, 3, 1, 2]
+    assert df["gap_us"].tolist() == [-1, 1_000_000, 0, -1, 86_400_000_000]
+
+
+def test_events_lag_empty(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    assert relational.events_lag(sf).count() == 0
