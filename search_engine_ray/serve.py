@@ -43,6 +43,7 @@ _FRONTEND = """<!doctype html>
  .hit{margin:.8rem 0;padding:.5rem;border-left:3px solid #888}
  .meta{color:#666;font-size:.85rem}
  .spell{color:#a40;margin:.5rem 0}
+ mark{background:#ffe08a;padding:0 .1em}
 </style></head>
 <body>
 <h1>transcript search</h1>
@@ -54,6 +55,25 @@ _FRONTEND = """<!doctype html>
 <script>
 const esc = s => String(s).replace(/[&<>"']/g,
   c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+// highlight query terms in an ALREADY-ESCAPED snippet: one combined
+// whole-word regex in a single pass (no re-scan of inserted <mark>
+// tags, no nesting when one term prefixes another); 'prefix*'
+// wildcards highlight any word with that prefix, '-exclusions' are
+// skipped
+const hi = (text, q) => {
+  const parts = q.split(/\\s+/)
+    .filter(w => w && !w.startsWith('-'))
+    .map(w => {
+      const wc = w.endsWith('*');
+      const body = (wc ? w.slice(0, -1) : w).replace(/[^0-9a-zA-Z]/g, '');
+      return body ? body + (wc ? '[0-9a-zA-Z]*' : '') : null;
+    })
+    .filter(Boolean);
+  const out = esc(text);
+  if (!parts.length) return out;
+  return out.replace(new RegExp('\\\\b(' + parts.join('|') + ')\\\\b', 'gi'),
+                     '<mark>$1</mark>');
+};
 const qEl = document.getElementById('q');
 qEl.addEventListener('input', async () => {
   // complete the word being typed via the dictionary-backed /suggest
@@ -74,11 +94,14 @@ document.getElementById('f').addEventListener('submit', async (ev) => {
   const j = await r.json();
   document.getElementById('spell').textContent =
     j.spellcheck ? 'searched instead for: ' + j.spellcheck.join(' ') : '';
+  // highlight against the query that actually ran (the corrected one
+  // when spellcheck rewrote it)
+  const effQ = j.spellcheck ? j.spellcheck.join(' ') : q;
   document.getElementById('out').innerHTML = (j.results || []).map(h =>
     '<div class="hit"><div class="meta">#' + esc(h.rank) + ' doc ' + esc(h.doc_id) +
     ' (' + esc(h.conv_id || '') + ' / turn ' + esc(h.turn_idx ?? '') + ') score ' +
     esc(h.score.toFixed(4)) + '</div><div>' +
-    esc(h.snippet || '') + '</div></div>').join('') ||
+    hi(h.snippet || '', effQ) + '</div></div>').join('') ||
     '<p>no results</p>';
 });
 </script></body></html>

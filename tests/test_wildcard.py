@@ -242,3 +242,33 @@ def test_http_wildcard_passthrough_and_spellcheck(index_dir):
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
+
+
+def test_frontend_page_has_highlighter(index_dir):
+    """The search page ships the snippet highlighter: single-pass
+    combined whole-word regex over the escaped snippet, with wildcard
+    prefixes highlighting any completion."""
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+    from search_engine_ray.stages.query import LocalIndex
+
+    li = LocalIndex(index_dir)
+
+    class LocalSearcher:
+        def search(self, q, k, mode):
+            return li.search(q, k, mode=mode)
+
+    srv = SearchServer(index_dir, LocalSearcher(), spellcheck=False).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as resp:
+            body = resp.read().decode()
+        assert "const hi = (text, q)" in body
+        assert "<mark>$1</mark>" in body
+        # Python escaping renders real JS regex source: literal \s in
+        # the split and an escaped \\b inside the RegExp string
+        assert "q.split(/\\s+/)" in body
+        assert "'\\\\b('" in body
+        assert "mark{background" in body
+    finally:
+        srv.stop()
