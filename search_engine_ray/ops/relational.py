@@ -1390,6 +1390,130 @@ def events_lag(sf_dir: str):
     )
 
 
+_HLL_M = 4096  # 2^12 registers; std error ~1.04/sqrt(m) ~ 1.6%
+_HLL_W = 49    # rank range of the remaining 48 hash bits (+1 for w=0)
+
+
+def events_hll(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type — THE
+    sketch for count-distinct at 100 TB: registers are a fixed 4096
+    ints per group no matter the corpus, merge is elementwise max
+    (associative, so per-batch partials combine in any order), and
+    nothing corpus-sized ever moves.
+
+    Deterministic end-to-end: the 60-bit md5 content hash (dedup's
+    shared `_hash60` kernel) splits into a 12-bit bucket and a 48-bit
+    suffix whose bit length gives the rank; the register sum is kept
+    as an EXACT int64 (sum of 2^(49-m) terms), so the SQL twin
+    reproduces the estimate bit-for-bit — a fully oracle-checked
+    approximate operator. Small-range linear counting applies below
+    2.5m with zero registers present (the only correction reachable at
+    any tested scale; the 2^32 large-range correction is out of this
+    hash's regime and omitted on both sides)."""
+    from .dedup import _hash60
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash60(pc.cast(t["user_id"], pa.string())).astype(np.uint64)
+        bucket = (h >> np.uint64(48)).astype(np.int64)
+        w = (h & np.uint64((1 << 48) - 1)).astype(np.float64)
+        # exact integer bit length: frexp's exponent is exact for
+        # integers < 2^53 (48-bit w qualifies); no log2 float hazard
+        _mant, e = np.frexp(w)
+        rank = np.where(w > 0, _HLL_W - e, _HLL_W).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        ).group_by(["event_type", "bucket"]).aggregate([("rank", "max")])
+
+    from ray.data.aggregate import Max
+
+    combined = empty_dataset(
+        pa.schema([
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("rank_max", pa.int64()),
+        ])
+    ).union(ds.map_batches(partial, batch_format="pyarrow"))
+    # bounded keys (types x 4096): the coalesce policy applies
+    regs = _coalesced_groupby(combined, ["event_type", "bucket"]).aggregate(
+        Max("rank_max", alias_name="m")
+    )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        et = g["event_type"][0].as_py()
+        m = g["m"].to_numpy()
+        v_zero = _HLL_M - len(m)
+        sum_scaled = int((np.int64(1) << (_HLL_W - m)).sum()) + (
+            v_zero << _HLL_W
+        )
+        alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))
+        raw = (
+            alpha * _HLL_M * _HLL_M * float(1 << _HLL_W) / float(sum_scaled)
+        )
+        if raw <= 2.5 * _HLL_M and v_zero > 0:
+            est = _HLL_M * np.log(_HLL_M / float(v_zero))
+        else:
+            est = raw
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "hll_distinct": pa.array(
+                    [float(np.round(est, 6))], pa.float64()
+                ),
+            }
+        )
+
+    return empty_dataset(
+        pa.schema([("event_type", pa.string()), ("hll_distinct", pa.float64())])
+    ).union(
+        regs.groupby("event_type").map_groups(estimate, batch_format="pyarrow")
+    )
+
+
+# 562949953421312 = 2^49 (the exact-integer register-sum scale)
+SQL_EVENTS_HLL = """
+WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv >> 48 AS bucket,
+           CASE WHEN (hv & 281474976710655) = 0 THEN 49
+                ELSE 49 - length(format('{:b}', hv & 281474976710655))
+           END AS rank
+    FROM h
+),
+regs AS (SELECT event_type, bucket, MAX(rank) AS m FROM r GROUP BY 1, 2),
+agg AS (
+    SELECT event_type,
+           SUM(1::BIGINT << (49 - m)) AS s_present,
+           COUNT(*) AS present
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT event_type,
+           4096 - present AS v_zero,
+           s_present + ((4096 - present)::BIGINT << 49) AS sum_scaled
+    FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                       * 562949953421312.0 / sum_scaled <= 10240.0
+                   AND v_zero > 0
+              THEN 4096 * ln(4096 / CAST(v_zero AS DOUBLE))
+              ELSE (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                   * 562949953421312.0 / sum_scaled
+              END, 6) AS hll_distinct
+FROM est
+"""
+
+
 SQL_EVENTS_LAG = """
 SELECT event_id, user_id,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1808,6 +1932,7 @@ RAY_QUERIES_AUX = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_lag": events_lag,
+    "events_hll": events_hll,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -1828,6 +1953,7 @@ ORACLE_SQL_AUX = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_lag": SQL_EVENTS_LAG,
+    "events_hll": SQL_EVENTS_HLL,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

@@ -92,3 +92,43 @@ def test_events_lag_handcrafted(ray_session, tmp_path):
 def test_events_lag_empty(ray_session, tmp_path):
     sf = _write_events(tmp_path, [])
     assert relational.events_lag(sf).count() == 0
+
+
+def test_events_hll_accuracy(ray_session, tmp_path):
+    """HLL estimate within 5% of truth (std error at m=4096 is ~1.6%),
+    across both the linear-counting and raw regimes."""
+    rows = []
+    # type 'a': 5000 distinct users (raw-estimator regime for m=4096
+    # starts ~2.5m=10240, so this is linear counting), each seen twice
+    for u in range(5000):
+        rows.append((u, "2026-01-05 10:00:00"))
+        rows.append((u, "2026-01-06 10:00:00"))
+    sf = _write_events(tmp_path, rows)
+    # rewrite with event_type split: first 5000 rows 'a', rest 'b'
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    t = pq_.read_table(str(tmp_path / "events.parquet"))
+    et = ["a"] * t.num_rows
+    t = t.set_column(t.schema.get_field_index("event_type"),
+                     "event_type", pa_.array(et))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    df = relational.events_hll(sf).to_pandas()
+    assert len(df) == 1
+    est = float(df["hll_distinct"].iloc[0])
+    assert abs(est - 5000) / 5000 < 0.05, est
+
+
+def test_events_hll_duplicates_do_not_inflate(ray_session, tmp_path):
+    """The sketch is a pure function of the distinct user set: 100
+    events from 3 users estimate ~3."""
+    rows = [(u % 3, f"2026-01-05 10:00:{s % 60:02d}") for s, u in
+            enumerate(range(100))]
+    sf = _write_events(tmp_path, rows)
+    df = relational.events_hll(sf).to_pandas()
+    est = float(df["hll_distinct"].iloc[0])
+    assert 2.5 < est < 3.5, est
+
+
+def test_events_hll_empty(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    assert relational.events_hll(sf).count() == 0
