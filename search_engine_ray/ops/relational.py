@@ -1475,6 +1475,110 @@ def events_hll(sf_dir: str):
     )
 
 
+_CMS_D = 4      # hash rows
+_CMS_W = 2048   # counters per row
+_CMS_PROBES = list(range(50))  # point-query user ids
+
+
+def events_cms(sf_dir: str):
+    """Count-Min sketch over the event stream: estimated event counts
+    for a fixed probe set of users from d x w = 4 x 2048 counters —
+    the mergeable point-query sketch for per-key frequencies at
+    100 TB (merge is elementwise SUM, partials combine in any order,
+    memory is fixed regardless of corpus size; estimates are
+    one-sided: est >= true count).
+
+    Pure integer arithmetic end-to-end (md5-60 row-salted hashes,
+    int64 counters, min over rows), so the SQL twin recomputes the
+    SAME counters and estimates exactly — like ``events_hll``, a
+    fully oracle-checked approximate operator."""
+    from .dedup import _md5_60
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        rows, buckets, counts = [], [], []
+        for i in range(_CMS_D):
+            b = np.fromiter(
+                (_md5_60(f"{i}:{x}") % _CMS_W for x in u),
+                dtype=np.int64, count=len(u),
+            )
+            c = np.bincount(b, minlength=_CMS_W)
+            nz = np.flatnonzero(c)
+            rows.append(np.full(nz.size, i, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(c[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows), pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "c": pa.array(np.concatenate(counts), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    combined = empty_dataset(
+        pa.schema([
+            ("row", pa.int64()), ("bucket", pa.int64()), ("c", pa.int64()),
+        ])
+    ).union(ds.map_batches(partial, batch_format="pyarrow"))
+    regs = _coalesced_groupby(combined, ["row", "bucket"]).aggregate(
+        Sum("c", alias_name="n")
+    )
+    # the sketch is d x w ints — O(1) in the corpus; materializing it
+    # on the driver for point queries is the intended use
+    tbl = regs.to_pandas()
+    counters = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    if len(tbl):
+        counters[tbl["row"].to_numpy(), tbl["bucket"].to_numpy()] = (
+            tbl["n"].to_numpy()
+        )
+    probes = np.array(_CMS_PROBES, dtype=np.int64)
+    ests = np.min(
+        np.stack([
+            counters[i, [_md5_60(f"{i}:{x}") % _CMS_W for x in probes]]
+            for i in range(_CMS_D)
+        ]),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(probes, pa.int64()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_CMS = f"""
+WITH rows_d(row) AS (VALUES (0), (1), (2), (3)),
+probes(user_id) AS (VALUES {", ".join(f"({u})" for u in _CMS_PROBES)}),
+hashed AS (
+    SELECT r.row,
+           ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' ||
+                               CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket
+    FROM events e CROSS JOIN rows_d r
+),
+counters AS (
+    SELECT row, bucket, COUNT(*) AS n FROM hashed GROUP BY 1, 2
+),
+probe_cells AS (
+    SELECT p.user_id, r.row,
+           ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' ||
+                               CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket
+    FROM probes p CROSS JOIN rows_d r
+)
+SELECT CAST(pc.user_id AS BIGINT) AS user_id,
+       MIN(COALESCE(c.n, 0)) AS est_count
+FROM probe_cells pc
+LEFT JOIN counters c ON c.row = pc.row AND c.bucket = pc.bucket
+GROUP BY pc.user_id
+"""
+
+
 # 562949953421312 = 2^49 (the exact-integer register-sum scale)
 SQL_EVENTS_HLL = """
 WITH h AS (
@@ -1933,6 +2037,7 @@ RAY_QUERIES_AUX = {
     "events_retention": events_retention,
     "events_lag": events_lag,
     "events_hll": events_hll,
+    "events_cms": events_cms,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -1954,6 +2059,7 @@ ORACLE_SQL_AUX = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_lag": SQL_EVENTS_LAG,
     "events_hll": SQL_EVENTS_HLL,
+    "events_cms": SQL_EVENTS_CMS,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

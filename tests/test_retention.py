@@ -132,3 +132,29 @@ def test_events_hll_duplicates_do_not_inflate(ray_session, tmp_path):
 def test_events_hll_empty(ray_session, tmp_path):
     sf = _write_events(tmp_path, [])
     assert relational.events_hll(sf).count() == 0
+
+
+def test_events_cms_point_estimates(ray_session, tmp_path):
+    """Count-Min point queries: one-sided (est >= truth), exact on a
+    sparse stream (no collisions at this density), zero-ish for absent
+    probes."""
+    rows = []
+    for u, n in [(0, 30), (1, 7), (2, 1)]:
+        for i in range(n):
+            rows.append((u, f"2026-01-05 10:{i:02d}:00"))
+    sf = _write_events(tmp_path, rows)
+    df = (relational.events_cms(sf).to_pandas()
+          .set_index("user_id")["est_count"])
+    assert int(df.loc[0]) >= 30 and int(df.loc[1]) >= 7
+    # 38 events into 4x2048 counters: collisions are ~impossible, the
+    # estimates are exact
+    assert int(df.loc[0]) == 30
+    assert int(df.loc[1]) == 7
+    assert int(df.loc[2]) == 1
+    assert int(df.loc[49]) == 0
+
+
+def test_events_cms_empty(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    df = relational.events_cms(sf).to_pandas()
+    assert (df["est_count"] == 0).all() and len(df) == 50
