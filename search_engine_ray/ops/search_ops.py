@@ -691,6 +691,173 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- hybrid retrieval: BM25 text ranks fused with embedding-cosine
+#      ranks by reciprocal-rank fusion (RRF, k=60) — the standard
+#      text+vector serving combination. Each hybrid query pairs a
+#      _BM25_QUERIES text with the embedding of vec_id == query_id;
+#      both per-system rankings reuse the exact tie-break semantics
+#      their standalone gate entries already pin, and a two-term IEEE
+#      sum is commutative, so the fused scores are deterministic. ----
+
+_RRF_K = 60
+_HY_K_SYS = 50   # per-system list depth fed into the fusion
+_HY_K = 20       # fused results per query
+_HY_NQ = 4       # len(_BM25_QUERIES); vector queries are vec_id < 4
+
+
+def hybrid_rrf(sf_dir: str):
+    from .knn import _emb_matrix, _load_queries, _read_emb
+
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    # text system: full OR ranking, (round6 desc, doc asc), top 50
+    t_q, t_d, t_rn = [], [], []
+    for qid, q in _BM25_QUERIES:
+        ids, scores = li.search(q, k=10**9, mode="OR")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_HY_K_SYS]
+        t_q.extend([qid] * len(order))
+        t_d.extend(ids[order].tolist())
+        t_rn.extend(range(1, len(order) + 1))
+
+    # vector system: distributed per-batch partial top-k (the
+    # knn_cosine shape), finished on the driver (O(nq x k) rows)
+    qids_all, qmat = _load_queries(sf_dir)
+    sel = qids_all < _HY_NQ
+    qids, qmat = qids_all[sel], qmat[sel]
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qnorm))
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        q_ids, q = ray.get(_ref)
+        vids = t["vec_id"].to_numpy()
+        v = _emb_matrix(t["embedding"], q.shape[1])
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = np.round(q @ v.T, 6)
+        nq, nb = sims.shape
+        kk = _HY_K_SYS + 1  # +1: the self-match drops in the finisher
+        if nb > kk:
+            thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
+            keep_i, keep_j = np.nonzero(sims >= thresh[:, None])
+        else:
+            keep_i, keep_j = np.nonzero(np.ones_like(sims, dtype=bool))
+        return pa.table(
+            {
+                "qid": pa.array(q_ids[keep_i], pa.int64()),
+                "vec_id": pa.array(vids[keep_j], pa.int64()),
+                "sim": pa.array(sims[keep_i, keep_j], pa.float64()),
+            }
+        )
+
+    vdf = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    v_q, v_d, v_rn = [], [], []
+    for qid in qids.tolist():
+        g = vdf[(vdf["qid"] == qid) & (vdf["vec_id"] != qid)]
+        sims = g["sim"].to_numpy()
+        vids = g["vec_id"].to_numpy()
+        order = np.lexsort((vids, -sims))[:_HY_K_SYS]
+        v_q.extend([qid] * len(order))
+        v_d.extend(vids[order].tolist())
+        v_rn.extend(range(1, len(order) + 1))
+
+    # fuse: rrf(d) = sum over systems of 1/(60 + rank_d)
+    fused: dict = {}
+    for qs, ds_, rns in ((t_q, t_d, t_rn), (v_q, v_d, v_rn)):
+        for qid, d, rn in zip(qs, ds_, rns):
+            key = (qid, d)
+            fused[key] = fused.get(key, 0.0) + 1.0 / (_RRF_K + rn)
+    qid_out, doc_out, rrf_out = [], [], []
+    for qid, _text in _BM25_QUERIES:
+        pairs = [(d, v) for (q, d), v in fused.items() if q == qid]
+        if not pairs:
+            continue
+        docs = np.array([d for d, _v in pairs], dtype=np.int64)
+        vals = np.round(np.array([v for _d, v in pairs]), 6)
+        order = np.lexsort((docs, -vals))[:_HY_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(docs[order].tolist())
+        rrf_out.extend(vals[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "rrf": pa.array(rrf_out, pa.float64()),
+        }
+    )
+
+
+def _hybrid_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
+    )
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term) AS (VALUES {values}),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+t_scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+text_ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM t_scored
+),
+vq AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id < {_HY_NQ} AND embedding IS NOT NULL
+),
+vs AS (
+    SELECT vq.query_id, e.vec_id AS doc_id,
+           CAST(round(list_cosine_similarity(
+               list_transform(vq.qe, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS sim
+    FROM vq CROSS JOIN embeddings e
+    WHERE e.vec_id <> vq.query_id AND e.embedding IS NOT NULL
+),
+vec_ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id ASC) AS rn
+    FROM vs
+),
+parts AS (
+    SELECT query_id, doc_id, 1.0 / ({_RRF_K} + rn) AS r
+    FROM text_ranked WHERE rn <= {_HY_K_SYS}
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 / ({_RRF_K} + rn) AS r
+    FROM vec_ranked WHERE rn <= {_HY_K_SYS}
+),
+fused AS (
+    SELECT query_id, doc_id, round(SUM(r), 6) AS rrf
+    FROM parts GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, rrf,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, doc_id ASC) AS rn
+    FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf
+FROM ranked WHERE rn <= {_HY_K}
+"""
+
+
 def _bm25_sql(conjunctive: bool) -> str:
     values = ", ".join(
         f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
@@ -1454,11 +1621,13 @@ RAY_QUERIES_AUX = {
     "train_val_test_split": train_val_test_split,
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_wildcard": bm25_topk_wildcard,
+    "hybrid_rrf": hybrid_rrf,
     "facet_counts": facet_counts,
 }
 ORACLE_SQL_AUX = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST,
     "bm25_topk_not": _bm25_not_sql(),
     "bm25_topk_wildcard": _bm25_wildcard_sql(),
+    "hybrid_rrf": _hybrid_sql(),
     "facet_counts": _facet_sql(),
 }
