@@ -58,6 +58,10 @@ STOPWORD_PENALTY = 0.05
 # sharded results stay bit-identical to unsharded evaluation.
 WILDCARD_MAX_EXPANSIONS = 64
 
+# Reciprocal-rank fusion constant (Cormack et al.'s standard k=60)
+# shared by the batch hybrid op and the POST /hybrid serving route.
+RRF_K = 60
+
 # Content hashing for dedup/shingling. False (default) = md5-60, bit-
 # identical to the DuckDB oracle twin — every gate entry relies on it.
 # True = polars' vectorized xxhash64 (no per-string Python loop) for

@@ -699,7 +699,8 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 #      their standalone gate entries already pin, and a two-term IEEE
 #      sum is commutative, so the fused scores are deterministic. ----
 
-_RRF_K = 60
+from ..config import RRF_K as _RRF_K
+
 _HY_K_SYS = 50   # per-system list depth fed into the fusion
 _HY_K = 20       # fused results per query
 _HY_NQ = 4       # len(_BM25_QUERIES); vector queries are vec_id < 4

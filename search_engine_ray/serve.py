@@ -27,7 +27,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 import pyarrow.parquet as pq
 
-from .config import DEFAULT_TOP_K
+from .config import DEFAULT_TOP_K, RRF_K
 from .functions.analysis import _SPLIT_PATTERN
 
 
@@ -569,6 +569,74 @@ class SearchServer:
                         outer.ann, None, vec[None, :], k, n_probe,
                         exclude_self=False,
                     ))
+                    return
+                if u.path == "/hybrid":
+                    # text+vector hybrid: BM25 ranks and cosine ranks
+                    # fused by reciprocal-rank fusion (the serving twin
+                    # of ops.search_ops.hybrid_rrf). Requires the ANN
+                    # index to share the text tier's doc_id space.
+                    if outer.ann is None:
+                        self._json(501, {"error": "no ANN index attached"})
+                        return
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                        req = json.loads(self.rfile.read(n))
+                        query = req["query"]
+                        if not isinstance(query, str) or not query:
+                            raise ValueError("query must be a non-empty string")
+                        vec = np.asarray(req["vector"], np.float64)
+                        k = int(req.get("k", 20))
+                        k_sys = int(req.get("k_sys", 50))
+                        mode = str(req.get("mode", "OR")).upper()
+                        if vec.ndim != 1 or vec.size == 0:
+                            raise ValueError("vector must be a flat list")
+                        if not 1 <= k <= MAX_K:
+                            raise ValueError(f"k must be in [1, {MAX_K}]")
+                        if not 1 <= k_sys <= MAX_K:
+                            raise ValueError(f"k_sys must be in [1, {MAX_K}]")
+                        if mode not in ("AND", "OR"):
+                            raise ValueError("mode must be AND or OR")
+                    except (KeyError, TypeError, ValueError,
+                            json.JSONDecodeError) as ex:
+                        self._json(400, {"error": f"bad hybrid request: {ex}"})
+                        return
+                    t_ids, _tsc = outer.searcher.search(
+                        query, k=k_sys, mode=mode
+                    )
+                    _q, v_ids, _vs = outer.ann.search_matrix(
+                        np.zeros(1, np.int64), vec[None, :], k=k_sys,
+                        exclude_self=False,
+                    )
+                    fused: dict = {}
+                    for ranked in (t_ids.tolist(), v_ids.tolist()):
+                        for rank, d in enumerate(ranked, 1):
+                            fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + rank)
+                    if fused:
+                        docs = np.fromiter(fused, np.int64, count=len(fused))
+                        vals = np.round(
+                            np.fromiter(
+                                (fused[int(d)] for d in docs),
+                                np.float64, count=len(docs),
+                            ), 6,
+                        )
+                        order = np.lexsort((docs, -vals))[:k]
+                        docs, vals = docs[order], vals[order]
+                    else:
+                        docs = np.empty(0, np.int64)
+                        vals = np.empty(0, np.float64)
+                    meta = outer.docs.lookup(docs)
+                    self._json(200, {
+                        "query": query,
+                        "results": [
+                            {
+                                "rank": r + 1,
+                                "doc_id": int(d),
+                                "rrf": float(v),
+                                **meta.get(int(d), {}),
+                            }
+                            for r, (d, v) in enumerate(zip(docs, vals))
+                        ],
+                    })
                     return
                 if u.path != "/batch":
                     self._json(404, {"error": "unknown route"})
