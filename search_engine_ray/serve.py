@@ -171,6 +171,26 @@ def _positions_enabled(index_dir: str) -> bool:
         return bool(json.load(f)["config"].get("positions", False))
 
 
+def _rrf_fuse(t_ids, v_ids, k: int):
+    """Reciprocal-rank fusion of the text and vector rankings (shared
+    by POST and GET /hybrid): rrf(d) = sum over systems of
+    1/(RRF_K + rank), rounded to 6, top-k by (rrf desc, doc asc) —
+    the serving twin of ops.search_ops.hybrid_rrf's fusion step."""
+    fused: dict = {}
+    for ranked in (t_ids.tolist(), v_ids.tolist()):
+        for rank, d in enumerate(ranked, 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + rank)
+    if not fused:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.fromiter(fused, np.int64, count=len(fused))
+    vals = np.round(
+        np.fromiter((fused[int(d)] for d in docs), np.float64,
+                    count=len(docs)), 6,
+    )
+    order = np.lexsort((docs, -vals))[:k]
+    return docs[order], vals[order]
+
+
 def _knn_payload(ann, vec_id, qmat, k, n_probe, *, exclude_self):
     """Shared /knn response body: run one query vector through the
     AnnSearcher and shape neighbors like /search results. The query id
@@ -378,6 +398,65 @@ class SearchServer:
                         outer.ann, vec_id, mat, k, n_probe,
                         exclude_self=True,
                     ))
+                    return
+                if u.path == "/hybrid":
+                    # hybrid by INDEXED seed vector: 'more like doc X,
+                    # constrained by this text query'. The vector list
+                    # excludes the seed itself (as GET /knn does); the
+                    # text ranking is untouched, so the seed can still
+                    # surface via its text rank alone.
+                    if outer.ann is None:
+                        self._json(501, {"error": "no ANN index attached"})
+                        return
+                    qs = parse_qs(u.query)
+                    query = (qs.get("query") or [""])[0]
+                    if not query:
+                        self._json(400, {"error": "missing query parameter"})
+                        return
+                    try:
+                        vec_id = int((qs.get("vec_id") or [""])[0])
+                        k = int((qs.get("k") or ["20"])[0])
+                        k_sys = int((qs.get("k_sys") or ["50"])[0])
+                    except ValueError:
+                        self._json(
+                            400,
+                            {"error": "vec_id, k, k_sys must be integers"},
+                        )
+                        return
+                    mode = (qs.get("mode") or ["OR"])[0].upper()
+                    if mode not in ("AND", "OR"):
+                        self._json(400, {"error": "mode must be AND or OR"})
+                        return
+                    if not (1 <= k <= MAX_K and 1 <= k_sys <= MAX_K):
+                        self._json(
+                            400,
+                            {"error": f"k and k_sys must be in [1, {MAX_K}]"},
+                        )
+                        return
+                    ids, mat = outer.ann.get_vectors([vec_id])
+                    if ids.size == 0:
+                        self._json(404, {"error": f"vec_id {vec_id} not indexed"})
+                        return
+                    t_ids, _tsc = outer.searcher.search(query, k=k_sys, mode=mode)
+                    _q, v_ids, _vs = outer.ann.search_matrix(
+                        np.asarray([vec_id], np.int64), mat, k=k_sys,
+                        exclude_self=True,
+                    )
+                    docs, vals = _rrf_fuse(t_ids, v_ids, k)
+                    meta = outer.docs.lookup(docs)
+                    self._json(200, {
+                        "query": query,
+                        "vec_id": vec_id,
+                        "results": [
+                            {
+                                "rank": r + 1,
+                                "doc_id": int(d),
+                                "rrf": float(v),
+                                **meta.get(int(d), {}),
+                            }
+                            for r, (d, v) in enumerate(zip(docs, vals))
+                        ],
+                    })
                     return
                 if u.path == "/stats":
                     self._json(200, outer.stats())
@@ -607,23 +686,7 @@ class SearchServer:
                         np.zeros(1, np.int64), vec[None, :], k=k_sys,
                         exclude_self=False,
                     )
-                    fused: dict = {}
-                    for ranked in (t_ids.tolist(), v_ids.tolist()):
-                        for rank, d in enumerate(ranked, 1):
-                            fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + rank)
-                    if fused:
-                        docs = np.fromiter(fused, np.int64, count=len(fused))
-                        vals = np.round(
-                            np.fromiter(
-                                (fused[int(d)] for d in docs),
-                                np.float64, count=len(docs),
-                            ), 6,
-                        )
-                        order = np.lexsort((docs, -vals))[:k]
-                        docs, vals = docs[order], vals[order]
-                    else:
-                        docs = np.empty(0, np.int64)
-                        vals = np.empty(0, np.float64)
+                    docs, vals = _rrf_fuse(t_ids, v_ids, k)
                     meta = outer.docs.lookup(docs)
                     self._json(200, {
                         "query": query,

@@ -139,3 +139,85 @@ def test_http_hybrid_endpoint(ray_session, tmp_path_factory):
             assert e.code == 501
     finally:
         srv2.stop()
+
+
+def test_http_hybrid_get_by_vec_id(ray_session, tmp_path_factory):
+    """GET /hybrid?query=&vec_id= fuses text ranks with the stored
+    seed vector's neighbors (seed excluded from the vector list)."""
+    import json as json_
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import IndexConfig, RRF_K
+    from search_engine_ray.corpus import write_transcripts
+    from search_engine_ray.pipelines.ann_index import (
+        AnnSearcher, build_ann_index,
+    )
+    from search_engine_ray.pipelines.build_index import build_index
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+    from search_engine_ray.serve import SearchServer
+
+    root = tmp_path_factory.mktemp("hyget")
+    src = str(root / "tr")
+    write_transcripts(src, n_convs=30, turns_per_conv=3, seed=6, n_files=2)
+    idx = str(root / "idx")
+    build_index(src, idx, IndexConfig(doc_bucket_size=512), n_partitions=1)
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((90, 8)).astype(np.float32)
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(range(90), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }),
+        str(root / "embeddings.parquet"),
+    )
+    ann_dir = str(root / "ann")
+    build_ann_index(str(root), ann_dir)
+    ann = AnnSearcher(ann_dir)
+    searcher = DocShardedSearcher(idx, n_shards=2)
+    srv = SearchServer(idx, searcher, spellcheck=False, ann=ann).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        q = urllib.parse.quote("running meetings")
+        url = f"{base}/hybrid?query={q}&vec_id=3&k=10&k_sys=15&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert payload["vec_id"] == 3
+        # recompute directly
+        t_ids, _ = searcher.search("running meetings", k=15, mode="OR")
+        ids, qmat = ann.get_vectors([3])
+        _qq, v_ids, _s = ann.search_matrix(
+            np.asarray([3], np.int64), qmat, k=15, exclude_self=True,
+        )
+        assert 3 not in v_ids.tolist()
+        fused = {}
+        for ranked in (t_ids.tolist(), v_ids.tolist()):
+            for rank, d in enumerate(ranked, 1):
+                fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_K + rank)
+        docs = np.fromiter(fused, np.int64, count=len(fused))
+        vals = np.round(
+            np.fromiter((fused[int(d)] for d in docs), np.float64,
+                        count=len(docs)), 6)
+        order = np.lexsort((docs, -vals))[:10]
+        assert [r["doc_id"] for r in payload["results"]] == docs[order].tolist()
+
+        # unknown vec_id -> 404; missing query -> 400
+        try:
+            urllib.request.urlopen(f"{base}/hybrid?query={q}&vec_id=99999")
+            raise AssertionError("should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        try:
+            urllib.request.urlopen(f"{base}/hybrid?vec_id=3")
+            raise AssertionError("should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+        searcher.close()
