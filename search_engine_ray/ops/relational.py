@@ -1475,6 +1475,124 @@ def events_hll(sf_dir: str):
     )
 
 
+_QH_BINS = 256  # histogram quantile sketch resolution
+
+
+def events_quantile_hist(sf_dir: str):
+    """Approximate deciles of ``events.value`` from a 256-bin
+    equal-width histogram — the mergeable quantile shape for 100 TB
+    streams: pass 1 reduces exact (min, max, n); pass 2 bins every
+    value into fixed-width buckets (per-batch bincount partials merge
+    by elementwise sum, 256 ints total regardless of corpus size);
+    the decile estimate interpolates linearly inside the covering bin.
+
+    Every arithmetic step (bin index floor, target rank q*n/10, the
+    interpolation mn + (bin + (target-before)/c) * w) is written in
+    the same operand order on both sides, so the DuckDB twin
+    reproduces the estimates bit-for-bit. A constant column
+    (max == min) degenerates to est = mn for every decile on both
+    sides."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    stats = ds.aggregate(Min("value"), Max("value"), Count())
+    n = int(stats.get("count()", 0) or 0)
+    empty = pa.table(
+        {"q": pa.array([], pa.int64()), "est": pa.array([], pa.float64())}
+    )
+    if n == 0:
+        return empty
+    mn, mx = float(stats["min(value)"]), float(stats["max(value)"])
+    w = (mx - mn) / float(_QH_BINS)
+
+    if w > 0.0:
+        def binned(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.clip(
+                np.floor((v - mn) / w).astype(np.int64), 0, _QH_BINS - 1
+            )
+            c = np.bincount(b, minlength=_QH_BINS)
+            nz = np.flatnonzero(c)
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                    "c": pa.array(c[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        hist = (
+            empty_dataset(pa.schema([("bin", pa.int64()), ("c", pa.int64())]))
+            .union(ds.map_batches(binned, batch_format="pyarrow"))
+        )
+        hdf = (
+            _coalesced_groupby(hist, ["bin"]).aggregate(Sum("c", alias_name="n"))
+            .to_pandas().sort_values("bin")
+        )
+        bins = hdf["bin"].to_numpy()
+        counts = hdf["n"].to_numpy()
+        before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    q_out, est_out = [], []
+    for q in range(1, 10):
+        if w == 0.0:
+            est = mn
+        else:
+            target = q * n / 10.0
+            i = int(np.searchsorted(before + counts, target, side="left"))
+            est = mn + (bins[i] + (target - before[i]) / counts[i]) * w
+        q_out.append(q)
+        est_out.append(float(np.round(est, 6)))
+    return pa.table(
+        {
+            "q": pa.array(q_out, pa.int64()),
+            "est": pa.array(est_out, pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_QH = f"""
+WITH stats AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n,
+           (MAX(value) - MIN(value)) / {float(_QH_BINS)} AS w
+    FROM events WHERE value IS NOT NULL
+),
+b AS (
+    SELECT LEAST(GREATEST(
+               CAST(floor((e.value - s.mn) / s.w) AS BIGINT), 0),
+               {_QH_BINS - 1}) AS bin
+    FROM events e, stats s
+    WHERE e.value IS NOT NULL AND s.w > 0
+),
+hist AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+cum AS (
+    SELECT bin, c, SUM(c) OVER (ORDER BY bin) - c AS before FROM hist
+),
+qs(q) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+pick AS (
+    SELECT q.q, q.q * s.n / 10.0 AS target, s.mn, s.w,
+           MIN(c.bin) AS bin
+    FROM qs q CROSS JOIN stats s
+    JOIN cum c ON c.before < q.q * s.n / 10.0
+              AND c.before + c.c >= q.q * s.n / 10.0
+    GROUP BY q.q, s.n, s.mn, s.w
+),
+interp AS (
+    SELECT p.q,
+           round(p.mn + (p.bin + (p.target - c.before) / c.c) * p.w, 6) AS est
+    FROM pick p JOIN cum c ON c.bin = p.bin
+),
+flat AS (
+    SELECT q.q, round(s.mn, 6) AS est
+    FROM qs q CROSS JOIN stats s WHERE s.n > 0 AND s.w = 0
+)
+SELECT CAST(q AS BIGINT) AS q, est FROM interp
+UNION ALL
+SELECT CAST(q AS BIGINT) AS q, est FROM flat
+"""
+
+
 _CMS_D = 4      # hash rows
 _CMS_W = 2048   # counters per row
 _CMS_PROBES = list(range(50))  # point-query user ids
@@ -2038,6 +2156,7 @@ RAY_QUERIES_AUX = {
     "events_lag": events_lag,
     "events_hll": events_hll,
     "events_cms": events_cms,
+    "events_quantile_hist": events_quantile_hist,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -2060,6 +2179,7 @@ ORACLE_SQL_AUX = {
     "events_lag": SQL_EVENTS_LAG,
     "events_hll": SQL_EVENTS_HLL,
     "events_cms": SQL_EVENTS_CMS,
+    "events_quantile_hist": SQL_EVENTS_QH,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

@@ -158,3 +158,38 @@ def test_events_cms_empty(ray_session, tmp_path):
     sf = _write_events(tmp_path, [])
     df = relational.events_cms(sf).to_pandas()
     assert (df["est_count"] == 0).all() and len(df) == 50
+
+
+def test_events_quantile_hist_accuracy(ray_session, tmp_path):
+    """Histogram deciles track exact quantiles within one bin width on
+    a uniform-ish stream; constant columns degenerate to est = value."""
+    import pandas as pd
+
+    rows = [(i, f"2026-01-05 10:{i % 60:02d}:00") for i in range(1000)]
+    sf = _write_events(tmp_path, rows)
+    # overwrite value with a deterministic spread 0..999
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    t = pq_.read_table(str(tmp_path / "events.parquet"))
+    vals = np.arange(1000, dtype=np.float64)
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa_.array(vals, pa_.float64()))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    df = relational.events_quantile_hist(sf).to_pandas()
+    assert df["q"].tolist() == list(range(1, 10))
+    width = 999.0 / 256
+    for q, est in zip(df["q"], df["est"]):
+        exact = np.quantile(vals, q / 10.0)
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+    # constant column: every decile equals the constant
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa_.array(np.full(1000, 7.5), pa_.float64()))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    df2 = relational.events_quantile_hist(sf).to_pandas()
+    assert (df2["est"] == 7.5).all() and len(df2) == 9
+
+
+def test_events_quantile_hist_empty(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    assert relational.events_quantile_hist(sf).num_rows == 0
