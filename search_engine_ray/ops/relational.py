@@ -1475,6 +1475,115 @@ def events_hll(sf_dir: str):
     )
 
 
+def events_rollup(sf_dir: str):
+    """ROLLUP-style multi-level aggregate: event counts and exact
+    value sums at (event_type, day), (event_type, ALL) and
+    (ALL, ALL) grain — the grouping-sets shape, with literal 'ALL'
+    markers instead of NULLs so the result is join- and
+    hash-friendly. Value sums are integer centi-units
+    (CAST(ROUND(value*100)) summed as int64), exact and
+    order-independent, so the SQL twin matches bit-for-bit.
+
+    One shuffle: per-batch (type, day) partials combine first (the
+    bounded-key combiner), and both coarser levels derive from that
+    aggregate — the raw stream is never re-scanned per level."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d"
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0)), 0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": day,
+                "n_part": pa.repeat(pa.scalar(1, pa.int64()), t.num_rows),
+                "cents_part": cents,
+            }
+        ).group_by(["event_type", "day"]).aggregate(
+            [("n_part", "sum"), ("cents_part", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    combined = empty_dataset(
+        pa.schema([
+            ("event_type", pa.string()),
+            ("day", pa.string()),
+            ("n_part_sum", pa.int64()),
+            ("cents_part_sum", pa.int64()),
+        ])
+    ).union(ds.map_batches(partial, batch_format="pyarrow"))
+    import pandas as pd
+
+    base = (
+        _coalesced_groupby(combined, ["event_type", "day"])
+        .aggregate(
+            Sum("n_part_sum", alias_name="n"),
+            Sum("cents_part_sum", alias_name="cents"),
+        )
+        .to_pandas()
+    )
+    if not len(base):
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+    by_type = (
+        base.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    )
+    by_type["day"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n": [int(base["n"].sum())],
+            "cents": [int(base["cents"].sum())],
+        }
+    )
+    out = pd.concat(
+        [base[["event_type", "day", "n", "cents"]],
+         by_type[["event_type", "day", "n", "cents"]], total],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n": pa.array(out["n"].astype("int64"), pa.int64()),
+            "cents": pa.array(out["cents"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+WITH e AS (
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, day, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+FROM e GROUP BY 1, 2
+UNION ALL
+SELECT event_type, 'ALL' AS day, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM e GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS event_type, 'ALL' AS day, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM e
+"""
+
+
 _QH_BINS = 256  # histogram quantile sketch resolution
 
 
@@ -2157,6 +2266,7 @@ RAY_QUERIES_AUX = {
     "events_hll": events_hll,
     "events_cms": events_cms,
     "events_quantile_hist": events_quantile_hist,
+    "events_rollup": events_rollup,
     "flame_transform": flame_transform,
     "flame_fold_by_key": flame_fold_with_total,
     "flame_group_by": flame_group_by,
@@ -2180,6 +2290,7 @@ ORACLE_SQL_AUX = {
     "events_hll": SQL_EVENTS_HLL,
     "events_cms": SQL_EVENTS_CMS,
     "events_quantile_hist": SQL_EVENTS_QH,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "flame_transform": SQL_TRANSFORM,
     "flame_fold_by_key": SQL_FOLD_WITH_TOTAL,
     "flame_group_by": SQL_GROUP_BY,

@@ -193,3 +193,24 @@ def test_events_quantile_hist_accuracy(ray_session, tmp_path):
 def test_events_quantile_hist_empty(ray_session, tmp_path):
     sf = _write_events(tmp_path, [])
     assert relational.events_quantile_hist(sf).num_rows == 0
+
+
+def test_events_rollup_levels(ray_session, tmp_path):
+    """Three grains: (type, day), (type, ALL), (ALL, ALL); coarser
+    levels equal sums of finer ones."""
+    rows = [(1, "2026-01-05 10:00:00"), (2, "2026-01-05 11:00:00"),
+            (1, "2026-01-06 10:00:00")]
+    sf = _write_events(tmp_path, rows)
+    df = relational.events_rollup(sf).to_pandas()
+    total = df[(df["event_type"] == "ALL") & (df["day"] == "ALL")]
+    assert len(total) == 1 and int(total["n"].iloc[0]) == 3
+    fine = df[(df["event_type"] != "ALL") & (df["day"] != "ALL")]
+    per_type = df[(df["event_type"] != "ALL") & (df["day"] == "ALL")]
+    assert int(fine["n"].sum()) == 3
+    assert int(per_type["n"].sum()) == 3
+    assert int(fine["cents"].sum()) == int(total["cents"].iloc[0])
+
+
+def test_events_rollup_empty(ray_session, tmp_path):
+    sf = _write_events(tmp_path, [])
+    assert relational.events_rollup(sf).num_rows == 0
