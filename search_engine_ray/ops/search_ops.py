@@ -691,6 +691,134 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- fuzzy (term~) retrieval: each 'w~' token is a GROUP of
+#      dictionary terms within Damerau-Levenshtein distance 1 (same
+#      group-AND semantics, stopword drop and df-desc/term-asc cap as
+#      the wildcard rewrite; LocalIndex.expand_fuzzy). The oracle's
+#      damerau_levenshtein() mirrors functions.spellcheck._within1
+#      (both count a transposition as one edit). ----
+
+_FZ_QUERIES = [
+    # (query_id, [literal terms], [fuzzy words])
+    (0, ["hash"], ["jion"]),      # transposition of 'join'
+    (1, ["merge"], ["scann"]),    # insertion on 'scan'
+    (2, ["data"], ["vektor"]),    # substitution on 'vector'
+    (3, ["window"], ["quer"]),    # deletion of 'query'
+]
+
+
+def bm25_topk_fuzzy(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, lits, words in _FZ_QUERIES:
+        q = " ".join(lits + [w + "~" for w in words])
+        ids, scores = li.search(q, k=10**9, mode="AND")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_fuzzy_sql() -> str:
+    from ..config import STOPWORDS, WILDCARD_MAX_EXPANSIONS
+
+    stop_sql = ",".join("'{}'".format(w.replace("'", "''")) for w in sorted(STOPWORDS))
+    lit_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, lits, _w in _FZ_QUERIES for t in lits
+    )
+    nlit_vals = ", ".join(f"({qid}, {len(lits)})" for qid, lits, _w in _FZ_QUERIES)
+    grp_vals = ", ".join(
+        f"({qid}, {gi}, '{w}')"
+        for qid, _l, words in _FZ_QUERIES
+        for gi, w in enumerate(words)
+    )
+    ngrp_vals = ", ".join(f"({qid}, {len(words)})" for qid, _l, words in _FZ_QUERIES)
+    return f"""
+WITH {_TR_CTE},
+qlit(query_id, term) AS (VALUES {lit_vals}),
+nlit(query_id, n) AS (VALUES {nlit_vals}),
+qgrp(query_id, gid, word) AS (VALUES {grp_vals}),
+ngrp(query_id, n) AS (VALUES {ngrp_vals}),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+expansions AS (
+    SELECT query_id, gid, term FROM (
+        SELECT q.query_id, q.gid, d.term,
+               row_number() OVER (PARTITION BY q.query_id, q.gid
+                                  ORDER BY d.df DESC, d.term ASC) AS rn
+        FROM qgrp q JOIN df d ON damerau_levenshtein(d.term, q.word) <= 1
+        WHERE d.term NOT IN ({stop_sql})
+    ) WHERE rn <= {WILDCARD_MAX_EXPANSIONS}
+),
+lit_hits AS (
+    SELECT l.query_id, t.doc_id, COUNT(DISTINCT l.term) AS c
+    FROM qlit l JOIN toks_idx t ON l.term = t.term
+    GROUP BY l.query_id, t.doc_id
+),
+lit_ok AS (
+    SELECT h.query_id, h.doc_id
+    FROM lit_hits h JOIN nlit n ON n.query_id = h.query_id AND h.c = n.n
+),
+grp_hits AS (
+    SELECT DISTINCT e.query_id, e.gid, t.doc_id
+    FROM expansions e JOIN toks_idx t ON e.term = t.term
+),
+grp_ok AS (
+    SELECT g.query_id, g.doc_id
+    FROM (SELECT query_id, doc_id, COUNT(DISTINCT gid) AS c
+          FROM grp_hits GROUP BY query_id, doc_id) g
+    JOIN ngrp n ON n.query_id = g.query_id AND g.c = n.n
+),
+cand AS (
+    SELECT l.query_id, l.doc_id
+    FROM lit_ok l JOIN grp_ok g
+      ON g.query_id = l.query_id AND g.doc_id = l.doc_id
+),
+terms_all AS (
+    SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, term FROM qlit
+        UNION ALL
+        SELECT query_id, term FROM expansions
+    )
+),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM terms_all q
+    JOIN toks_idx t ON q.term = t.term
+    JOIN cand c ON c.query_id = q.query_id AND c.doc_id = t.doc_id
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 # ---- hybrid retrieval: BM25 text ranks fused with embedding-cosine
 #      ranks by reciprocal-rank fusion (RRF, k=60) — the standard
 #      text+vector serving combination. Each hybrid query pairs a
@@ -1622,6 +1750,7 @@ RAY_QUERIES_AUX = {
     "train_val_test_split": train_val_test_split,
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_wildcard": bm25_topk_wildcard,
+    "bm25_topk_fuzzy": bm25_topk_fuzzy,
     "hybrid_rrf": hybrid_rrf,
     "facet_counts": facet_counts,
 }
@@ -1629,6 +1758,7 @@ ORACLE_SQL_AUX = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST,
     "bm25_topk_not": _bm25_not_sql(),
     "bm25_topk_wildcard": _bm25_wildcard_sql(),
+    "bm25_topk_fuzzy": _bm25_fuzzy_sql(),
     "hybrid_rrf": _hybrid_sql(),
     "facet_counts": _facet_sql(),
 }

@@ -580,11 +580,12 @@ class SearchServer:
                     fixed_tokens: list[str] = []
                     changed_any = False
                     for tok in query.split():
-                        if tok.endswith("*"):
-                            # wildcard tokens are intentionally
-                            # partial words — never "correct" the
-                            # prefix (and never let a rebuild drop
-                            # the '*')
+                        if tok.endswith(("*", "~")):
+                            # wildcard/fuzzy tokens are intentionally
+                            # inexact words — never "correct" them
+                            # (and never let a rebuild drop the
+                            # marker); a fuzzy term is itself the
+                            # user's spellcheck
                             fixed_tokens.append(tok)
                             continue
                         neg = tok.startswith("-") and len(tok) > 1

@@ -363,7 +363,7 @@ class LocalIndex:
         self._doclen: np.ndarray | None = None
         # wildcard-expansion vocabulary (sorted terms + aligned dfs),
         # built lazily on the first 'prefix*' query
-        self._wc_vocab: tuple[np.ndarray, np.ndarray] | None = None
+        self._wc_vocab: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     @property
     def doclen(self) -> np.ndarray:
@@ -438,23 +438,57 @@ class LocalIndex:
         return " ".join(pos), " ".join(w[1:] for w in neg)
 
     @staticmethod
-    def _split_wildcards(query: str) -> tuple[str, list[str]]:
-        """``'merge vec*'`` -> ``('merge', ['vec'])``: a whitespace
-        token ending in ``*`` is a wildcard (prefix) term. The prefix
-        is normalized like any query token (lowercase, alphanumerics
-        only); a bare ``*`` or a prefix that normalizes to empty is
-        dropped. Everything else passes through to the analyzer."""
-        rest, prefixes = [], []
+    def _split_wildcards(query: str) -> tuple[str, list[tuple[str, str]]]:
+        """``'merge vec* jion~'`` -> ``('merge', [('prefix', 'vec'),
+        ('fuzzy', 'jion')])``: a whitespace token ending in ``*`` is a
+        wildcard (prefix) rewrite, one ending in ``~`` a fuzzy
+        (edit-distance-1) rewrite. The body is normalized like any
+        query token (lowercase, alphanumerics only); a bare marker or
+        a body that normalizes to empty is dropped. Everything else
+        passes through to the analyzer."""
+        rest, groups = [], []
         for w in query.split():
+            kind = None
             if w.endswith("*") and len(w) > 1:
+                kind = "prefix"
+            elif w.endswith("~") and len(w) > 1:
+                kind = "fuzzy"
+            if kind is not None:
                 p = "".join(c for c in w[:-1].lower() if c.isalnum())
                 if p:
-                    prefixes.append(p)
+                    groups.append((kind, p))
                 continue
-            if w == "*":
+            if w in ("*", "~"):
                 continue
             rest.append(w)
-        return " ".join(rest), prefixes
+        return " ".join(rest), groups
+
+    def _expand_group(self, kind: str, body: str) -> list[str]:
+        return (
+            self.expand_prefix(body) if kind == "prefix"
+            else self.expand_fuzzy(body)
+        )
+
+    def _vocab(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sorted rewrite vocabulary (terms, dfs, lengths), built
+        lazily on the first wildcard/fuzzy query from the GLOBAL
+        dictionary when one is installed (doc-range shards), else the
+        local term dict."""
+        if self._wc_vocab is None:
+            src = (
+                self._global_df
+                if self._global_df is not None
+                else {t: ts.df for t, ts in self.terms.items()}
+            )
+            terms = np.array(sorted(src), dtype=object)
+            dfs = np.fromiter(
+                (src[t] for t in terms), dtype=np.int64, count=len(terms)
+            )
+            lens = np.fromiter(
+                (len(t) for t in terms), dtype=np.int64, count=len(terms)
+            )
+            self._wc_vocab = (terms, dfs, lens)
+        return self._wc_vocab
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Dictionary terms starting with ``prefix``, the engine's
@@ -467,18 +501,7 @@ class LocalIndex:
         is installed (doc-range shards), so every shard derives the
         SAME expansion set even when the cap binds — the
         sharded == unsharded bit-identity contract holds."""
-        if self._wc_vocab is None:
-            src = (
-                self._global_df
-                if self._global_df is not None
-                else {t: ts.df for t, ts in self.terms.items()}
-            )
-            terms = np.array(sorted(src), dtype=object)
-            dfs = np.fromiter(
-                (src[t] for t in terms), dtype=np.int64, count=len(terms)
-            )
-            self._wc_vocab = (terms, dfs)
-        terms, dfs = self._wc_vocab
+        terms, dfs, _lens = self._vocab()
         lo = np.searchsorted(terms, prefix)
         hi = np.searchsorted(terms, prefix + chr(0x10FFFF))
         cand, cdf = terms[lo:hi], dfs[lo:hi]
@@ -490,6 +513,33 @@ class LocalIndex:
             # deterministic rewrite cap: highest-df first, term asc on
             # ties (cand is term-sorted, so stable argsort on -df is
             # exactly that order)
+            order = np.argsort(-cdf, kind="stable")[:WILDCARD_MAX_EXPANSIONS]
+            cand = cand[order]
+        return sorted(cand.tolist())
+
+    def expand_fuzzy(self, word: str) -> list[str]:
+        """Dictionary terms within Damerau-Levenshtein distance 1 of
+        ``word`` — the fuzzy (``term~``) rewrite. Same policy as
+        ``expand_prefix``: global dictionary (shard-identical sets),
+        stopwords never re-admitted, capped at
+        ``WILDCARD_MAX_EXPANSIONS`` by (df desc, term asc). Candidate
+        generation prunes to terms whose length differs by <= 1 (a
+        necessary condition at distance 1) before the exact
+        ``_within1`` check, so per-query cost is the size of three
+        length buckets, not the vocabulary."""
+        from ..functions.spellcheck import _within1
+
+        terms, dfs, lens = self._vocab()
+        L = len(word)
+        near = np.flatnonzero(np.abs(lens - L) <= 1)
+        keep = [
+            i for i in near
+            if terms[i] not in STOPWORDS
+            and (terms[i] == word or _within1(word, terms[i]))
+        ]
+        cand = terms[keep]
+        cdf = dfs[keep]
+        if len(cand) > WILDCARD_MAX_EXPANSIONS:
             order = np.argsort(-cdf, kind="stable")[:WILDCARD_MAX_EXPANSIONS]
             cand = cand[order]
         return sorted(cand.tolist())
@@ -515,7 +565,7 @@ class LocalIndex:
         unsharded ranking."""
         empty = np.empty(0, np.int64), np.empty(0, np.float64)
         lit_terms, _sw_only = analyze_query(lit_q, self.cfg) if lit_q else ([], False)
-        groups = [self.expand_prefix(p) for p in prefixes]
+        groups = [self._expand_group(kind, body) for kind, body in prefixes]
         if mode == "AND" and any(not g for g in groups):
             return empty
 
@@ -606,8 +656,8 @@ class LocalIndex:
                 analyze_query(neg_lit, self.cfg) if neg_lit else ([], False)
             )
             neg_terms = list(neg_terms)
-            for p in neg_prefixes:
-                neg_terms.extend(self.expand_prefix(p))
+            for kind, body in neg_prefixes:
+                neg_terms.extend(self._expand_group(kind, body))
         else:
             neg_terms, _ = analyze_query(neg_q, self.cfg)
         ids_list = []
@@ -838,12 +888,12 @@ class LocalIndex:
         neg_terms = analyze_query(neg_q, self.cfg)[0] if neg_q else []
         query, wc_prefixes = self._split_wildcards(query)
         wc_groups = [
-            {"prefix": p, "expansions": [
+            {"kind": kind, "body": body, "expansions": [
                 {"term": t,
                  "df": int(ts.df) if (ts := self.terms.get(t)) else 0}
-                for t in self.expand_prefix(p)
+                for t in self._expand_group(kind, body)
             ]}
-            for p in wc_prefixes
+            for kind, body in wc_prefixes
         ]
         terms, stopword_only = analyze_query(query, self.cfg)
         out_terms = []

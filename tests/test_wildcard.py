@@ -272,3 +272,52 @@ def test_frontend_page_has_highlighter(index_dir):
         assert "mark{background" in body
     finally:
         srv.stop()
+
+
+def test_fuzzy_expansion_within1(index_dir):
+    """expand_fuzzy returns exactly the dictionary terms at
+    Damerau-Levenshtein distance <= 1 (stopwords dropped), brute-
+    checked against _within1 over the whole vocabulary."""
+    from search_engine_ray.config import STOPWORDS
+    from search_engine_ray.functions.spellcheck import _within1
+
+    li = LocalIndex(index_dir)
+    for w in ["runing", "meetngs", "ponies", "zzzz"]:
+        want = sorted(
+            t for t in li.terms
+            if t not in STOPWORDS and (t == w or _within1(w, t))
+        )
+        assert li.expand_fuzzy(w) == want, w
+
+
+def test_fuzzy_group_semantics(index_dir):
+    """'lit w~' behaves exactly like a wildcard group over the fuzzy
+    expansion set: same candidates, same scores."""
+    li = LocalIndex(index_dir)
+    exp = li.expand_fuzzy("runing")
+    assert exp  # fixture corpus contains 'running'
+    a_ids, a_sc = li.search("runing~", 10**9, mode="OR")
+    b_ids, b_sc = _brute_or(li, exp, 10**9)
+    assert a_ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(a_sc, b_sc)
+    # AND with a literal
+    a2, _ = li.search("meetings runing~", 10**9, mode="AND")
+    lit_ids, _l = li.search("meetings", 10**9, mode="OR")
+    grp = set()
+    for t in exp:
+        grp.update(li.term_postings(t)[0].tolist())
+    assert sorted(a2.tolist()) == sorted(set(lit_ids.tolist()) & grp)
+
+
+def test_fuzzy_exclusion_and_sharded(index_dir):
+    li = LocalIndex(index_dir)
+    sh = DocShardedSearcher(index_dir, n_shards=3)
+    try:
+        for q, mode in [("runing~", "OR"), ("meetings runing~", "AND"),
+                        ("meetings -ponis~", "OR"), ("run* ponis~", "OR")]:
+            a_ids, a_sc = li.search(q, 100, mode=mode, result_cache=False)
+            b_ids, b_sc = sh.search(q, 100, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+    finally:
+        sh.close()
