@@ -500,7 +500,16 @@ class LocalIndex:
         term asc). Expansion runs over the GLOBAL dictionary when one
         is installed (doc-range shards), so every shard derives the
         SAME expansion set even when the cap binds — the
-        sharded == unsharded bit-identity contract holds."""
+        sharded == unsharded bit-identity contract holds.
+
+        Expansion sets are memoized in the index's byte-bounded LRU
+        (the dictionary is immutable for an index generation; the memo
+        dies with the LocalIndex on reload-after-extend), so a
+        repeated rewrite costs a dict hit, not a dictionary scan."""
+        mkey = ("wcx", prefix)
+        hit = self._memo.get(mkey)
+        if hit is not None:
+            return list(hit)
         terms, dfs, _lens = self._vocab()
         lo = np.searchsorted(terms, prefix)
         hi = np.searchsorted(terms, prefix + chr(0x10FFFF))
@@ -515,7 +524,9 @@ class LocalIndex:
             # exactly that order)
             order = np.argsort(-cdf, kind="stable")[:WILDCARD_MAX_EXPANSIONS]
             cand = cand[order]
-        return sorted(cand.tolist())
+        out = sorted(cand.tolist())
+        self._memo.put(mkey, tuple(out), 64 + 8 * sum(len(t) for t in out))
+        return out
 
     def expand_fuzzy(self, word: str) -> list[str]:
         """Dictionary terms within Damerau-Levenshtein distance 1 of
@@ -529,6 +540,10 @@ class LocalIndex:
         length buckets, not the vocabulary."""
         from ..functions.spellcheck import _within1
 
+        mkey = ("fzx", word)
+        hit = self._memo.get(mkey)
+        if hit is not None:
+            return list(hit)
         terms, dfs, lens = self._vocab()
         L = len(word)
         near = np.flatnonzero(np.abs(lens - L) <= 1)
@@ -542,7 +557,11 @@ class LocalIndex:
         if len(cand) > WILDCARD_MAX_EXPANSIONS:
             order = np.argsort(-cdf, kind="stable")[:WILDCARD_MAX_EXPANSIONS]
             cand = cand[order]
-        return sorted(cand.tolist())
+        out = sorted(cand.tolist())
+        # the Damerau scan is the expensive rewrite (a length-bucket
+        # python loop); the memo makes repeats a dict hit
+        self._memo.put(mkey, tuple(out), 64 + 8 * sum(len(t) for t in out))
+        return out
 
     def _search_wildcard(self, lit_q: str, prefixes: list[str], k: int,
                          mode: str, doc_filter):
