@@ -230,7 +230,11 @@ def main(argv=None) -> int:
     e.add_argument("-p", "--partitions", type=int, default=8)
     e.set_defaults(fn=cmd_extend)
 
-    q = sub.add_parser("query", help="BM25 top-k for one query")
+    q = sub.add_parser(
+        "query",
+        help="BM25 top-k for one query ('-term' excludes, 'pre*' "
+             "prefix-expands, 'word~' fuzzy-expands)",
+    )
     q.add_argument("--index", required=True)
     q.add_argument("text")
     q.add_argument("-k", type=int, default=10)
