@@ -281,9 +281,58 @@ def bench_big() -> dict:
     }
     out.update(_serving_latencies(idx, n_shards=8))
     try:
+        out["query_surface"] = bench_query_surface(idx, n_shards=8)
+    except Exception as ex:  # noqa: BLE001 - best-effort subsection
+        out["query_surface"] = {"error": f"{type(ex).__name__}: {ex}"}
+    try:
         out["extend_compact"] = bench_extend_compact(idx, turns)
     except Exception as ex:  # noqa: BLE001 - best-effort subsection
         out["extend_compact"] = {"error": f"{type(ex).__name__}: {ex}"}
+    return out
+
+
+def bench_query_surface(idx: str, n_shards: int, warm_passes: int = 2,
+                        timed_passes: int = 4) -> dict:
+    """Widened-query-surface latency at depth: the wildcard
+    (multi-term rewrite) and boolean-NOT (exclusion pushdown) paths
+    through the doc-sharded tier, measured with the same
+    warm-scoring-path policy as ``_serving_latencies``. Query sets
+    derive deterministically from the reference mix: wildcard queries
+    prefix-ify the first token (first 4 chars + '*'); exclusion
+    queries negate the last token of multi-word queries."""
+    import numpy as np
+
+    from search_engine_ray.corpus import make_queries
+    from search_engine_ray.pipelines.search import DocShardedSearcher
+
+    qdf = make_queries(N_QUERIES)
+    wc, ex = [], []
+    for q, k in zip(qdf["query"], qdf["k"]):
+        toks = str(q).split()
+        if not toks:
+            continue
+        head = toks[0][:4] if len(toks[0]) >= 4 else toks[0]
+        wc.append((" ".join([head + "*"] + toks[1:]), int(k)))
+        if len(toks) > 1:
+            ex.append((" ".join(toks[:-1]) + " -" + toks[-1], int(k)))
+    searcher = DocShardedSearcher(idx, n_shards=n_shards)
+    out = {}
+    try:
+        for label, qs in (("wildcard", wc), ("exclusion", ex)):
+            for _ in range(warm_passes):
+                for q, k in qs:
+                    searcher.search(q, k, mode="OR", result_cache=False)
+            lat = []
+            for _ in range(timed_passes):
+                for q, k in qs:
+                    t0 = time.monotonic()
+                    searcher.search(q, k, mode="OR", result_cache=False)
+                    lat.append(time.monotonic() - t0)
+            out[f"{label}_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 2)
+            out[f"{label}_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 2)
+            out[f"{label}_samples"] = len(lat)
+    finally:
+        searcher.close()
     return out
 
 
