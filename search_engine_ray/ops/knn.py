@@ -79,15 +79,18 @@ def _load_queries(sf_dir: str):
     return ids[sel], q
 
 
-def knn_cosine(sf_dir: str):
-    qids, qmat = _load_queries(sf_dir)
-    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # broadcast once (ray.put) — every task fetches the query matrix
-    # zero-copy from the local plasma store. A plain-function stage,
-    # not an actor pool: the only "state" is this one ray.get, so pool
-    # spin-up would cost more than it amortizes (actor pools are for
-    # EXPENSIVE init — model load, codec probe; see ops/multimodal.py)
-    ref = ray.put((qids, qnorm))
+def make_partial_topk_scorer(ref, k_keep: int):
+    """Per-batch cosine partial-top-k kernel, shared by ``knn_cosine``
+    and ``search_ops.hybrid_rrf`` (one copy — the tie-at-threshold
+    superset argument below is subtle and must not drift between
+    callers). ``ref`` is a ``ray.put`` of (query_ids, L2-normalized
+    query matrix); every task fetches it zero-copy from local plasma.
+
+    Per-batch partial top-k: the final top-k shuffle moves O(nq x k)
+    rows per batch, not O(nq x batch). k_keep+1 because the finisher
+    drops the self-match; keeping every candidate tied with the
+    boundary value makes the emitted set a superset of the global
+    top-k under ANY tie-break, so the final selection is unchanged."""
 
     def score(t: pa.Table, _ref=ref) -> pa.Table:
         q_ids, q = ray.get(_ref)
@@ -96,13 +99,7 @@ def knn_cosine(sf_dir: str):
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = np.round(q @ v.T, 6)  # (nq, batch)
         nq, nb = sims.shape
-        # per-batch partial top-k: the final top-k shuffle moves
-        # O(nq x k) rows per batch, not O(nq x batch). k+1 because the
-        # finisher drops the self-match; keeping every candidate tied
-        # with the boundary value makes the emitted set a superset of
-        # the global top-k under ANY tie-break, so the final selection
-        # is unchanged.
-        kk = _TOP_K + 1
+        kk = k_keep + 1
         if nb > kk:
             thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
             keep_i, keep_j = np.nonzero(sims >= thresh[:, None])
@@ -115,6 +112,20 @@ def knn_cosine(sf_dir: str):
                 "sim": pa.array(sims[keep_i, keep_j], pa.float64()),
             }
         )
+
+    return score
+
+
+def knn_cosine(sf_dir: str):
+    qids, qmat = _load_queries(sf_dir)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # broadcast once (ray.put) — every task fetches the query matrix
+    # zero-copy from the local plasma store. A plain-function stage,
+    # not an actor pool: the only "state" is this one ray.get, so pool
+    # spin-up would cost more than it amortizes (actor pools are for
+    # EXPENSIVE init — model load, codec probe; see ops/multimodal.py)
+    ref = ray.put((qids, qnorm))
+    score = make_partial_topk_scorer(ref, _TOP_K)
 
     ds = _read_emb(sf_dir)
     scored = ds.map_batches(score, batch_format="pyarrow")

@@ -1493,10 +1493,7 @@ def events_rollup(sf_dir: str):
         day = pc.strftime(
             pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d"
         )
-        cents = pc.cast(
-            pc.round(pc.multiply(t["value"], pa.scalar(100.0)), 0),
-            pa.int64(),
-        )
+        cents = _cents(t["value"])
         return pa.table(
             {
                 "event_type": t["event_type"],

@@ -835,7 +835,7 @@ _HY_NQ = 4       # len(_BM25_QUERIES); vector queries are vec_id < 4
 
 
 def hybrid_rrf(sf_dir: str):
-    from .knn import _emb_matrix, _load_queries, _read_emb
+    from .knn import _load_queries, _read_emb, make_partial_topk_scorer
 
     idx = ensure_index(sf_dir, "raw")
     li = LocalIndex(idx)
@@ -856,27 +856,9 @@ def hybrid_rrf(sf_dir: str):
     qids, qmat = qids_all[sel], qmat[sel]
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((qids, qnorm))
-
-    def score(t: pa.Table, _ref=ref) -> pa.Table:
-        q_ids, q = ray.get(_ref)
-        vids = t["vec_id"].to_numpy()
-        v = _emb_matrix(t["embedding"], q.shape[1])
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = np.round(q @ v.T, 6)
-        nq, nb = sims.shape
-        kk = _HY_K_SYS + 1  # +1: the self-match drops in the finisher
-        if nb > kk:
-            thresh = np.partition(sims, nb - kk, axis=1)[:, nb - kk]
-            keep_i, keep_j = np.nonzero(sims >= thresh[:, None])
-        else:
-            keep_i, keep_j = np.nonzero(np.ones_like(sims, dtype=bool))
-        return pa.table(
-            {
-                "qid": pa.array(q_ids[keep_i], pa.int64()),
-                "vec_id": pa.array(vids[keep_j], pa.int64()),
-                "sim": pa.array(sims[keep_i, keep_j], pa.float64()),
-            }
-        )
+    # ONE shared partial-top-k kernel with knn_cosine (ops/knn.py) —
+    # the tie-superset emission must not drift between the two callers
+    score = make_partial_topk_scorer(ref, _HY_K_SYS)
 
     vdf = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
     v_q, v_d, v_rn = [], [], []

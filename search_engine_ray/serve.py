@@ -55,11 +55,12 @@ _FRONTEND = """<!doctype html>
 <script>
 const esc = s => String(s).replace(/[&<>"']/g,
   c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
-// highlight query terms in an ALREADY-ESCAPED snippet: one combined
-// whole-word regex in a single pass (no re-scan of inserted <mark>
-// tags, no nesting when one term prefixes another); 'prefix*'
-// wildcards highlight any word with that prefix, '-exclusions' are
-// skipped
+// highlight query terms in a snippet: match on the RAW text (matching
+// after esc() would split HTML entities — query 'q*' must not corrupt
+// '&quot;'), then escape each segment separately and wrap matches in
+// <mark>. One combined whole-word regex, single left-to-right pass (no
+// nesting when one term prefixes another); 'prefix*' wildcards
+// highlight any word with that prefix, '-exclusions' are skipped
 const hi = (text, q) => {
   const parts = q.split(/\\s+/)
     .filter(w => w && !w.startsWith('-'))
@@ -69,10 +70,15 @@ const hi = (text, q) => {
       return body ? body + (wc ? '[0-9a-zA-Z]*' : '') : null;
     })
     .filter(Boolean);
-  const out = esc(text);
-  if (!parts.length) return out;
-  return out.replace(new RegExp('\\\\b(' + parts.join('|') + ')\\\\b', 'gi'),
-                     '<mark>$1</mark>');
+  const s = String(text);
+  if (!parts.length) return esc(s);
+  const re = new RegExp('\\\\b(' + parts.join('|') + ')\\\\b', 'gi');
+  let out = '', last = 0, m;
+  while ((m = re.exec(s)) !== null) {
+    out += esc(s.slice(last, m.index)) + '<mark>' + esc(m[0]) + '</mark>';
+    last = m.index + m[0].length;
+  }
+  return out + esc(s.slice(last));
 };
 const qEl = document.getElementById('q');
 qEl.addEventListener('input', async () => {

@@ -588,25 +588,36 @@ class LocalIndex:
         if mode == "AND" and any(not g for g in groups):
             return empty
 
+        # decode each distinct term ONCE (the candidate pass and the
+        # scoring pass share these; the LRU would usually make the
+        # second decode a hit, but not under budget pressure)
+        dec: dict[str, tuple] = {}
+
+        def decode_once(t: str):
+            d = dec.get(t)
+            if d is None:
+                ts = self.terms.get(t)
+                d = ts.decode() if ts is not None else None
+                dec[t] = d
+            return d
+
         # candidate set (AND only): literals intersect; each group
         # contributes the union of its locally-present expansions
         cand = None
         if mode == "AND":
             for t in lit_terms:
-                ts = self.terms.get(t)
-                if ts is None:
+                d = decode_once(t)
+                if d is None:
                     return empty
-                ids = ts.decode()[0]
-                cand = ids if cand is None else _intersect_sorted(cand, ids)
+                cand = d[0] if cand is None else _intersect_sorted(cand, d[0])
                 if cand is not None and cand.size == 0:
                     return empty
             for g in groups:
                 arrs = []
                 for t in g:
-                    ts = self.terms.get(t)
-                    if ts is not None:
-                        arrs.append(ts.decode()[0])
-                arrs = [a for a in arrs if a.size]
+                    d = decode_once(t)
+                    if d is not None and d[0].size:
+                        arrs.append(d[0])
                 if not arrs:
                     return empty
                 u = (np.unique(np.concatenate(arrs))
@@ -637,10 +648,10 @@ class LocalIndex:
 
         decoded = []
         for t in term_order:
-            ts = self.terms.get(t)
-            if ts is None:
+            d = decode_once(t)
+            if d is None:
                 continue
-            ids, tfs, dls = ts.decode()
+            ids, tfs, dls = d
             if cand is not None:
                 loc = np.searchsorted(ids, cand)
                 ok = (loc < ids.size) & (ids[np.minimum(loc, ids.size - 1)] == cand)
@@ -650,7 +661,7 @@ class LocalIndex:
                 keep = doc_filter(ids)
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             if ids.size:
-                decoded.append((t, ids, tfs, dls, ts.df))
+                decoded.append((t, ids, tfs, dls, self.terms[t].df))
         if not decoded:
             return empty
         # restricted postings must not feed the full-array score memo
@@ -904,7 +915,17 @@ class LocalIndex:
         DENSE_* gate still falls back to sorted-merge at decode time
         (same shared constants, evaluated on actual decoded size)."""
         query, neg_q = self._split_exclusions(query)
-        neg_terms = analyze_query(neg_q, self.cfg)[0] if neg_q else []
+        # mirror _exclusion_filter exactly: '-pre*' / '-word~'
+        # exclusions expand through the same rewrite, so the debugging
+        # surface reports the terms the search actually excludes
+        neg_terms: list[str] = []
+        if neg_q:
+            neg_lit, neg_groups = self._split_wildcards(neg_q)
+            neg_terms = list(
+                analyze_query(neg_lit, self.cfg)[0] if neg_lit else []
+            )
+            for kind, body in neg_groups:
+                neg_terms.extend(self._expand_group(kind, body))
         query, wc_prefixes = self._split_wildcards(query)
         wc_groups = [
             {"kind": kind, "body": body, "expansions": [

@@ -264,7 +264,9 @@ def test_frontend_page_has_highlighter(index_dir):
         with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as resp:
             body = resp.read().decode()
         assert "const hi = (text, q)" in body
-        assert "<mark>$1</mark>" in body
+        # raw-text matching with per-segment escaping: the highlighter
+        # must never run over esc() output (entity corruption)
+        assert "'<mark>' + esc(m[0]) + '</mark>'" in body
         # Python escaping renders real JS regex source: literal \s in
         # the split and an escaped \\b inside the RegExp string
         assert "q.split(/\\s+/)" in body
