@@ -691,6 +691,85 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- boosted (term^W) retrieval: Lucene's '^' syntax — a boosted
+#      term's BM25 contribution scales by W; membership semantics
+#      (AND requirement) are unchanged. Weights ride outside the
+#      shared kernel (stages/query.py weighted accumulator), and the
+#      SQL twin multiplies each contribution by the same literal. ----
+
+_BOOST_QUERIES = [
+    # (query_id, [(term, weight)]) — weight 1.0 renders as a plain term
+    (0, [("hash", 1.0), ("join", 2.0)]),
+    (1, [("merge", 1.0), ("scan", 0.5)]),
+    (2, [("data", 1.0), ("vector", 3.0), ("stream", 1.0)]),
+    (3, [("window", 2.0), ("filter", 0.5)]),
+]
+
+
+def bm25_topk_boosted(sf_dir: str):
+    idx = ensure_index(sf_dir, "raw")
+    li = LocalIndex(idx)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, terms in _BOOST_QUERIES:
+        q = " ".join(
+            t if w == 1.0 else f"{t}^{w!r}" for t, w in terms
+        )
+        ids, scores = li.search(q, k=10**9, mode="AND")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_boosted_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {w!r})"
+        for qid, terms in _BOOST_QUERIES
+        for t, w in terms
+    )
+    return f"""
+WITH {_TR_CTE},
+qterms(query_id, term, w) AS (VALUES {values}),
+qsize AS (SELECT query_id, COUNT(*) AS nt FROM qterms GROUP BY query_id),
+tf AS (
+    SELECT q.query_id, t.term, t.doc_id, COUNT(*) AS tf
+    FROM qterms q JOIN toks_idx t ON q.term = t.term
+    GROUP BY q.query_id, t.term, t.doc_id
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl))
+           * q.w AS s
+    FROM tf
+    JOIN qterms q ON q.query_id = tf.query_id AND q.term = tf.term
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score, COUNT(*) AS nterms
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN qsize USING (query_id) WHERE nterms = qsize.nt
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 # ---- fuzzy (term~) retrieval: each 'w~' token is a GROUP of
 #      dictionary terms within Damerau-Levenshtein distance 1 (same
 #      group-AND semantics, stopword drop and df-desc/term-asc cap as
@@ -1733,6 +1812,7 @@ RAY_QUERIES_AUX = {
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_wildcard": bm25_topk_wildcard,
     "bm25_topk_fuzzy": bm25_topk_fuzzy,
+    "bm25_topk_boosted": bm25_topk_boosted,
     "hybrid_rrf": hybrid_rrf,
     "facet_counts": facet_counts,
 }
@@ -1741,6 +1821,7 @@ ORACLE_SQL_AUX = {
     "bm25_topk_not": _bm25_not_sql(),
     "bm25_topk_wildcard": _bm25_wildcard_sql(),
     "bm25_topk_fuzzy": _bm25_fuzzy_sql(),
+    "bm25_topk_boosted": _bm25_boosted_sql(),
     "hybrid_rrf": _hybrid_sql(),
     "facet_counts": _facet_sql(),
 }

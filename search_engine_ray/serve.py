@@ -586,10 +586,10 @@ class SearchServer:
                     fixed_tokens: list[str] = []
                     changed_any = False
                     for tok in query.split():
-                        if tok.endswith(("*", "~")):
-                            # wildcard/fuzzy tokens are intentionally
-                            # inexact words — never "correct" them
-                            # (and never let a rebuild drop the
+                        if tok.endswith(("*", "~")) or "^" in tok[1:]:
+                            # wildcard/fuzzy/boosted tokens carry
+                            # query-syntax markers — never "correct"
+                            # them (and never let a rebuild drop the
                             # marker); a fuzzy term is itself the
                             # user's spellcheck
                             fixed_tokens.append(tok)

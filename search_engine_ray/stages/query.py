@@ -469,6 +469,28 @@ class LocalIndex:
             else self.expand_fuzzy(body)
         )
 
+    @staticmethod
+    def _split_boosts(query: str) -> tuple[str, list[tuple[str, float]]]:
+        """``'hash join^2'`` -> ``('hash', [('join', 2.0)])``: a token
+        ``body^W`` with a positive float W is a BOOSTED term — its
+        BM25 contribution is scaled by W (Lucene's ``^`` syntax).
+        A malformed weight leaves the token alone (the analyzer's
+        non-alphanumeric split then treats '^' as a separator)."""
+        rest, boosts = [], []
+        for w in query.split():
+            if "^" in w[1:]:
+                body, _, wt = w.rpartition("^")
+                try:
+                    f = float(wt)
+                except ValueError:
+                    rest.append(w)
+                    continue
+                if f > 0 and body:
+                    boosts.append((body, f))
+                    continue
+            rest.append(w)
+        return " ".join(rest), boosts
+
     def _vocab(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Sorted rewrite vocabulary (terms, dfs, lengths), built
         lazily on the first wildcard/fuzzy query from the GLOBAL
@@ -564,7 +586,7 @@ class LocalIndex:
         return out
 
     def _search_wildcard(self, lit_q: str, prefixes: list[str], k: int,
-                         mode: str, doc_filter):
+                         mode: str, doc_filter, boosts: list | None = None):
         """Wildcard retrieval: each ``prefix*`` token is a GROUP of
         dictionary expansions. AND mode: a doc must contain every
         literal term and >= 1 expansion of every group (a group with
@@ -587,6 +609,24 @@ class LocalIndex:
         groups = [self._expand_group(kind, body) for kind, body in prefixes]
         if mode == "AND" and any(not g for g in groups):
             return empty
+        # boosted terms analyze like literals (stem, stopword drop) and
+        # are REQUIRED in AND mode; weights of duplicate mentions add
+        # (Lucene's additive clauses): 'join join^2' weighs join 3x
+        weights: dict[str, float] = {}
+        boosted_terms: list[str] = []
+        for body, wt in (boosts or ()):
+            terms_b, _sw = analyze_query(body, self.cfg)
+            if not terms_b:
+                continue
+            t = terms_b[0]
+            if t not in weights:
+                boosted_terms.append(t)
+            weights[t] = weights.get(t, 0.0) + wt
+        for t in lit_terms:
+            weights[t] = weights.get(t, 0.0) + 1.0
+        req_terms = lit_terms + [
+            t for t in boosted_terms if t not in lit_terms
+        ]
 
         # decode each distinct term ONCE (the candidate pass and the
         # scoring pass share these; the LRU would usually make the
@@ -605,7 +645,7 @@ class LocalIndex:
         # contributes the union of its locally-present expansions
         cand = None
         if mode == "AND":
-            for t in lit_terms:
+            for t in req_terms:
                 d = decode_once(t)
                 if d is None:
                     return empty
@@ -636,7 +676,7 @@ class LocalIndex:
         # shards agree)
         term_order: list[str] = []
         seen: set[str] = set()
-        for t in lit_terms:
+        for t in req_terms:
             if t not in seen:
                 seen.add(t)
                 term_order.append(t)
@@ -661,13 +701,38 @@ class LocalIndex:
                 keep = doc_filter(ids)
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             if ids.size:
-                decoded.append((t, ids, tfs, dls, self.terms[t].df))
+                decoded.append(
+                    (t, ids, tfs, dls, self.terms[t].df,
+                     weights.get(t, 1.0))
+                )
         if not decoded:
             return empty
-        # restricted postings must not feed the full-array score memo
-        return score_decoded_terms(
-            decoded, self.N, self.avgdl, self.cfg, k, "OR", False
-        )
+        if all(w == 1.0 for *_rest, w in decoded):
+            # unweighted: the ONE shared kernel (bit-identical to the
+            # committed wildcard/fuzzy semantics); restricted postings
+            # must not feed the full-array score memo
+            return score_decoded_terms(
+                [d[:5] for d in decoded],
+                self.N, self.avgdl, self.cfg, k, "OR", False,
+            )
+        # weighted accumulation: sum_i w_i * bm25_i per doc in the
+        # SAME fixed term order and tie-break as the kernel's dense
+        # branch (weights stay out of score_decoded_terms so the
+        # shared kernel's bit-identity contracts are untouched)
+        lo = min(int(d[1][0]) for d in decoded)
+        hi = max(int(d[1][-1]) for d in decoded)
+        acc = np.zeros(hi - lo + 1, dtype=np.float64)
+        for t, ids, tfs, dls, df, w in decoded:
+            sc = scoring.bm25_term_scores(
+                tfs, dls, self.N, df, self.avgdl, self.cfg.k1, self.cfg.b
+            )
+            if w != 1.0:
+                sc = sc * w
+            acc[ids - lo] += sc
+        doc_ids = np.flatnonzero(acc) + lo
+        scores = acc[doc_ids - lo]
+        idx = scoring.topk_indices(scores, doc_ids, k)
+        return doc_ids[idx], scores[idx]
 
     def _exclusion_filter(self, neg_q: str, base):
         """doc_filter dropping every doc that contains ANY excluded
@@ -759,8 +824,11 @@ class LocalIndex:
             # included), so cached exclusion queries stay correct.
             doc_filter = self._exclusion_filter(neg_q, doc_filter)
         lit_q, wc_prefixes = self._split_wildcards(query)
-        if wc_prefixes:
-            return self._search_wildcard(lit_q, wc_prefixes, k, mode, doc_filter)
+        lit_q, boosts = self._split_boosts(lit_q)
+        if wc_prefixes or boosts:
+            return self._search_wildcard(
+                lit_q, wc_prefixes, k, mode, doc_filter, boosts
+            )
         terms, stopword_only = analyze_query(query, self.cfg)
         contributions = []
         for t in terms:
@@ -927,6 +995,15 @@ class LocalIndex:
             for kind, body in neg_groups:
                 neg_terms.extend(self._expand_group(kind, body))
         query, wc_prefixes = self._split_wildcards(query)
+        query, boosts = self._split_boosts(query)
+        boosted = []
+        for body, wt in boosts:
+            tb = analyze_query(body, self.cfg)[0]
+            if tb:
+                boosted.append({
+                    "term": tb[0], "weight": wt,
+                    "df": int(ts.df) if (ts := self.terms.get(tb[0])) else 0,
+                })
         wc_groups = [
             {"kind": kind, "body": body, "expansions": [
                 {"term": t,
@@ -964,8 +1041,8 @@ class LocalIndex:
         # upgrade from sorted-merge to dense/maxscore at decode time.
         total_df = sum(t["df"] for t in out_terms)
         strategy = (
-            # wildcard queries take their own group-candidate path
-            "wildcard-groups" if wc_groups else
+            # wildcard/fuzzy/boosted queries take the group path
+            "wildcard-groups" if (wc_groups or boosted) else
             # AND with ANY missing term short-circuits to empty in
             # search() before range skipping can run — label it so
             "empty" if (n_present == 0
@@ -995,6 +1072,8 @@ class LocalIndex:
         }
         if wc_groups:
             out["wildcard_groups"] = wc_groups
+        if boosted:
+            out["boosted_terms"] = boosted
         if neg_terms:
             out["excluded_terms"] = [
                 {"term": t,

@@ -323,3 +323,66 @@ def test_fuzzy_exclusion_and_sharded(index_dir):
             np.testing.assert_array_equal(a_sc, b_sc)
     finally:
         sh.close()
+
+
+def test_boosted_scoring(index_dir):
+    """'a b^2' scales b's BM25 contribution by 2; membership (AND)
+    unchanged; duplicate mentions add ('b b^2' weighs b 3x)."""
+    from search_engine_ray.functions import scoring as _sc
+
+    li = LocalIndex(index_dir)
+
+    def manual(term_weights, k):
+        import collections
+        acc = collections.defaultdict(float)
+        for t, w in term_weights:
+            ts = li.terms[t]
+            ids, tfs, dls = ts.decode()
+            sc = _sc.bm25_term_scores(
+                tfs, dls, li.N, ts.df, li.avgdl, li.cfg.k1, li.cfg.b
+            )
+            for d, s in zip(ids.tolist(), sc.tolist()):
+                acc[d] += w * s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [d for d, _ in ranked], [s for _, s in ranked]
+
+    a_ids, a_sc = li.search("meetings running^2", 10**9, mode="OR",
+                            result_cache=False)
+    m_ids, m_sc = manual([("meetings", 1.0), ("running", 2.0)], 10**9)
+    assert a_ids.tolist() == m_ids
+    np.testing.assert_allclose(a_sc, m_sc, rtol=0, atol=1e-9)
+
+    # additive duplicate mentions
+    d_ids, d_sc = li.search("running running^2", 10**9, mode="OR",
+                            result_cache=False)
+    m2_ids, m2_sc = manual([("running", 3.0)], 10**9)
+    assert d_ids.tolist() == m2_ids
+    np.testing.assert_allclose(d_sc, m2_sc, rtol=0, atol=1e-9)
+
+    # AND membership identical to the unboosted query
+    b1, _ = li.search("ponies running^2", 10**9, mode="AND",
+                      result_cache=False)
+    b2, _ = li.search("ponies running", 10**9, mode="AND",
+                      result_cache=False)
+    assert sorted(b1.tolist()) == sorted(b2.tolist())
+
+    # malformed weight: token falls back to the analyzer ('^' splits)
+    f1, _ = li.search("running^x", 20, mode="OR", result_cache=False)
+    f2, _ = li.search("running x", 20, mode="OR", result_cache=False)
+    assert f1.tolist() == f2.tolist()
+
+
+def test_boosted_sharded_bit_identical(index_dir):
+    li = LocalIndex(index_dir)
+    sh = DocShardedSearcher(index_dir, n_shards=3)
+    try:
+        for q, mode in [("meetings running^2", "OR"),
+                        ("ponies running^0.5", "AND"),
+                        ("run* meetings^2", "OR"),
+                        ("meetings^3 -ponies", "OR")]:
+            a_ids, a_sc = li.search(q, 100, mode=mode, result_cache=False)
+            b_ids, b_sc = sh.search(q, 100, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+    finally:
+        sh.close()
