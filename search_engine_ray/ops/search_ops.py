@@ -691,6 +691,128 @@ SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn 
 """
 
 
+# ---- quoted-phrase clauses inside general queries: '"hash join"
+#      filter' requires the exact phrase (position-verified) AND the
+#      literal, scoring phrase terms + literals together
+#      (stages/query.py _search_with_phrases). The SQL twin matches
+#      phrases by regex over the raw text (the independent mechanism
+#      _phrase_sql pioneered) and sums the same contributions. Probe
+#      terms never overlap between a phrase and the remainder, so the
+#      oracle's per-(term, doc) tf collapse is exact. ----
+
+_QUOTED_QUERIES = [
+    # (query_id, [phrases], [literal terms])
+    (0, ["hash join"], ["filter"]),
+    (1, ["group by"], []),                 # phrase-only
+    (2, ["sort merge join"], ["batch"]),
+    (3, ["the data"], ["scan"]),           # stopword-bearing phrase
+]
+
+
+def bm25_topk_quoted(sf_dir: str):
+    idx = ensure_index(sf_dir, "rawpos")
+    li = LocalIndex(idx, load_positions=True)
+    qid_out, doc_out, score_out = [], [], []
+    for qid, phrases, lits in _QUOTED_QUERIES:
+        q = " ".join([f'"{p}"' for p in phrases] + lits)
+        ids, scores = li.search(q, k=10**9, mode="AND")
+        r6 = np.round(scores, 6)
+        order = np.lexsort((ids, -r6))[:_K]
+        qid_out.extend([qid] * len(order))
+        doc_out.extend(ids[order].tolist())
+        score_out.extend(r6[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        }
+    )
+
+
+def _bm25_quoted_sql() -> str:
+    lit_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, _p, lits in _QUOTED_QUERIES for t in lits
+    ) or "(-1, '')"
+    nlit_vals = ", ".join(
+        f"({qid}, {len(lits)})" for qid, _p, lits in _QUOTED_QUERIES
+    )
+    ph_vals, pt_vals, nph_vals = [], [], []
+    for qid, phrases, _l in _QUOTED_QUERIES:
+        nph_vals.append(f"({qid}, {len(phrases)})")
+        for pid, p in enumerate(phrases):
+            toks = p.lower().split()
+            pat = "(^|[^0-9a-z])" + "[^0-9a-z]+".join(toks) + "([^0-9a-z]|$)"
+            ph_vals.append(f"({qid}, {pid}, '{pat}')")
+            pt_vals.extend(f"({qid}, '{t}')" for t in toks)
+    return f"""
+WITH {_TR_CTE},
+qlit(query_id, term) AS (VALUES {lit_vals}),
+nlit(query_id, n) AS (VALUES {nlit_vals}),
+qph(query_id, pid, pattern) AS (VALUES {", ".join(ph_vals)}),
+nph(query_id, n) AS (VALUES {", ".join(nph_vals)}),
+qpterms(query_id, term) AS (VALUES {", ".join(pt_vals)}),
+ph_match AS (
+    SELECT p.query_id, p.pid, tr.doc_id
+    FROM qph p
+    JOIN tr ON regexp_matches(lower(substring(tr.text, 1, 10000)), p.pattern)
+),
+ph_ok AS (
+    SELECT m.query_id, m.doc_id
+    FROM (SELECT query_id, doc_id, COUNT(DISTINCT pid) AS c
+          FROM ph_match GROUP BY query_id, doc_id) m
+    JOIN nph n ON n.query_id = m.query_id AND m.c = n.n
+),
+lit_hits AS (
+    SELECT l.query_id, t.doc_id, COUNT(DISTINCT l.term) AS c
+    FROM qlit l JOIN toks_idx t ON l.term = t.term
+    GROUP BY l.query_id, t.doc_id
+),
+cand AS (
+    SELECT p.query_id, p.doc_id
+    FROM ph_ok p
+    JOIN nlit nl ON nl.query_id = p.query_id
+    LEFT JOIN lit_hits lh
+      ON lh.query_id = p.query_id AND lh.doc_id = p.doc_id
+    WHERE nl.n = 0 OR lh.c = nl.n
+),
+all_terms AS (
+    SELECT query_id, term FROM qlit
+    UNION ALL
+    SELECT query_id, term FROM qpterms
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY term),
+tf AS (
+    SELECT a.query_id, a.term, t.doc_id, COUNT(*) AS tf
+    FROM (SELECT DISTINCT query_id, term FROM all_terms) a
+    JOIN toks_idx t ON a.term = t.term
+    JOIN cand c ON c.query_id = a.query_id AND c.doc_id = t.doc_id
+    GROUP BY a.query_id, a.term, t.doc_id
+),
+contrib AS (
+    SELECT tf.query_id, tf.doc_id,
+           ln((c.N - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ds.doclen / c.avgdl)) AS s
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN docstats ds ON tf.doc_id = ds.doc_id
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT query_id, doc_id, round(SUM(s), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM ranked WHERE rn <= {_K}
+"""
+
+
 # ---- boosted (term^W) retrieval: Lucene's '^' syntax — a boosted
 #      term's BM25 contribution scales by W; membership semantics
 #      (AND requirement) are unchanged. Weights ride outside the
@@ -1813,6 +1935,7 @@ RAY_QUERIES_AUX = {
     "bm25_topk_wildcard": bm25_topk_wildcard,
     "bm25_topk_fuzzy": bm25_topk_fuzzy,
     "bm25_topk_boosted": bm25_topk_boosted,
+    "bm25_topk_quoted": bm25_topk_quoted,
     "hybrid_rrf": hybrid_rrf,
     "facet_counts": facet_counts,
 }
@@ -1822,6 +1945,7 @@ ORACLE_SQL_AUX = {
     "bm25_topk_wildcard": _bm25_wildcard_sql(),
     "bm25_topk_fuzzy": _bm25_fuzzy_sql(),
     "bm25_topk_boosted": _bm25_boosted_sql(),
+    "bm25_topk_quoted": _bm25_quoted_sql(),
     "hybrid_rrf": _hybrid_sql(),
     "facet_counts": _facet_sql(),
 }

@@ -470,6 +470,24 @@ class LocalIndex:
         )
 
     @staticmethod
+    def _split_phrases(query: str) -> tuple[str, list[str], list[str]]:
+        """``'"hash join" filter -"group by"'`` ->
+        ``('filter', ['hash join'], ['group by'])``: a double-quoted
+        span is an exact-phrase clause; a ``-"..."`` span is an
+        EXCLUDED phrase (docs containing it drop). Unbalanced or empty
+        quotes are dropped (the leftover character is stripped by the
+        analyzer's non-alphanumeric split)."""
+        import re
+
+        pos, neg = [], []
+        for sign, body in re.findall(r'(-?)"([^"]*)"', query):
+            body = body.strip()
+            if body:
+                (neg if sign else pos).append(body)
+        rest = re.sub(r'-?"[^"]*"', " ", query)
+        return rest, pos, neg
+
+    @staticmethod
     def _split_boosts(query: str) -> tuple[str, list[tuple[str, float]]]:
         """``'hash join^2'`` -> ``('hash', [('join', 2.0)])``: a token
         ``body^W`` with a positive float W is a BOOSTED term — its
@@ -734,6 +752,97 @@ class LocalIndex:
         idx = scoring.topk_indices(scores, doc_ids, k)
         return doc_ids[idx], scores[idx]
 
+    def _phrase_exclusion_filter(self, neg_phrases: list[str], base):
+        """doc_filter dropping every doc containing ANY excluded
+        phrase (position-verified, like positive phrase clauses) —
+        shard-local for the same reason as ``_exclusion_filter``."""
+        ids_list = []
+        for p in neg_phrases:
+            ids_p, _sc = self._phrase_uncached(p, 10**9)
+            if ids_p.size:
+                ids_list.append(np.sort(ids_p))
+        if not ids_list:
+            return base
+        ex = (np.unique(np.concatenate(ids_list))
+              if len(ids_list) > 1 else ids_list[0])
+
+        def flt(ids, _ex=ex, _base=base):
+            pos = np.searchsorted(_ex, ids)
+            member = (pos < _ex.size) & (
+                _ex[np.minimum(pos, _ex.size - 1)] == ids
+            )
+            keep = ~member
+            if _base is not None:
+                keep &= _base(ids)
+            return keep
+
+        return flt
+
+    def _search_with_phrases(self, rest_q: str, phrases: list[str],
+                             k: int, mode: str, doc_filter):
+        """Mixed queries with quoted exact-phrase clauses: each phrase
+        is an independent clause matching the docs where its tokens
+        occur adjacently (position-verified, ``_phrase_uncached``) and
+        contributing the phrase terms' summed BM25 on those docs. The
+        remainder (which may itself contain wildcards / fuzzies /
+        boosts / plain terms) evaluates through its own machinery;
+        AND requires the remainder AND every phrase, OR unions all
+        clauses. score(d) = remainder(d) + sum of matching phrases'
+        scores — a term shared by a phrase and the remainder counts in
+        both clauses (Lucene's independent-clause semantics).
+        Requires a positions-loaded index (raises otherwise, like
+        ``phrase_search``); shard-local end-to-end, so the doc-sharded
+        tier stays bit-identical."""
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        ph = []
+        for p in phrases:
+            ids_p, sc_p = self._phrase_uncached(p, 10**9)
+            order = np.argsort(ids_p)  # id-sorted for set ops
+            ids_p, sc_p = ids_p[order], sc_p[order]
+            if doc_filter is not None and ids_p.size:
+                keep = doc_filter(ids_p)
+                ids_p, sc_p = ids_p[keep], sc_p[keep]
+            if mode == "AND" and ids_p.size == 0:
+                return empty
+            ph.append((ids_p, sc_p))
+        rest_present = bool(rest_q.split())
+        r_ids = r_sc = None
+        if rest_present:
+            r_ids, r_sc = self._search_uncached(rest_q, 10**9, mode, doc_filter)
+            ro = np.argsort(r_ids)
+            r_ids, r_sc = r_ids[ro], r_sc[ro]
+            if mode == "AND" and r_ids.size == 0:
+                return empty
+        if mode == "AND":
+            cand = r_ids if rest_present else None
+            for ids_p, _sc in ph:
+                cand = ids_p if cand is None else _intersect_sorted(cand, ids_p)
+                if cand.size == 0:
+                    return empty
+        else:
+            arrs = [ids_p for ids_p, _sc in ph if ids_p.size]
+            if rest_present and r_ids.size:
+                arrs.append(r_ids)
+            if not arrs:
+                return empty
+            cand = (np.unique(np.concatenate(arrs))
+                    if len(arrs) > 1 else arrs[0])
+        # fixed accumulation order: remainder first, then phrases in
+        # query order (round-6 on both sides absorbs sub-ulp
+        # reassociation vs the SQL twin, as everywhere else)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        parts = ([(r_ids, r_sc)] if rest_present else []) + ph
+        for ids_x, sc_x in parts:
+            if not ids_x.size:
+                continue
+            loc = np.searchsorted(ids_x, cand)
+            ok = (loc < ids_x.size) & (
+                ids_x[np.minimum(loc, ids_x.size - 1)] == cand
+            )
+            scores[ok] += sc_x[loc[ok]]
+        idx = scoring.topk_indices(scores, cand, k)
+        return cand[idx], scores[idx]
+
     def _exclusion_filter(self, neg_q: str, base):
         """doc_filter dropping every doc that contains ANY excluded
         term, composed over ``base``. Exclusion terms run through the
@@ -815,6 +924,10 @@ class LocalIndex:
         return out
 
     def _search_uncached(self, query: str, k: int, mode: str, doc_filter):
+        # quoted clauses split FIRST: whitespace-token exclusion
+        # parsing must never see the inside of a "..." span (and
+        # -"..." is a phrase exclusion, not word exclusions)
+        query, phrases, neg_phrases = self._split_phrases(query)
         query, neg_q = self._split_exclusions(query)
         if neg_q:
             # exclusions ride the doc_filter pushdown: scores of
@@ -823,6 +936,12 @@ class LocalIndex:
             # search() keys on the RAW query string (exclusions
             # included), so cached exclusion queries stay correct.
             doc_filter = self._exclusion_filter(neg_q, doc_filter)
+        if neg_phrases:
+            doc_filter = self._phrase_exclusion_filter(neg_phrases, doc_filter)
+        if phrases:
+            return self._search_with_phrases(
+                query, phrases, k, mode, doc_filter
+            )
         lit_q, wc_prefixes = self._split_wildcards(query)
         lit_q, boosts = self._split_boosts(lit_q)
         if wc_prefixes or boosts:

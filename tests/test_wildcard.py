@@ -386,3 +386,98 @@ def test_boosted_sharded_bit_identical(index_dir):
             np.testing.assert_array_equal(a_sc, b_sc)
     finally:
         sh.close()
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(ray_session, tmp_path_factory):
+    """Positions-built fixture for quoted-phrase clause tests."""
+    root = tmp_path_factory.mktemp("wc_pos")
+    src = str(root / "transcripts")
+    write_transcripts(src, n_convs=80, turns_per_conv=5, seed=13, n_files=2)
+    d = str(root / "index")
+    build_index(src, d, IndexConfig(stemming=False, positions=True,
+                                    doc_bucket_size=512), n_partitions=1)
+    return d
+
+
+def test_quoted_phrase_clause_semantics(pos_index_dir):
+    """'"a b" c' AND = docs containing the exact phrase AND c; score =
+    phrase terms' BM25 + c's BM25; exclusion -"a b" drops exactly the
+    phrase-matching docs."""
+    li = LocalIndex(pos_index_dir, load_positions=True)
+    # find a phrase that actually occurs
+    phrase = None
+    for cand_phrase in ("running meetings", "the running"):
+        ph_ids, ph_sc = li.phrase_search(cand_phrase, k=10**9)
+        if ph_ids.size:
+            phrase = cand_phrase
+            break
+    assert phrase, "fixture must contain a probe phrase"
+    q_ids, q_sc = li.search(f'"{phrase}"', 10**9, mode="AND",
+                            result_cache=False)
+    assert sorted(q_ids.tolist()) == sorted(ph_ids.tolist())
+    # scores equal phrase_search's scores
+    a = dict(zip(q_ids.tolist(), q_sc.tolist()))
+    b = dict(zip(ph_ids.tolist(), ph_sc.tolist()))
+    for d in a:
+        assert abs(a[d] - b[d]) < 1e-12
+
+    # phrase + literal AND: candidates intersect, scores add
+    lit_ids, lit_sc = li.search("ponies", 10**9, mode="OR",
+                                result_cache=False)
+    lit = dict(zip(lit_ids.tolist(), lit_sc.tolist()))
+    m_ids, m_sc = li.search(f'"{phrase}" ponies', 10**9, mode="AND",
+                            result_cache=False)
+    want = sorted(set(ph_ids.tolist()) & set(lit_ids.tolist()))
+    assert sorted(m_ids.tolist()) == want
+    for d, s in zip(m_ids.tolist(), m_sc.tolist()):
+        assert abs(s - (b[d] + lit[d])) < 1e-9
+
+    # exclusion phrase: 'ponies -"<phrase>"' = ponies docs minus
+    # phrase docs, scores unchanged
+    e_ids, e_sc = li.search(f'ponies -"{phrase}"', 10**9, mode="OR",
+                            result_cache=False)
+    banned = set(ph_ids.tolist())
+    keep = [i for i, d in enumerate(lit_ids.tolist()) if d not in banned]
+    assert e_ids.tolist() == [lit_ids[i] for i in keep]
+    assert e_sc.tolist() == [lit_sc[i] for i in keep]
+
+
+def test_quoted_phrase_composes_with_rewrites(pos_index_dir):
+    """The remainder of a quoted query may itself contain wildcards:
+    '"<phrase>" run*' evaluates the rewrite machinery on the rest."""
+    li = LocalIndex(pos_index_dir, load_positions=True)
+    ph_ids, _ = li.phrase_search("the running", k=10**9)
+    if ph_ids.size == 0:
+        pytest.skip("probe phrase absent from fixture")
+    a_ids, a_sc = li.search('"the running" meet*', 10**9, mode="OR",
+                            result_cache=False)
+    r_ids, r_sc = li.search("meet*", 10**9, mode="OR", result_cache=False)
+    rest = dict(zip(r_ids.tolist(), r_sc.tolist()))
+    ph_ids2, ph_sc2 = li.phrase_search("the running", k=10**9)
+    phd = dict(zip(ph_ids2.tolist(), ph_sc2.tolist()))
+    assert set(a_ids.tolist()) == set(rest) | set(phd)
+    for d, s in zip(a_ids.tolist(), a_sc.tolist()):
+        assert abs(s - (rest.get(d, 0.0) + phd.get(d, 0.0))) < 1e-9
+
+
+def test_quoted_phrase_sharded_bit_identical(pos_index_dir):
+    li = LocalIndex(pos_index_dir, load_positions=True)
+    sh = DocShardedSearcher(pos_index_dir, n_shards=3, load_positions=True)
+    try:
+        for q, mode in [('"the running"', "AND"),
+                        ('"the running" ponies', "OR"),
+                        ('ponies -"the running"', "OR")]:
+            a_ids, a_sc = li.search(q, 100, mode=mode, result_cache=False)
+            b_ids, b_sc = sh.search(q, 100, mode=mode)
+            assert a_ids.tolist() == b_ids.tolist(), (q, mode)
+            np.testing.assert_array_equal(a_sc, b_sc)
+    finally:
+        sh.close()
+
+
+def test_quoted_phrase_without_positions_raises(index_dir):
+    li = LocalIndex(index_dir)  # positions not loaded
+    with pytest.raises(ValueError):
+        li.search('"running meetings" ponies', 10, mode="AND",
+                  result_cache=False)
