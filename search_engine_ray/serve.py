@@ -586,12 +586,14 @@ class SearchServer:
                     fixed_tokens: list[str] = []
                     changed_any = False
                     for tok in query.split():
-                        if tok.endswith(("*", "~")) or "^" in tok[1:]:
-                            # wildcard/fuzzy/boosted tokens carry
-                            # query-syntax markers — never "correct"
-                            # them (and never let a rebuild drop the
-                            # marker); a fuzzy term is itself the
-                            # user's spellcheck
+                        if (tok.endswith(("*", "~")) or "^" in tok[1:]
+                                or '"' in tok):
+                            # wildcard/fuzzy/boosted/quoted tokens
+                            # carry query-syntax markers — never
+                            # "correct" them (and never let a rebuild
+                            # drop the marker or a phrase quote); a
+                            # fuzzy term is itself the user's
+                            # spellcheck
                             fixed_tokens.append(tok)
                             continue
                         neg = tok.startswith("-") and len(tok) > 1

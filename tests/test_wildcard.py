@@ -481,3 +481,31 @@ def test_quoted_phrase_without_positions_raises(index_dir):
     with pytest.raises(ValueError):
         li.search('"running meetings" ponies', 10, mode="AND",
                   result_cache=False)
+
+
+def test_http_quoted_phrase_with_spellcheck(pos_index_dir):
+    """HTTP /search: a quoted clause survives the spellcheck rewrite
+    even when another token gets corrected."""
+    import json as json_
+    import urllib.parse
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+
+    li = LocalIndex(pos_index_dir, load_positions=True)
+
+    class LocalSearcher:
+        def search(self, q, k, mode):
+            return li.search(q, k, mode=mode)
+
+    srv = SearchServer(pos_index_dir, LocalSearcher()).start()
+    try:
+        q = urllib.parse.quote('"the running" meetngs')
+        url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert payload.get("spellcheck") == ['"the', 'running"', "meetings"]
+        want_ids, _ = li.search('"the running" meetings', k=20, mode="OR")
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+    finally:
+        srv.stop()
