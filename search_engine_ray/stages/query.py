@@ -726,6 +726,24 @@ class LocalIndex:
         if not decoded:
             return empty
         if all(w == 1.0 for *_rest, w in decoded):
+            if cand is None and doc_filter is None:
+                # unrestricted OR rewrite: the decoded arrays are FULL
+                # posting lists, so they may share the per-term score
+                # memo and MaxScore upper bounds with the plain OR
+                # path — warm wildcard/fuzzy queries degenerate to
+                # gathers like every other warm query (the 2.4M
+                # query_surface p95 tail was exactly this re-scoring)
+                ubs = [
+                    self.terms[t].upper_bound(
+                        self.N, self.avgdl, self.cfg.k1, self.cfg.b
+                    )
+                    for t, *_r in decoded
+                ]
+                return score_decoded_terms(
+                    [d[:5] for d in decoded],
+                    self.N, self.avgdl, self.cfg, k, "OR", False,
+                    score_cache=self._tscores, upper_bounds=ubs,
+                )
             # unweighted: the ONE shared kernel (bit-identical to the
             # committed wildcard/fuzzy semantics); restricted postings
             # must not feed the full-array score memo
@@ -864,16 +882,25 @@ class LocalIndex:
                 neg_terms.extend(self._expand_group(kind, body))
         else:
             neg_terms, _ = analyze_query(neg_q, self.cfg)
-        ids_list = []
-        for t in neg_terms:
-            ts = self.terms.get(t)
-            if ts is not None:
-                ids_list.append(ts.decode()[0])
-        ids_list = [a for a in ids_list if a.size]
-        if not ids_list:
+        # the merged excluded-id set is a pure function of the term
+        # set — memoize it (repeat exclusion queries were re-paying
+        # the concat+unique over multi-million-id postings)
+        ekey = ("excl", tuple(neg_terms))
+        ex = self._memo.get(ekey)
+        if ex is None:
+            ids_list = []
+            for t in neg_terms:
+                ts = self.terms.get(t)
+                if ts is not None:
+                    ids_list.append(ts.decode()[0])
+            ids_list = [a for a in ids_list if a.size]
+            if not ids_list:
+                return base
+            ex = (np.unique(np.concatenate(ids_list))
+                  if len(ids_list) > 1 else ids_list[0])
+            self._memo.put(ekey, ex, int(ex.nbytes) + 64)
+        if not ex.size:
             return base
-        ex = (np.unique(np.concatenate(ids_list))
-              if len(ids_list) > 1 else ids_list[0])
 
         def flt(ids, _ex=ex, _base=base):
             pos = np.searchsorted(_ex, ids)
@@ -924,6 +951,12 @@ class LocalIndex:
         return out
 
     def _search_uncached(self, query: str, k: int, mode: str, doc_filter):
+        if k <= 0:
+            # one guard for EVERY path (filtered, wildcard/boost,
+            # phrase-clause): k<=0 means "no results requested", and
+            # the inline accumulators call topk_indices directly
+            # (the kernel's internal guard covers only itself)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         # quoted clauses split FIRST: whitespace-token exclusion
         # parsing must never see the inside of a "..." span (and
         # -"..." is a phrase exclusion, not word exclusions)
@@ -961,23 +994,55 @@ class LocalIndex:
             return np.empty(0, np.int64), np.empty(0, np.float64)
 
         if doc_filter is not None:
-            # filter pushdown: mask each term's postings BEFORE any
-            # accumulation — per-term contributions of surviving docs
-            # are unchanged (global df, per-posting doclen), so this
-            # equals post-filtering a full unfiltered ranking without
-            # ever ranking the full corpus. The per-term score memo is
-            # bypassed (it holds unfiltered arrays).
-            decoded = []
+            # filter pushdown: per-term contributions of surviving
+            # docs are unchanged (global df, per-posting doclen), so
+            # this equals post-filtering a full unfiltered ranking
+            # without ever ranking the full corpus. Scores come from
+            # the FULL arrays (shared per-term score memo — warm
+            # filtered/exclusion queries degenerate to gathers) and
+            # the mask applies AFTER: bm25_term_scores is elementwise,
+            # so mask-then-score and score-then-mask are bit-identical,
+            # and both accumulation shapes below sum per doc in
+            # analyzer term order exactly like the kernel's branches.
+            empty = np.empty(0, np.int64), np.empty(0, np.float64)
+            masked = []
             for t, ts in contributions:
                 ids, tfs, dls = ts.decode()
+                sc = self._tscores.get(t)
+                if sc is None:
+                    sc = scoring.bm25_term_scores(
+                        tfs, dls, self.N, ts.df, self.avgdl,
+                        self.cfg.k1, self.cfg.b,
+                    )
+                    self._tscores[t] = sc
                 keep = doc_filter(ids)
-                ids = ids[keep]
-                if ids.size == 0 and mode == "AND":
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-                decoded.append((t, ids, tfs[keep], dls[keep], ts.df))
-            return score_decoded_terms(
-                decoded, self.N, self.avgdl, self.cfg, k, mode, stopword_only
-            )
+                ids_m, sc_m = ids[keep], sc[keep]
+                if ids_m.size == 0 and mode == "AND":
+                    return empty
+                masked.append((ids_m, sc_m))
+            if mode == "AND":
+                cand = masked[0][0]
+                for ids_m, _sc in masked[1:]:
+                    cand = _intersect_sorted(cand, ids_m)
+                    if cand.size == 0:
+                        return empty
+                scores = np.zeros(cand.size, dtype=np.float64)
+                for ids_m, sc_m in masked:
+                    scores += sc_m[np.searchsorted(ids_m, cand)]
+                doc_ids = cand
+            else:
+                masked = [m for m in masked if m[0].size]
+                if not masked:
+                    return empty
+                ids_c = np.concatenate([m[0] for m in masked])
+                sc_c = np.concatenate([m[1] for m in masked])
+                doc_ids, inv = np.unique(ids_c, return_inverse=True)
+                scores = np.zeros(doc_ids.size, dtype=np.float64)
+                np.add.at(scores, inv, sc_c)
+            if stopword_only:
+                scores = scores * STOPWORD_PENALTY
+            idx = scoring.topk_indices(scores, doc_ids, k)
+            return doc_ids[idx], scores[idx]
 
         if mode == "AND":
             # candidate range pruning: intersection is bounded by the
