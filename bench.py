@@ -293,32 +293,48 @@ def bench_big() -> dict:
 
 def bench_query_surface(idx: str, n_shards: int, warm_passes: int = 2,
                         timed_passes: int = 4) -> dict:
-    """Widened-query-surface latency at depth: the wildcard
-    (multi-term rewrite) and boolean-NOT (exclusion pushdown) paths
+    """Widened-query-surface latency at depth: wildcard (multi-term
+    rewrite), boolean-NOT (exclusion pushdown), fuzzy (Damerau-1
+    rewrite), boosted (^W weighting) and quoted-phrase-clause paths
     through the doc-sharded tier, measured with the same
     warm-scoring-path policy as ``_serving_latencies``. Query sets
     derive deterministically from the reference mix: wildcard queries
     prefix-ify the first token (first 4 chars + '*'); exclusion
-    queries negate the last token of multi-word queries."""
+    queries negate the last token; fuzzy queries swap the first
+    token's last two chars + '~'; boosted queries weight the first
+    token ^2; quoted queries wrap two-token queries in quotes."""
     import numpy as np
 
     from search_engine_ray.corpus import make_queries
     from search_engine_ray.pipelines.search import DocShardedSearcher
 
     qdf = make_queries(N_QUERIES)
-    wc, ex = [], []
+    classes: dict[str, list] = {
+        "wildcard": [], "exclusion": [], "fuzzy": [], "boosted": [],
+        "quoted": [],
+    }
     for q, k in zip(qdf["query"], qdf["k"]):
         toks = str(q).split()
         if not toks:
             continue
+        k = int(k)
         head = toks[0][:4] if len(toks[0]) >= 4 else toks[0]
-        wc.append((" ".join([head + "*"] + toks[1:]), int(k)))
+        classes["wildcard"].append((" ".join([head + "*"] + toks[1:]), k))
+        t0_ = toks[0]
+        typo = (t0_[:-2] + t0_[-1] + t0_[-2]) if len(t0_) >= 4 else t0_
+        classes["fuzzy"].append((" ".join([typo + "~"] + toks[1:]), k))
+        classes["boosted"].append((" ".join([t0_ + "^2"] + toks[1:]), k))
         if len(toks) > 1:
-            ex.append((" ".join(toks[:-1]) + " -" + toks[-1], int(k)))
-    searcher = DocShardedSearcher(idx, n_shards=n_shards)
+            classes["exclusion"].append(
+                (" ".join(toks[:-1]) + " -" + toks[-1], k))
+            classes["quoted"].append((f'"{toks[0]} {toks[1]}"', k))
+    # one positions-loaded searcher serves every class (quoted clauses
+    # need the position blocks)
+    searcher = DocShardedSearcher(idx, n_shards=n_shards,
+                                  load_positions=True)
     out = {}
     try:
-        for label, qs in (("wildcard", wc), ("exclusion", ex)):
+        for label, qs in classes.items():
             for _ in range(warm_passes):
                 for q, k in qs:
                     searcher.search(q, k, mode="OR", result_cache=False)
