@@ -571,7 +571,13 @@ class SearchServer:
                     return
                 corrected = None
                 run_query = query
-                if outer.speller is not None:
+                if outer.speller is not None and '"' not in query:
+                    # a quoted query is structured syntax: token-wise
+                    # correction cannot tell interior phrase words
+                    # ('"john smyth report"' -> 'smyth' carries no
+                    # quote) from free text, and rewriting any of them
+                    # silently changes the exact phrase — skip
+                    # correction wholesale when quotes are present
                     # correct the ANALYZED terms — the dictionary
                     # holds analyzed (lowercase alphanumeric) tokens,
                     # so both a capitalized and a punctuated
@@ -610,9 +616,29 @@ class SearchServer:
                     if changed_any:
                         corrected = fixed_tokens
                         run_query = " ".join(fixed_tokens)
-                ids, scores = outer.searcher.search(
-                    run_query, k=offset + k, mode=mode
-                )
+                try:
+                    ids, scores = outer.searcher.search(
+                        run_query, k=offset + k, mode=mode
+                    )
+                except ValueError as ex:
+                    # quoted clause on a positions-less tier — the
+                    # client/config error, not a server fault
+                    self._json(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001
+                    import ray as _ray
+
+                    # shard actors wrap the same precondition as
+                    # RayTaskError(ValueError); map it to 400 only for
+                    # quoted queries (any other shard-side ValueError
+                    # stays a 500, as on /phrase)
+                    if ('"' in run_query
+                            and isinstance(ex, _ray.exceptions.RayTaskError)
+                            and isinstance(getattr(ex, "cause", None),
+                                           ValueError)):
+                        self._json(400, {"error": str(ex.cause)})
+                        return
+                    raise
                 ids, scores = ids[offset:], scores[offset:]
                 meta = outer.docs.lookup(ids)
                 results = [

@@ -633,13 +633,13 @@ class LocalIndex:
         weights: dict[str, float] = {}
         boosted_terms: list[str] = []
         for body, wt in (boosts or ()):
-            terms_b, _sw = analyze_query(body, self.cfg)
-            if not terms_b:
-                continue
-            t = terms_b[0]
-            if t not in weights:
-                boosted_terms.append(t)
-            weights[t] = weights.get(t, 0.0) + wt
+            # a body may analyze to several terms ('hash-join^2'):
+            # every one is boosted and (in AND mode) required — a
+            # [0]-only pick would silently drop the rest from the query
+            for t in analyze_query(body, self.cfg)[0]:
+                if t not in weights:
+                    boosted_terms.append(t)
+                weights[t] = weights.get(t, 0.0) + wt
         for t in lit_terms:
             weights[t] = weights.get(t, 0.0) + 1.0
         req_terms = lit_terms + [
@@ -755,18 +755,31 @@ class LocalIndex:
         # SAME fixed term order and tie-break as the kernel's dense
         # branch (weights stay out of score_decoded_terms so the
         # shared kernel's bit-identity contracts are untouched)
-        lo = min(int(d[1][0]) for d in decoded)
-        hi = max(int(d[1][-1]) for d in decoded)
-        acc = np.zeros(hi - lo + 1, dtype=np.float64)
+        wsc = []
         for t, ids, tfs, dls, df, w in decoded:
             sc = scoring.bm25_term_scores(
                 tfs, dls, self.N, df, self.avgdl, self.cfg.k1, self.cfg.b
             )
-            if w != 1.0:
-                sc = sc * w
-            acc[ids - lo] += sc
-        doc_ids = np.flatnonzero(acc) + lo
-        scores = acc[doc_ids - lo]
+            wsc.append(sc * w if w != 1.0 else sc)
+        lo = min(int(d[1][0]) for d in decoded)
+        hi = max(int(d[1][-1]) for d in decoded)
+        n_span = hi - lo + 1
+        volume = sum(d[1].size for d in decoded)
+        if n_span <= max(DENSE_MIN_N, DENSE_VOLUME_FACTOR * volume):
+            acc = np.zeros(n_span, dtype=np.float64)
+            for (t, ids, *_r), sc in zip(decoded, wsc):
+                acc[ids - lo] += sc
+            doc_ids = np.flatnonzero(acc) + lo
+            scores = acc[doc_ids - lo]
+        else:
+            # sorted-merge fallback (the kernel's own volume gate):
+            # rare terms spanning a huge id range must not pay an
+            # O(span) zeroed accumulator per query
+            ids_c = np.concatenate([d[1] for d in decoded])
+            sc_c = np.concatenate(wsc)
+            doc_ids, inv = np.unique(ids_c, return_inverse=True)
+            scores = np.zeros(doc_ids.size, dtype=np.float64)
+            np.add.at(scores, inv, sc_c)
         idx = scoring.topk_indices(scores, doc_ids, k)
         return doc_ids[idx], scores[idx]
 
@@ -783,18 +796,7 @@ class LocalIndex:
             return base
         ex = (np.unique(np.concatenate(ids_list))
               if len(ids_list) > 1 else ids_list[0])
-
-        def flt(ids, _ex=ex, _base=base):
-            pos = np.searchsorted(_ex, ids)
-            member = (pos < _ex.size) & (
-                _ex[np.minimum(pos, _ex.size - 1)] == ids
-            )
-            keep = ~member
-            if _base is not None:
-                keep &= _base(ids)
-            return keep
-
-        return flt
+        return _sorted_member_filter(ex, base)
 
     def _search_with_phrases(self, rest_q: str, phrases: list[str],
                              k: int, mode: str, doc_filter):
@@ -823,7 +825,15 @@ class LocalIndex:
             if mode == "AND" and ids_p.size == 0:
                 return empty
             ph.append((ids_p, sc_p))
-        rest_present = bool(rest_q.split())
+        # "remainder present" means it yields ANALYZABLE content: a
+        # remainder of only skip-words / bare punctuation must be
+        # IGNORED (like 'hash www' ignores 'www'), not treated as a
+        # failing AND clause that empties the phrase matches
+        _wc_rest, _wc_groups = self._split_wildcards(rest_q)
+        _lit_rest, _boosts = self._split_boosts(_wc_rest)
+        rest_present = bool(
+            _wc_groups or _boosts or analyze_query(_lit_rest, self.cfg)[0]
+        )
         r_ids = r_sc = None
         if rest_present:
             r_ids, r_sc = self._search_uncached(rest_q, 10**9, mode, doc_filter)
@@ -901,18 +911,7 @@ class LocalIndex:
             self._memo.put(ekey, ex, int(ex.nbytes) + 64)
         if not ex.size:
             return base
-
-        def flt(ids, _ex=ex, _base=base):
-            pos = np.searchsorted(_ex, ids)
-            member = (pos < _ex.size) & (
-                _ex[np.minimum(pos, _ex.size - 1)] == ids
-            )
-            keep = ~member
-            if _base is not None:
-                keep &= _base(ids)
-            return keep
-
-        return flt
+        return _sorted_member_filter(ex, base)
 
     def facet_counts(self, query: str, facet_terms, mode: str = "OR"):
         """Per-facet match counts over the FULL candidate set of
@@ -1128,8 +1127,13 @@ class LocalIndex:
         # chain_i = intersect(chain_{i-1} + 1, keys_i) — one sorted
         # intersection per phrase term instead of a Python loop per
         # candidate doc (a stopword-led phrase over a 2.4M corpus has
-        # 10^5 candidates; the per-candidate loop was a >1 s p95 tail)
-        _M = np.int64(1) << 21  # positions < 2^21 (doclen-capped)
+        # 10^5 candidates; the per-candidate loop was a >1 s p95 tail).
+        # M is sized from the index's own text cap (positions are
+        # 1-based token indexes < max_text_len chars), +1 bit so
+        # chain+1 can never wrap into the next doc's key space — a
+        # fixed 2^21 would silently cross doc boundaries on an index
+        # built with a larger max_text_len.
+        _M = np.int64(1) << max(21, int(self.cfg.max_text_len).bit_length() + 1)
 
         def _keys(t_i: int) -> np.ndarray:
             ids, _tfs, pstarts, pvals = decoded[t_i]
@@ -1179,6 +1183,10 @@ class LocalIndex:
         most this"; an individual shard whose local volume misses the
         DENSE_* gate still falls back to sorted-merge at decode time
         (same shared constants, evaluated on actual decoded size)."""
+        # quoted clauses split FIRST (mirror _search_uncached's
+        # routing exactly — the token-wise exclusion parse must never
+        # see the inside of a "..." span)
+        query, phrases, neg_phrases = self._split_phrases(query)
         query, neg_q = self._split_exclusions(query)
         # mirror _exclusion_filter exactly: '-pre*' / '-word~'
         # exclusions expand through the same rewrite, so the debugging
@@ -1195,11 +1203,10 @@ class LocalIndex:
         query, boosts = self._split_boosts(query)
         boosted = []
         for body, wt in boosts:
-            tb = analyze_query(body, self.cfg)[0]
-            if tb:
+            for tb in analyze_query(body, self.cfg)[0]:
                 boosted.append({
-                    "term": tb[0], "weight": wt,
-                    "df": int(ts.df) if (ts := self.terms.get(tb[0])) else 0,
+                    "term": tb, "weight": wt,
+                    "df": int(ts.df) if (ts := self.terms.get(tb)) else 0,
                 })
         wc_groups = [
             {"kind": kind, "body": body, "expansions": [
@@ -1238,7 +1245,9 @@ class LocalIndex:
         # upgrade from sorted-merge to dense/maxscore at decode time.
         total_df = sum(t["df"] for t in out_terms)
         strategy = (
+            # quoted queries take the phrase-clause combination path;
             # wildcard/fuzzy/boosted queries take the group path
+            "phrase-clauses" if (phrases or neg_phrases) else
             "wildcard-groups" if (wc_groups or boosted) else
             # AND with ANY missing term short-circuits to empty in
             # search() before range skipping can run — label it so
@@ -1271,6 +1280,10 @@ class LocalIndex:
             out["wildcard_groups"] = wc_groups
         if boosted:
             out["boosted_terms"] = boosted
+        if phrases:
+            out["phrases"] = phrases
+        if neg_phrases:
+            out["excluded_phrases"] = neg_phrases
         if neg_terms:
             out["excluded_terms"] = [
                 {"term": t,
@@ -1570,6 +1583,26 @@ def load_logical_postings(index_dir: str, with_positions: bool = True) -> dict:
             ]
         result[term] = (ids, tfs, positions)
     return result
+
+
+def _sorted_member_filter(ex: np.ndarray, base):
+    """doc_filter dropping every id present in the SORTED unique
+    array ``ex``, composed over an optional ``base`` filter — the ONE
+    membership closure behind both word- and phrase-exclusions (two
+    drifting copies of the searchsorted+clamp idiom is how silent
+    wrong-neighbor reads happen)."""
+
+    def flt(ids, _ex=ex, _base=base):
+        pos = np.searchsorted(_ex, ids)
+        member = (pos < _ex.size) & (
+            _ex[np.minimum(pos, _ex.size - 1)] == ids
+        )
+        keep = ~member
+        if _base is not None:
+            keep &= _base(ids)
+        return keep
+
+    return flt
 
 
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -484,8 +484,9 @@ def test_quoted_phrase_without_positions_raises(index_dir):
 
 
 def test_http_quoted_phrase_with_spellcheck(pos_index_dir):
-    """HTTP /search: a quoted clause survives the spellcheck rewrite
-    even when another token gets corrected."""
+    """HTTP /search: a quoted query bypasses spellcheck WHOLESALE —
+    token-wise correction cannot tell interior phrase words from free
+    text, so the exact phrase must run as typed."""
     import json as json_
     import urllib.parse
     import urllib.request
@@ -504,8 +505,101 @@ def test_http_quoted_phrase_with_spellcheck(pos_index_dir):
         url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
         with urllib.request.urlopen(url) as resp:
             payload = json_.loads(resp.read())
-        assert payload.get("spellcheck") == ['"the', 'running"', "meetings"]
-        want_ids, _ = li.search('"the running" meetings', k=20, mode="OR")
+        assert "spellcheck" not in payload
+        want_ids, _ = li.search('"the running" meetngs', k=20, mode="OR")
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+    finally:
+        srv.stop()
+
+
+def test_phrase_with_skipword_remainder(pos_index_dir):
+    """A remainder of only unanalyzable tokens (skip-words) is IGNORED,
+    not treated as a failing AND clause."""
+    li = LocalIndex(pos_index_dir, load_positions=True)
+    ph_ids, _ = li.phrase_search("the running", k=10**9)
+    if ph_ids.size == 0:
+        pytest.skip("probe phrase absent from fixture")
+    a_ids, _ = li.search('"the running" www', 10**9, mode="AND",
+                         result_cache=False)
+    b_ids, _ = li.search('"the running"', 10**9, mode="AND",
+                         result_cache=False)
+    assert a_ids.tolist() == b_ids.tolist()
+
+
+def test_boost_multiterm_body(index_dir):
+    """'hash-join^2' boosts BOTH analyzed terms and requires both in
+    AND mode — equal to boosting each separately."""
+    li = LocalIndex(index_dir)
+    a = li.search("running-meetings^2", 10**9, mode="AND",
+                  result_cache=False)
+    b = li.search("running^2 meetings^2", 10**9, mode="AND",
+                  result_cache=False)
+    assert a[0].tolist() == b[0].tolist()
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_explain_quoted_and_boost_surface(pos_index_dir):
+    li = LocalIndex(pos_index_dir, load_positions=True)
+    exp = li.explain('"the running" ponies -"running meetings"', mode="OR")
+    assert exp["phrases"] == ["the running"]
+    assert exp["excluded_phrases"] == ["running meetings"]
+    assert exp["strategy"] == "phrase-clauses"
+    # multi-term boost body reports every term
+    exp2 = li.explain("running-meetings^2", mode="OR")
+    assert [b["term"] for b in exp2["boosted_terms"]] == [
+        "running", "meetings"
+    ]
+
+
+def test_http_search_quoted_without_positions_400(index_dir):
+    """A quoted query against a positions-less /search tier answers
+    400 (client/config error), not a 500 with a Ray traceback."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+
+    sh = DocShardedSearcher(index_dir, n_shards=2, load_positions=False)
+    srv = SearchServer(index_dir, sh, spellcheck=False).start()
+    try:
+        q = urllib.parse.quote('"running meetings"')
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/search?query={q}&k=5"
+            )
+            raise AssertionError("should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, e.code
+    finally:
+        srv.stop()
+        sh.close()
+
+
+def test_http_spellcheck_skipped_on_quoted_queries(pos_index_dir):
+    """Quoted queries bypass correction wholesale: interior phrase
+    words must never be rewritten."""
+    import json as json_
+    import urllib.parse
+    import urllib.request
+
+    from search_engine_ray.serve import SearchServer
+
+    li = LocalIndex(pos_index_dir, load_positions=True)
+
+    class LocalSearcher:
+        def search(self, q, k, mode):
+            return li.search(q, k, mode=mode)
+
+    srv = SearchServer(pos_index_dir, LocalSearcher()).start()
+    try:
+        q = urllib.parse.quote('"the runnng" meetngs')
+        url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=10&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        # no correction applied anywhere (quotes present)
+        assert "spellcheck" not in payload
+        want_ids, _ = li.search('"the runnng" meetngs', k=10, mode="OR")
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
