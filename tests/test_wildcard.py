@@ -603,3 +603,28 @@ def test_http_spellcheck_skipped_on_quoted_queries(pos_index_dir):
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(
+    alphabet='abcdefgh "*~^-.123 ', min_size=0, max_size=40,
+))
+def test_query_parser_never_crashes(pos_index_dir, q):
+    """Property: ANY string of letters and query-syntax markers parses
+    and searches without raising, in both modes, deterministically (a
+    positions-loaded index, so phrase clauses are evaluable)."""
+    li = _fuzz_index_cache.setdefault(
+        "li", LocalIndex(pos_index_dir, load_positions=True)
+    )
+    for mode in ("AND", "OR"):
+        a = li.search(q, 10, mode=mode, result_cache=False)
+        b = li.search(q, 10, mode=mode, result_cache=False)
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()
+        assert len(a[0]) == len(a[1]) <= 10
+
+
+_fuzz_index_cache: dict = {}
