@@ -937,6 +937,131 @@ _PMI_MIN = 5   # minimum bigram count (kills noise + bounds output)
 _PMI_K = 50
 
 
+_SN_PROBES = ["data", "group", "hash", "merge", "sort"]
+_SN_K = 5
+
+
+def suggest_next(sf_dir: str):
+    """Next-word suggestions: for each probe word, the top-5 words
+    that FOLLOW it (bigram count desc, word asc) — the
+    type-ahead-continuation analog of ``suggest_prefix`` (that one
+    completes the CURRENT token; this one proposes the next).
+
+    Scale shape: the probe filter applies INSIDE the per-batch
+    partial, so only the probe words' bigram rows ever shuffle —
+    O(probes x following-vocab) wire volume at any corpus size; the
+    final reduce is the shared hash(w1)-partitioned run-sum."""
+    probes = pa.array(_SN_PROBES, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        cfg = IndexConfig(stemming=False)
+        doc_idx, tok, _pos, _lens, _dl = split_tokens_arrow(
+            t["text"].combine_chunks(), cfg
+        )
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if len(tok) < 2:
+            return empty
+        adj = pa.array(doc_idx[:-1] == doc_idx[1:])
+        pairs = pa.table(
+            {"w1": tok.slice(0, len(tok) - 1).filter(adj),
+             "w2": tok.slice(1).filter(adj)}
+        )
+        pairs = pairs.filter(pc.is_in(pairs["w1"], value_set=probes))
+        if pairs.num_rows == 0:
+            return empty
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w1": g["w1"],
+                "w2": g["w2"],
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    from .dedup import _npart as _dnp, _reduce_keyed
+
+    docs = _docs(sf_dir, ["text"])
+    bcnt = _reduce_keyed(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "w1", _dnp() * 8, _sum_bigrams,
+    )
+    df = bcnt.to_pandas()  # O(probes x following-vocab) by construction
+    out_w1, out_w2, out_c = [], [], []
+    for w in _SN_PROBES:
+        g = df[df["w1"] == w]
+        if not len(g):
+            continue
+        g = g.sort_values(["c", "w2"], ascending=[False, True]).head(_SN_K)
+        out_w1.extend([w] * len(g))
+        out_w2.extend(g["w2"].tolist())
+        out_c.extend(int(x) for x in g["c"])
+    return pa.table(
+        {
+            "w1": pa.array(out_w1, pa.string()),
+            "w2": pa.array(out_w2, pa.string()),
+            "c": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+SQL_SUGGEST_NEXT = f"""
+WITH arrs AS (
+    SELECT list_filter(regexp_split_to_array(lower(substr(text, 1, 10000)), '[^0-9a-z]+'),
+                       x -> x <> '') AS arr
+    FROM documents
+),
+big AS (
+    SELECT arr[i] AS w1, arr[i + 1] AS w2
+    FROM arrs, UNNEST(range(1, len(arr))) t(i)
+    WHERE len(arr) >= 2
+),
+bcnt AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+    FROM big
+    WHERE w1 IN ({", ".join(f"'{w}'" for w in _SN_PROBES)})
+    GROUP BY w1, w2
+),
+ranked AS (
+    SELECT w1, w2, c,
+           row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2 ASC) AS rn
+    FROM bcnt
+)
+SELECT w1, w2, c FROM ranked WHERE rn <= {_SN_K}
+"""
+
+
+def _sum_bigrams(g: pa.Table) -> pa.Table:
+    """One hash(w1) partition of per-batch bigram partials: all rows
+    of a (w1, w2) pair share w1, so they are co-located — Arrow
+    two-key sort + run-summed counts, one call per partition (the
+    bigram groups are near-unique: groupby([w1, w2]) would pay Ray's
+    per-group Python cost once per distinct bigram). Shared by
+    ``pmi_collocations`` and ``suggest_next``."""
+    idx = pc.sort_indices(
+        g.select(["w1", "w2"]),
+        sort_keys=[("w1", "ascending"), ("w2", "ascending")],
+    )
+    w1 = g["w1"].combine_chunks().take(idx)
+    w2 = g["w2"].combine_chunks().take(idx)
+    c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)[idx.to_numpy()]
+    tail = max(len(w1) - 1, 0)
+    neq = pc.or_(
+        pc.not_equal(w1.slice(1), w1.slice(0, tail)),
+        pc.not_equal(w2.slice(1), w2.slice(0, tail)),
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    starts = np.flatnonzero(np.concatenate([[True], neq]))
+    si = pa.array(starts, pa.int64())
+    return pa.table(
+        {
+            "w1": w1.take(si),
+            "w2": w2.take(si),
+            "c": pa.array(np.add.reduceat(c, starts), pa.int64()),
+        }
+    )
+
+
 def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     """(w1, w2, n_pairs, pmi_micro): global top-k adjacent bigrams by
     PMI = ln(p(xy) / (p(x)p(y))), counts >= {_PMI_MIN}. Total order
@@ -972,39 +1097,11 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
 
     from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
 
-    def sum_bigrams(g: pa.Table) -> pa.Table:
-        """One hash(w1) partition of per-batch bigram partials: all
-        rows of a (w1, w2) pair share w1, so they are co-located —
-        Arrow two-key sort + run-summed counts, one call per partition
-        (the bigram groups are near-unique: groupby([w1, w2]) would
-        pay Ray's per-group Python cost once per distinct bigram)."""
-        idx = pc.sort_indices(
-            g.select(["w1", "w2"]),
-            sort_keys=[("w1", "ascending"), ("w2", "ascending")],
-        )
-        w1 = g["w1"].combine_chunks().take(idx)
-        w2 = g["w2"].combine_chunks().take(idx)
-        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)[idx.to_numpy()]
-        tail = max(len(w1) - 1, 0)
-        neq = pc.or_(
-            pc.not_equal(w1.slice(1), w1.slice(0, tail)),
-            pc.not_equal(w2.slice(1), w2.slice(0, tail)),
-        ).to_numpy(zero_copy_only=False).astype(bool)
-        starts = np.flatnonzero(np.concatenate([[True], neq]))
-        si = pa.array(starts, pa.int64())
-        return pa.table(
-            {
-                "w1": w1.take(si),
-                "w2": w2.take(si),
-                "c": pa.array(np.add.reduceat(c, starts), pa.int64()),
-            }
-        )
-
     docs = _docs(sf_dir, ["text"])
     bcnt = (
         _reduce_keyed(
             docs.map_batches(bigram_partial, batch_format="pyarrow"),
-            "w1", _dnp() * 8, sum_bigrams,
+            "w1", _dnp() * 8, _sum_bigrams,
         )
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t["c"], pa.scalar(_PMI_MIN))),
@@ -1341,9 +1438,11 @@ ORACLE_SQL = {
 # auxiliary entries (after the 50-entry driver window)
 RAY_QUERIES_AUX = {
     "suggest_prefix": suggest_prefix,
+    "suggest_next": suggest_next,
 }
 
 ORACLE_SQL_AUX = {
     "suggest_prefix": SQL_SUGGEST_PREFIX,
+    "suggest_next": SQL_SUGGEST_NEXT,
 }
 

@@ -164,3 +164,37 @@ def test_suggest_prefix_op_matches_oracle(ray_session, sf_dir=SF_DIR):
     # every prefix's block is correctly ranked 1..n
     for _, blk in got.groupby("prefix"):
         assert blk["rank"].tolist() == list(range(1, len(blk) + 1))
+
+
+def test_suggest_next_handcrafted(ray_session, tmp_path):
+    """Next-word top-k: counts from adjacent bigrams, tie-break word
+    asc; probes absent from the corpus yield no rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.text_ops import suggest_next
+
+    texts = [
+        "hash join hash join hash scan",   # hash->join x2, hash->scan x1
+        "hash aggregate",                  # hash->aggregate x1
+        "sort merge",                      # sort->merge
+    ]
+    n = len(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = suggest_next(str(tmp_path)).to_pandas()
+    h = t[t["w1"] == "hash"]
+    assert h["w2"].tolist() == ["join", "aggregate", "scan"]
+    assert h["c"].tolist() == [2, 1, 1]  # tie 1-1 broken word-asc
+    s = t[t["w1"] == "sort"]
+    assert s["w2"].tolist() == ["merge"]
+    assert "data" not in set(t["w1"])  # absent probe -> no rows
