@@ -71,8 +71,15 @@ def cmd_query(a) -> int:
             return 2
         searcher = ShardedSearcher(a.index, n_shards=a.shards)
     else:
+        # quoted '"..."' clauses in the query string need the
+        # position blocks too, not just --phrase — auto-load them
+        # whenever the index stores positions and the query (or flag)
+        # asks for exact-phrase semantics
+        from .serve import _positions_enabled
+
+        need_pos = a.phrase or ('"' in a.text and _positions_enabled(a.index))
         searcher = DocShardedSearcher(
-            a.index, n_shards=a.shards, load_positions=a.phrase
+            a.index, n_shards=a.shards, load_positions=need_pos
         )
     if a.phrase:
         ids, scores = searcher.phrase(a.text, k=a.k)

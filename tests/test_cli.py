@@ -38,6 +38,13 @@ def test_cli_build_query_compact(tmp_path, fmt):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "doc_id" in r.stdout
 
+    # composed query syntax in ONE string: quoted clause + boost +
+    # wildcard + exclusion (quoted clauses auto-load positions)
+    r = run("query", "--index", idx, '"the running" meet* ponies^2 -zzz',
+            "-k", "5", "--mode", "OR")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doc_id" in r.stdout
+
     r = run("query", "--index", idx, "running -meetings", "-k", "5",
             "--facets", "running,meetings")
     assert r.returncode == 0, r.stderr[-2000:]
