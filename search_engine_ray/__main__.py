@@ -77,6 +77,10 @@ def cmd_query(a) -> int:
         # asks for exact-phrase semantics
         from .serve import _positions_enabled
 
+        if '"' in a.text and not _positions_enabled(a.index):
+            print('quoted "..." clauses need a positions-built index '
+                  "(rebuild without --no-positions)")
+            return 2
         need_pos = a.phrase or ('"' in a.text and _positions_enabled(a.index))
         searcher = DocShardedSearcher(
             a.index, n_shards=a.shards, load_positions=need_pos

@@ -937,6 +937,41 @@ _PMI_MIN = 5   # minimum bigram count (kills noise + bounds output)
 _PMI_K = 50
 
 
+def _bigram_partial(t: pa.Table, value_set: pa.Array | None = None) -> pa.Table:
+    """Per-batch adjacent-bigram counts (tokens stay variable-width
+    Arrow end-to-end — a numpy np.char formulation widened EVERY
+    bigram slot to the batch's longest token). ``value_set``: keep
+    only bigrams whose w1 is in the set (suggest_next's probe filter,
+    applied BEFORE the combine so only probe rows ever shuffle).
+    Shared by ``pmi_collocations`` and ``suggest_next``."""
+    cfg = IndexConfig(stemming=False)
+    doc_idx, tok, _pos, _lens, _dl = split_tokens_arrow(
+        t["text"].combine_chunks(), cfg
+    )
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+    if len(tok) < 2:
+        return empty
+    adj = pa.array(doc_idx[:-1] == doc_idx[1:])
+    pairs = pa.table(
+        {"w1": tok.slice(0, len(tok) - 1).filter(adj),
+         "w2": tok.slice(1).filter(adj)}
+    )
+    if value_set is not None:
+        pairs = pairs.filter(pc.is_in(pairs["w1"], value_set=value_set))
+    if pairs.num_rows == 0:
+        return empty
+    g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "w1": g["w1"],
+            "w2": g["w2"],
+            "c": g["count_all"].cast(pa.int64()),
+        }
+    )
+
+
 _SN_PROBES = ["data", "group", "hash", "merge", "sort"]
 _SN_K = 5
 
@@ -954,31 +989,7 @@ def suggest_next(sf_dir: str):
     probes = pa.array(_SN_PROBES, pa.string())
 
     def partial(t: pa.Table) -> pa.Table:
-        cfg = IndexConfig(stemming=False)
-        doc_idx, tok, _pos, _lens, _dl = split_tokens_arrow(
-            t["text"].combine_chunks(), cfg
-        )
-        empty = pa.table({"w1": pa.array([], pa.string()),
-                          "w2": pa.array([], pa.string()),
-                          "c": pa.array([], pa.int64())})
-        if len(tok) < 2:
-            return empty
-        adj = pa.array(doc_idx[:-1] == doc_idx[1:])
-        pairs = pa.table(
-            {"w1": tok.slice(0, len(tok) - 1).filter(adj),
-             "w2": tok.slice(1).filter(adj)}
-        )
-        pairs = pairs.filter(pc.is_in(pairs["w1"], value_set=probes))
-        if pairs.num_rows == 0:
-            return empty
-        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "w1": g["w1"],
-                "w2": g["w2"],
-                "c": g["count_all"].cast(pa.int64()),
-            }
-        )
+        return _bigram_partial(t, value_set=probes)
 
     from .dedup import _npart as _dnp, _reduce_keyed
 
@@ -988,6 +999,15 @@ def suggest_next(sf_dir: str):
         "w1", _dnp() * 8, _sum_bigrams,
     )
     df = bcnt.to_pandas()  # O(probes x following-vocab) by construction
+    if not len(df) or "w1" not in df.columns:
+        # no probe word adjacent to anything: an all-empty map_groups
+        # output loses its schema in Ray 2.49 (same guard as
+        # empty_dataset().union() elsewhere) — return the typed empty
+        return pa.table(
+            {"w1": pa.array([], pa.string()),
+             "w2": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
     out_w1, out_w2, out_c = [], [], []
     for w in _SN_PROBES:
         g = df[df["w1"] == w]
@@ -1067,40 +1087,12 @@ def pmi_collocations(sf_dir: str, k: int = _PMI_K):
     PMI = ln(p(xy) / (p(x)p(y))), counts >= {_PMI_MIN}. Total order
     (pmi desc, w1, w2) makes the LIMIT boundary deterministic."""
 
-    def bigram_partial(t: pa.Table) -> pa.Table:
-        # tokens stay variable-width Arrow end-to-end; the earlier
-        # numpy np.char formulation widened EVERY bigram slot to the
-        # batch's longest token (one unbroken 10k-char token -> multi-GB
-        # fixed-width allocations), so the per-batch combine is a
-        # pyarrow group_by instead
-        cfg = IndexConfig(stemming=False)
-        doc_idx, tok, _pos, _lens, _dl = split_tokens_arrow(
-            t["text"].combine_chunks(), cfg
-        )
-        if len(tok) < 2:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        adj = pa.array(doc_idx[:-1] == doc_idx[1:])
-        pairs = pa.table(
-            {"w1": tok.slice(0, len(tok) - 1).filter(adj),
-             "w2": tok.slice(1).filter(adj)}
-        )
-        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "w1": g["w1"],
-                "w2": g["w2"],
-                "c": g["count_all"].cast(pa.int64()),
-            }
-        )
-
     from .dedup import _keyed_count_combine, _npart as _dnp, _reduce_keyed
 
     docs = _docs(sf_dir, ["text"])
     bcnt = (
         _reduce_keyed(
-            docs.map_batches(bigram_partial, batch_format="pyarrow"),
+            docs.map_batches(_bigram_partial, batch_format="pyarrow"),
             "w1", _dnp() * 8, _sum_bigrams,
         )
         .map_batches(

@@ -571,69 +571,71 @@ class SearchServer:
                     return
                 corrected = None
                 run_query = query
-                if outer.speller is not None and '"' not in query:
-                    # a quoted query is structured syntax: token-wise
-                    # correction cannot tell interior phrase words
-                    # ('"john smyth report"' -> 'smyth' carries no
-                    # quote) from free text, and rewriting any of them
-                    # silently changes the exact phrase — skip
-                    # correction wholesale when quotes are present
-                    # correct the ANALYZED terms — the dictionary
-                    # holds analyzed (lowercase alphanumeric) tokens,
-                    # so both a capitalized and a punctuated
-                    # correctly-spelled word ("Search", "don't" ->
-                    # don, t) must not miss it and get miscorrected
-                    # (reference parity: Search.java spellchecks the
-                    # analyzed words). Corrections are applied PER
-                    # whitespace token so a '-term' exclusion keeps
-                    # its '-' through the rewrite — a naive re-join of
-                    # the analyzed words would silently flip a
-                    # corrected exclusion into a positive term.
-                    fixed_tokens: list[str] = []
+                if outer.speller is not None:
+                    # correct only FREE TEXT, preserving the exact
+                    # structure: quoted spans pass through verbatim
+                    # (interior phrase words like '"john smyth
+                    # report"' -> 'smyth' must never be rewritten),
+                    # whitespace and punctuation adjacency survive
+                    # the rebuild (so '-"a b"' keeps its '-' glued to
+                    # the quote and stays a phrase EXCLUSION), and
+                    # only plain optionally-'-'-prefixed word tokens
+                    # are candidates — wildcard/fuzzy/boost markers,
+                    # stray quotes and punctuation-adorned tokens are
+                    # never touched. (Reference parity: Search.java
+                    # spellchecks the analyzed words; the dictionary
+                    # holds analyzed lowercase tokens, so correction
+                    # runs on tok.lower().)
                     changed_any = False
-                    for tok in query.split():
-                        if (tok.endswith(("*", "~")) or "^" in tok[1:]
-                                or '"' in tok):
-                            # wildcard/fuzzy/boosted/quoted tokens
-                            # carry query-syntax markers — never
-                            # "correct" them (and never let a rebuild
-                            # drop the marker or a phrase quote); a
-                            # fuzzy term is itself the user's
-                            # spellcheck
-                            fixed_tokens.append(tok)
+                    out_parts: list[str] = []
+                    for seg in re.split(r'("(?:[^"]*)")', query):
+                        if seg.startswith('"') and seg.endswith('"') \
+                                and len(seg) >= 2:
+                            out_parts.append(seg)
                             continue
-                        neg = tok.startswith("-") and len(tok) > 1
-                        body = tok[1:] if neg else tok
-                        parts = [
-                            w for w in re.split(_SPLIT_PATTERN, body.lower())
-                            if w
-                        ]
-                        fixed, changed = outer.speller.correct_query(parts)
-                        changed_any = changed_any or changed
-                        fixed_tokens.extend(
-                            ("-" + w) if neg else w for w in fixed
-                        )
+                        for ch in re.split(r"(\s+)", seg):
+                            if not ch or ch.isspace() or not re.fullmatch(
+                                r"-?[0-9A-Za-z]+", ch
+                            ):
+                                out_parts.append(ch)
+                                continue
+                            neg = ch.startswith("-")
+                            body = (ch[1:] if neg else ch).lower()
+                            fixed, changed = outer.speller.correct_query(
+                                [body]
+                            )
+                            changed_any = changed_any or changed
+                            out_parts.append(
+                                " ".join(
+                                    ("-" + w) if neg else w for w in fixed
+                                ) or ch
+                            )
                     if changed_any:
-                        corrected = fixed_tokens
-                        run_query = " ".join(fixed_tokens)
+                        run_query = "".join(out_parts)
+                        corrected = run_query.split()
                 try:
                     ids, scores = outer.searcher.search(
                         run_query, k=offset + k, mode=mode
                     )
-                except ValueError as ex:
-                    # quoted clause on a positions-less tier — the
-                    # client/config error, not a server fault
-                    self._json(400, {"error": str(ex)})
-                    return
                 except Exception as ex:  # noqa: BLE001
                     import ray as _ray
 
-                    # shard actors wrap the same precondition as
-                    # RayTaskError(ValueError); map it to 400 only for
-                    # quoted queries (any other shard-side ValueError
-                    # stays a 500, as on /phrase)
-                    if ('"' in run_query
-                            and isinstance(ex, _ray.exceptions.RayTaskError)
+                    # careful classification: Ray wraps shard-side
+                    # errors as RayTaskError.as_instanceof_cause(),
+                    # which IS an instance of the cause type — a bare
+                    # `except ValueError` would misroute every
+                    # shard-side ValueError to 400. Client errors are:
+                    # a DRIVER-side ValueError (positions precondition
+                    # from an in-process searcher), or a shard-side
+                    # ValueError on a QUOTED query (the same
+                    # precondition raised inside shard actors). Any
+                    # other shard-side error stays a 500, as on
+                    # /phrase.
+                    is_rte = isinstance(ex, _ray.exceptions.RayTaskError)
+                    if not is_rte and isinstance(ex, ValueError):
+                        self._json(400, {"error": str(ex)})
+                        return
+                    if (is_rte and '"' in run_query
                             and isinstance(getattr(ex, "cause", None),
                                            ValueError)):
                         self._json(400, {"error": str(ex.cause)})

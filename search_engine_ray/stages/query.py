@@ -786,16 +786,24 @@ class LocalIndex:
     def _phrase_exclusion_filter(self, neg_phrases: list[str], base):
         """doc_filter dropping every doc containing ANY excluded
         phrase (position-verified, like positive phrase clauses) —
-        shard-local for the same reason as ``_exclusion_filter``."""
-        ids_list = []
-        for p in neg_phrases:
-            ids_p, _sc = self._phrase_uncached(p, 10**9)
-            if ids_p.size:
-                ids_list.append(np.sort(ids_p))
-        if not ids_list:
+        shard-local for the same reason as ``_exclusion_filter``.
+        Memoized per phrase set like the word-exclusion filter —
+        repeats must not re-pay the full postings+positions scan."""
+        ekey = ("exph", tuple(neg_phrases))
+        ex = self._memo.get(ekey)
+        if ex is None:
+            ids_list = []
+            for p in neg_phrases:
+                ids_p, _sc = self._phrase_uncached(p, 10**9)
+                if ids_p.size:
+                    ids_list.append(np.sort(ids_p))
+            if not ids_list:
+                return base
+            ex = (np.unique(np.concatenate(ids_list))
+                  if len(ids_list) > 1 else ids_list[0])
+            self._memo.put(ekey, ex, int(ex.nbytes) + 64)
+        if not ex.size:
             return base
-        ex = (np.unique(np.concatenate(ids_list))
-              if len(ids_list) > 1 else ids_list[0])
         return _sorted_member_filter(ex, base)
 
     def _search_with_phrases(self, rest_q: str, phrases: list[str],
@@ -831,8 +839,12 @@ class LocalIndex:
         # failing AND clause that empties the phrase matches
         _wc_rest, _wc_groups = self._split_wildcards(rest_q)
         _lit_rest, _boosts = self._split_boosts(_wc_rest)
+        _live_boosts = any(
+            analyze_query(b, self.cfg)[0] for b, _w in _boosts
+        )
         rest_present = bool(
-            _wc_groups or _boosts or analyze_query(_lit_rest, self.cfg)[0]
+            _wc_groups or _live_boosts
+            or analyze_query(_lit_rest, self.cfg)[0]
         )
         r_ids = r_sc = None
         if rest_present:

@@ -484,9 +484,10 @@ def test_quoted_phrase_without_positions_raises(index_dir):
 
 
 def test_http_quoted_phrase_with_spellcheck(pos_index_dir):
-    """HTTP /search: a quoted query bypasses spellcheck WHOLESALE —
-    token-wise correction cannot tell interior phrase words from free
-    text, so the exact phrase must run as typed."""
+    """HTTP /search: quoted spans pass through spellcheck VERBATIM
+    (interior phrase words are never rewritten — including misspelled
+    ones, which the user quoted on purpose) while free text outside
+    the quotes still corrects."""
     import json as json_
     import urllib.parse
     import urllib.request
@@ -501,12 +502,24 @@ def test_http_quoted_phrase_with_spellcheck(pos_index_dir):
 
     srv = SearchServer(pos_index_dir, LocalSearcher()).start()
     try:
+        # free text corrects, the quoted span survives as typed
         q = urllib.parse.quote('"the running" meetngs')
         url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
         with urllib.request.urlopen(url) as resp:
             payload = json_.loads(resp.read())
-        assert "spellcheck" not in payload
-        want_ids, _ = li.search('"the running" meetngs', k=20, mode="OR")
+        assert payload.get("spellcheck") == ['"the', 'running"', "meetings"]
+        want_ids, _ = li.search('"the running" meetings', k=20, mode="OR")
+        assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
+
+        # a MISSPELLED word inside the quotes is left alone — and a
+        # '-' glued to a quote keeps the span an exclusion through
+        # the rebuild
+        q = urllib.parse.quote('meetngs -"the runnng"')
+        url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=20&mode=OR"
+        with urllib.request.urlopen(url) as resp:
+            payload = json_.loads(resp.read())
+        assert payload.get("spellcheck") == ["meetings", '-"the', 'runnng"']
+        want_ids, _ = li.search('meetings -"the runnng"', k=20, mode="OR")
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
@@ -576,9 +589,9 @@ def test_http_search_quoted_without_positions_400(index_dir):
         sh.close()
 
 
-def test_http_spellcheck_skipped_on_quoted_queries(pos_index_dir):
-    """Quoted queries bypass correction wholesale: interior phrase
-    words must never be rewritten."""
+def test_http_spellcheck_interior_phrase_words_untouched(pos_index_dir):
+    """A misspelled word INSIDE a quoted span is never corrected (the
+    user quoted it on purpose), while free text outside still is."""
     import json as json_
     import urllib.parse
     import urllib.request
@@ -597,9 +610,8 @@ def test_http_spellcheck_skipped_on_quoted_queries(pos_index_dir):
         url = f"http://127.0.0.1:{srv.port}/search?query={q}&k=10&mode=OR"
         with urllib.request.urlopen(url) as resp:
             payload = json_.loads(resp.read())
-        # no correction applied anywhere (quotes present)
-        assert "spellcheck" not in payload
-        want_ids, _ = li.search('"the runnng" meetngs', k=10, mode="OR")
+        assert payload.get("spellcheck") == ['"the', 'runnng"', "meetings"]
+        want_ids, _ = li.search('"the runnng" meetings', k=10, mode="OR")
         assert [r["doc_id"] for r in payload["results"]] == want_ids.tolist()
     finally:
         srv.stop()
